@@ -1,0 +1,281 @@
+"""Connected components, relabelling, region growing, and shape statistics.
+
+TPU-native replacements for ITK's ``ConnectedComponent`` / ``RelabelComponent``
+/ ``ConnectedThreshold`` / ``LabelShapeStatisticsImageFilter`` (reference call
+sites: label/fusion.py:314-320, projects/bronchus/bronchus.py:162-316,
+utils/crop.py:44-46).
+
+Connected components run as an on-device label-propagation fixpoint (each voxel
+starts with its linear index; iterated neighbourhood-max under a while_loop).
+Convergence is in O(diameter) fused VPU sweeps — data stays on device, no
+host round-trip.  Statistics are pure reductions (segment_sum / moments).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core.image import Image
+
+__all__ = [
+    "connected_components",
+    "relabel_components",
+    "keep_largest_component",
+    "connected_threshold",
+    "label_shape_statistics",
+    "get_union_mask",
+]
+
+
+def _neighbor_max(lab: jnp.ndarray, connectivity: int) -> jnp.ndarray:
+    padded = jnp.pad(lab, 1, constant_values=0)
+    shape = lab.shape
+    out = lab
+    if connectivity == 6:
+        offsets = [(0, 1, 1), (2, 1, 1), (1, 0, 1), (1, 2, 1), (1, 1, 0), (1, 1, 2)]
+    else:
+        offsets = [
+            (dz, dy, dx)
+            for dz in range(3)
+            for dy in range(3)
+            for dx in range(3)
+            if not (dz == 1 and dy == 1 and dx == 1)
+        ]
+    for off in offsets:
+        out = jnp.maximum(out, jax.lax.dynamic_slice(padded, off, shape))
+    return out
+
+
+def connected_components(mask, connectivity: int = 26, max_iterations: int = 4096):
+    """Label connected components of a binary mask.
+
+    Returns int32 labels (0 = background).  Labels are *not* consecutive —
+    follow with :func:`relabel_components` for ITK ``RelabelComponent``
+    semantics (consecutive labels sorted by size, descending).
+
+    ITK's ``ConnectedComponent`` uses full (26) connectivity by default
+    behaviourally relevant to the reference's use in fusion/bronchus.
+    """
+    m, img = _unwrap(mask)
+    n = m.size
+    init = jnp.where(
+        m, jnp.arange(1, n + 1, dtype=jnp.int32).reshape(m.shape), 0
+    )
+
+    def cond(state):
+        lab, changed, it = state
+        return changed & (it < max_iterations)
+
+    def body(state):
+        lab, _, it = state
+        # two propagation steps per check to amortise the convergence test
+        new = _neighbor_max(lab, connectivity)
+        new = _neighbor_max(new, connectivity)
+        new = jnp.where(m, new, 0)
+        return new, jnp.any(new != lab), it + 1
+
+    lab, _, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True), 0))
+    return _rewrap_int(lab, img)
+
+
+def relabel_components(labels, sort_by_size: bool = True, minimum_object_size: int = 0):
+    """Consecutive labels 1..K sorted by size descending (ITK RelabelComponent)."""
+    lab, img = _unwrap_int(labels)
+    lab_np = np.asarray(lab)
+    uniq, counts = np.unique(lab_np, return_counts=True)
+    fg = uniq > 0
+    uniq, counts = uniq[fg], counts[fg]
+    if uniq.size == 0:
+        return _rewrap_int(jnp.zeros_like(lab), img)
+    order = np.argsort(-counts, kind="stable") if sort_by_size else np.arange(uniq.size)
+    new_labels = np.zeros(uniq.size, dtype=np.int32)
+    next_label = 1
+    for idx in order:
+        if minimum_object_size > 0 and counts[idx] < minimum_object_size:
+            new_labels[idx] = 0
+        else:
+            new_labels[idx] = next_label
+            next_label += 1
+    # vectorised remap: bucket of each voxel in sorted uniq (+sentinel for bg)
+    lut = np.concatenate([[0], new_labels])
+    bucket = np.searchsorted(uniq, lab_np)
+    bucket = np.where(
+        (lab_np > 0) & (bucket < uniq.size) & (uniq[np.minimum(bucket, uniq.size - 1)] == lab_np),
+        bucket + 1,
+        0,
+    )
+    mapped = lut[bucket]
+    return _rewrap_int(jnp.asarray(mapped), img)
+
+
+def keep_largest_component(mask, connectivity: int = 26):
+    """Binary mask of the largest connected component."""
+    lab = connected_components(mask, connectivity)
+    lab_arr = lab.array if isinstance(lab, Image) else lab
+    flat = lab_arr.reshape(-1)
+    uniq = np.unique(np.asarray(flat))
+    uniq = uniq[uniq > 0]
+    m, img = _unwrap(mask)
+    if uniq.size == 0:
+        return _rewrap_int(jnp.zeros_like(lab_arr), img)
+    sizes = [(int((np.asarray(flat) == u).sum()), int(u)) for u in uniq]
+    largest = max(sizes)[1]
+    return _rewrap_int((lab_arr == largest).astype(jnp.int32), img)
+
+
+def connected_threshold(image, seeds, lower: float, upper: float, connectivity: int = 6,
+                        max_iterations: int = 4096):
+    """``sitk.ConnectedThreshold`` analogue: region growing from seed points.
+
+    ``seeds`` is a list of (x, y, z) integer indices.  Grows through voxels
+    whose intensity lies in [lower, upper].
+    """
+    arr = image.array if isinstance(image, Image) else jnp.asarray(image)
+    img = image if isinstance(image, Image) else None
+    allowed = (arr >= lower) & (arr <= upper)
+    seed_mask = jnp.zeros(arr.shape, dtype=bool)
+    for (sx, sy, sz) in seeds:
+        seed_mask = seed_mask.at[int(sz), int(sy), int(sx)].set(True)
+    seed_mask = seed_mask & allowed
+
+    def cond(state):
+        reach, changed, it = state
+        return changed & (it < max_iterations)
+
+    def body(state):
+        reach, _, it = state
+        from platipy_tpu.core.morphology import _neighbor_or
+
+        new = _neighbor_or(reach, connectivity) & allowed
+        new = new | reach
+        return new, jnp.any(new != reach), it + 1
+
+    reach, _, _ = jax.lax.while_loop(cond, body, (seed_mask, jnp.array(True), 0))
+    return _rewrap_int(reach.astype(jnp.uint8), img)
+
+
+# ---------------------------------------------------------------------------
+# shape statistics (LabelShapeStatisticsImageFilter analogue)
+# ---------------------------------------------------------------------------
+
+def label_shape_statistics(labels, label: int = 1) -> Dict[str, object]:
+    """Shape statistics of one label: physical size, centroid (physical),
+    bounding box, principal moments/axes, elongation, flatness, roundness
+    (approximate perimeter-based), equivalent radii.
+
+    Mirrors the ``sitk.LabelShapeStatisticsImageFilter`` quantities the
+    reference relies on (bronchus.py:162-246, crop.py:44-46).
+    Host-side reductions — these are tiny.
+    """
+    lab, img = _unwrap_int(labels)
+    arr = np.asarray(lab) == label
+    count = int(arr.sum())
+    if img is not None:
+        spacing = np.asarray(img.spacing, dtype=np.float64)
+    else:
+        spacing = np.ones(3)
+    out: Dict[str, object] = {"count": count}
+    if count == 0:
+        return out
+    voxel_volume = float(np.prod(spacing))
+    out["physical_size"] = count * voxel_volume
+
+    zz, yy, xx = np.nonzero(arr)
+    idx_xyz = np.stack([xx, yy, zz], axis=1).astype(np.float64)
+    mean_idx = idx_xyz.mean(axis=0)
+    if img is not None:
+        centroid = img.physical_point(mean_idx)
+    else:
+        centroid = mean_idx
+    out["centroid"] = tuple(float(c) for c in centroid)
+    out["centroid_index"] = tuple(float(c) for c in mean_idx)
+
+    # bounding box in ITK order: (x0, y0, z0, sx, sy, sz)
+    x0, x1 = int(xx.min()), int(xx.max())
+    y0, y1 = int(yy.min()), int(yy.max())
+    z0, z1 = int(zz.min()), int(zz.max())
+    out["bounding_box"] = (x0, y0, z0, x1 - x0 + 1, y1 - y0 + 1, z1 - z0 + 1)
+
+    # second central moments in physical coords (identity direction assumed
+    # for the inertia frame — matches ITK when direction is axis-aligned)
+    phys = idx_xyz * spacing[None, :]
+    phys -= phys.mean(axis=0, keepdims=True)
+    cov = phys.T @ phys / count
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    evals = np.maximum(evals, 0.0)
+    out["principal_moments"] = tuple(float(v) for v in evals)
+    out["principal_axes"] = evecs.T  # rows are axes, ascending moment order
+    # ITK: elongation = sqrt(l2/l1) with l sorted ascending -> largest/second
+    if evals[1] > 0:
+        out["elongation"] = float(np.sqrt(evals[2] / evals[1]))
+    else:
+        out["elongation"] = 1.0
+    if evals[0] > 0:
+        out["flatness"] = float(np.sqrt(evals[1] / evals[0]))
+    else:
+        out["flatness"] = 1.0
+
+    # equivalent spherical radius and (approximate) roundness.
+    r_eq = (3.0 * out["physical_size"] / (4.0 * np.pi)) ** (1.0 / 3.0)
+    out["equivalent_spherical_radius"] = float(r_eq)
+    sphere_area = 4.0 * np.pi * r_eq**2
+    # surface area estimate: exposed voxel faces weighted by face area
+    area = _exposed_face_area(arr, spacing)
+    out["perimeter"] = float(area)
+    out["roundness"] = float(sphere_area / area) if area > 0 else 1.0
+    return out
+
+
+def _exposed_face_area(arr: np.ndarray, spacing: np.ndarray) -> float:
+    """Voxel-face surface area with the classic 2/3 Crofton-style correction
+    (voxelised surfaces over-count smooth area by ~1.5)."""
+    pad = np.pad(arr, 1)
+    face_areas = np.array(
+        [
+            spacing[0] * spacing[1],  # z-faces
+            spacing[0] * spacing[2],  # y-faces
+            spacing[1] * spacing[2],  # x-faces
+        ]
+    )
+    total = 0.0
+    core = pad[1:-1, 1:-1, 1:-1]
+    for axis, fa in zip((0, 1, 2), face_areas):
+        for shift in (-1, 1):
+            nb = np.roll(pad, shift, axis=axis)[1:-1, 1:-1, 1:-1]
+            total += fa * float((core & ~nb).sum())
+    return total * (2.0 / 3.0)
+
+
+def get_union_mask(mask_list):
+    out = None
+    for m in mask_list:
+        arr = m.array if isinstance(m, Image) else jnp.asarray(m)
+        out = arr > 0 if out is None else (out | (arr > 0))
+    first = mask_list[0]
+    if isinstance(first, Image):
+        return first.with_array(out.astype(jnp.uint8))
+    return out.astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+
+def _unwrap(m):
+    if isinstance(m, Image):
+        return m.array > 0, m
+    return jnp.asarray(m) > 0, None
+
+
+def _unwrap_int(m):
+    if isinstance(m, Image):
+        return m.array.astype(jnp.int32), m
+    return jnp.asarray(m).astype(jnp.int32), None
+
+
+def _rewrap_int(arr, img: Optional[Image]):
+    if img is not None:
+        return img.with_array(arr)
+    return arr

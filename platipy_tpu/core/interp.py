@@ -1,0 +1,283 @@
+"""Image sampling / warping — the fused gather kernel behind all resampling.
+
+TPU-native replacement for ITK's ``ResampleImageFilter`` + interpolators
+(reference call sites: /root/reference/platipy/imaging/registration/utils.py:176-189,
+registration/deformable.py:130-140).  Everything here is pure jnp, jit-friendly,
+static-shaped, and differentiable (trilinear/B-spline paths) — autodiff through
+the sampler is what gives the registration engine analytic gradients.
+
+Interpolator codes follow the reference's convention (utils.py docstring):
+``1`` = nearest neighbour, ``2`` = linear, ``3`` = cubic B-spline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core.image import (
+    Image,
+    index_to_physical_matrix,
+    physical_to_index_matrix,
+)
+
+__all__ = [
+    "sample_image",
+    "sample_at_continuous_index",
+    "grid_continuous_indices",
+    "interp_name",
+    "spline_coefficients",
+]
+
+INTERP_NEAREST = 1
+INTERP_LINEAR = 2
+INTERP_BSPLINE = 3
+
+_INTERP_NAMES = {
+    "nearest": INTERP_NEAREST,
+    "nearest_neighbour": INTERP_NEAREST,
+    "linear": INTERP_LINEAR,
+    "bspline": INTERP_BSPLINE,
+    "cubic": INTERP_BSPLINE,
+    INTERP_NEAREST: INTERP_NEAREST,
+    INTERP_LINEAR: INTERP_LINEAR,
+    INTERP_BSPLINE: INTERP_BSPLINE,
+}
+
+
+def interp_name(interp) -> int:
+    try:
+        return _INTERP_NAMES[interp]
+    except KeyError:
+        raise ValueError(f"Unknown interpolator {interp!r}") from None
+
+
+# ---------------------------------------------------------------------------
+# continuous-index computation
+# ---------------------------------------------------------------------------
+
+def physical_to_continuous_index(points, origin, spacing, direction):
+    """Map physical (x,y,z) points [...,3] to continuous (x,y,z) indices."""
+    m = physical_to_index_matrix(origin, spacing, direction)
+    a = jnp.asarray(m[:3, :3], dtype=points.dtype)
+    b = jnp.asarray(m[:3, 3], dtype=points.dtype)
+    return points @ a.T + b
+
+
+def grid_continuous_indices(shape_zyx: Tuple[int, int, int], dtype=jnp.float32):
+    """Index coordinate arrays (ix, iy, iz), each broadcastable to [z,y,x]."""
+    nz, ny, nx = shape_zyx
+    iz = jnp.arange(nz, dtype=dtype).reshape(nz, 1, 1)
+    iy = jnp.arange(ny, dtype=dtype).reshape(1, ny, 1)
+    ix = jnp.arange(nx, dtype=dtype).reshape(1, 1, nx)
+    return ix, iy, iz
+
+
+# ---------------------------------------------------------------------------
+# gather helpers
+# ---------------------------------------------------------------------------
+
+def _flat_gather(array, iz, iy, ix):
+    """Gather array[[z,y,x(,c)]] at integer index arrays (already clipped)."""
+    nz, ny, nx = array.shape[:3]
+    lin = (iz * ny + iy) * nx + ix
+    if array.ndim == 3:
+        return array.reshape(-1)[lin]
+    return array.reshape(-1, array.shape[-1])[lin]
+
+
+def _expand(w, vec: bool):
+    return w[..., None] if vec else w
+
+
+# ---------------------------------------------------------------------------
+# interpolation at continuous indices
+# ---------------------------------------------------------------------------
+
+def sample_at_continuous_index(
+    array: jnp.ndarray,
+    ux: jnp.ndarray,
+    uy: jnp.ndarray,
+    uz: jnp.ndarray,
+    interp=INTERP_LINEAR,
+    default_value: float = 0.0,
+):
+    """Sample ``array`` [z,y,x(,c)] at continuous (x,y,z) indices.
+
+    ``ux/uy/uz`` share a broadcastable shape S; returns shape S (or S+[c]).
+    Out-of-domain points (outside [-0.5, n-0.5], ITK's IsInsideBuffer bounds)
+    return ``default_value``.
+    """
+    interp = interp_name(interp)
+    nz, ny, nx = array.shape[:3]
+    vec = array.ndim == 4
+    compute_dtype = array.dtype if jnp.issubdtype(array.dtype, jnp.floating) else jnp.float32
+
+    inside = (
+        (ux >= -0.5) & (ux <= nx - 0.5)
+        & (uy >= -0.5) & (uy <= ny - 0.5)
+        & (uz >= -0.5) & (uz <= nz - 0.5)
+    )
+    ux, uy, uz = jnp.broadcast_arrays(ux, uy, uz)
+    inside = jnp.broadcast_to(inside, ux.shape)
+
+    if interp == INTERP_NEAREST:
+        ix = jnp.clip(jnp.round(ux).astype(jnp.int32), 0, nx - 1)
+        iy = jnp.clip(jnp.round(uy).astype(jnp.int32), 0, ny - 1)
+        iz = jnp.clip(jnp.round(uz).astype(jnp.int32), 0, nz - 1)
+        val = _flat_gather(array, iz, iy, ix)
+    elif interp == INTERP_LINEAR:
+        x0 = jnp.floor(ux)
+        y0 = jnp.floor(uy)
+        z0 = jnp.floor(uz)
+        fx = (ux - x0).astype(compute_dtype)
+        fy = (uy - y0).astype(compute_dtype)
+        fz = (uz - z0).astype(compute_dtype)
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, nx - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, ny - 1)
+        z0i = jnp.clip(z0.astype(jnp.int32), 0, nz - 1)
+        x1i = jnp.clip(x0i + 1, 0, nx - 1)
+        y1i = jnp.clip(y0i + 1, 0, ny - 1)
+        z1i = jnp.clip(z0i + 1, 0, nz - 1)
+        arr = array.astype(compute_dtype)
+        c000 = _flat_gather(arr, z0i, y0i, x0i)
+        c001 = _flat_gather(arr, z0i, y0i, x1i)
+        c010 = _flat_gather(arr, z0i, y1i, x0i)
+        c011 = _flat_gather(arr, z0i, y1i, x1i)
+        c100 = _flat_gather(arr, z1i, y0i, x0i)
+        c101 = _flat_gather(arr, z1i, y0i, x1i)
+        c110 = _flat_gather(arr, z1i, y1i, x0i)
+        c111 = _flat_gather(arr, z1i, y1i, x1i)
+        wx = _expand(fx, vec)
+        wy = _expand(fy, vec)
+        wz = _expand(fz, vec)
+        c00 = c000 + (c001 - c000) * wx
+        c01 = c010 + (c011 - c010) * wx
+        c10 = c100 + (c101 - c100) * wx
+        c11 = c110 + (c111 - c110) * wx
+        c0 = c00 + (c01 - c00) * wy
+        c1 = c10 + (c11 - c10) * wy
+        val = c0 + (c1 - c0) * wz
+    elif interp == INTERP_BSPLINE:
+        # Cubic B-spline on prefiltered coefficients. Caller is expected to
+        # pass coefficients (see spline_coefficients); sampling raw intensities
+        # gives a smoothing (approximating) spline instead of interpolation.
+        arr = array.astype(compute_dtype)
+        x0 = jnp.floor(ux)
+        y0 = jnp.floor(uy)
+        z0 = jnp.floor(uz)
+        tx = (ux - x0).astype(compute_dtype)
+        ty = (uy - y0).astype(compute_dtype)
+        tz = (uz - z0).astype(compute_dtype)
+        wx = _cubic_bspline_weights(tx)  # [...,4]
+        wy = _cubic_bspline_weights(ty)
+        wz = _cubic_bspline_weights(tz)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        z0i = z0.astype(jnp.int32)
+        val = None
+        for dz in range(4):
+            iz = jnp.clip(z0i + dz - 1, 0, nz - 1)
+            plane = None
+            for dy in range(4):
+                iy = jnp.clip(y0i + dy - 1, 0, ny - 1)
+                row = None
+                for dx in range(4):
+                    ix = jnp.clip(x0i + dx - 1, 0, nx - 1)
+                    g = _flat_gather(arr, iz, iy, ix) * _expand(wx[..., dx], vec)
+                    row = g if row is None else row + g
+                row = row * _expand(wy[..., dy], vec)
+                plane = row if plane is None else plane + row
+            plane = plane * _expand(wz[..., dz], vec)
+            val = plane if val is None else val + plane
+    else:  # pragma: no cover
+        raise ValueError(interp)
+
+    default = jnp.asarray(default_value, dtype=val.dtype)
+    mask = _expand(inside, vec)
+    out = jnp.where(mask, val, default)
+    return out
+
+
+def _cubic_bspline_weights(t):
+    t2 = t * t
+    t3 = t2 * t
+    w0 = (1 - 3 * t + 3 * t2 - t3) / 6.0
+    w1 = (4 - 6 * t2 + 3 * t3) / 6.0
+    w2 = (1 + 3 * t + 3 * t2 - 3 * t3) / 6.0
+    w3 = t3 / 6.0
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# B-spline prefilter (interpolating-spline coefficients)
+# ---------------------------------------------------------------------------
+
+_SPLINE_POLE = -0.26794919243112270647  # sqrt(3) - 2, the cubic B-spline pole
+
+
+def _spline_filter_1d(x, axis):
+    """Causal/anti-causal recursive prefilter along ``axis`` (Unser 1993)."""
+    z = _SPLINE_POLE
+    n = x.shape[axis]
+    if n < 2:
+        return x
+    x = jnp.moveaxis(x, axis, 0)
+    lam = (1 - z) * (1 - 1 / z)
+    x = x * lam
+
+    # causal init (mirror boundary), truncated sum
+    k = min(n, max(12, int(np.ceil(np.log(1e-10) / np.log(abs(z))))))
+    powers = z ** jnp.arange(k, dtype=x.dtype)
+    shape = (k,) + (1,) * (x.ndim - 1)
+    c0 = jnp.sum(x[:k] * powers.reshape(shape), axis=0)
+
+    def causal(carry, xi):
+        c = xi + z * carry
+        return c, c
+
+    _, cplus = jax.lax.scan(causal, c0, x[1:])
+    cplus = jnp.concatenate([c0[None], cplus], axis=0)
+
+    # anti-causal init (mirror boundary)
+    cn = (z / (z * z - 1)) * (z * cplus[-2] + cplus[-1])
+
+    def anticausal(carry, ci):
+        c = z * (carry - ci)
+        return c, c
+
+    _, cminus = jax.lax.scan(anticausal, cn, cplus[:-1][::-1])
+    out = jnp.concatenate([cminus[::-1], cn[None]], axis=0)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def spline_coefficients(array: jnp.ndarray) -> jnp.ndarray:
+    """Cubic-spline interpolation coefficients for [z,y,x(,c)] data."""
+    arr = array.astype(jnp.float32)
+    for axis in range(3):
+        arr = _spline_filter_1d(arr, axis)
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# physical-space sampling
+# ---------------------------------------------------------------------------
+
+def sample_image(
+    array: jnp.ndarray,
+    points: jnp.ndarray,
+    origin=(0.0, 0.0, 0.0),
+    spacing=(1.0, 1.0, 1.0),
+    direction=(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+    interp=INTERP_LINEAR,
+    default_value: float = 0.0,
+):
+    """Sample an image array at physical (x,y,z) ``points`` [...,3]."""
+    u = physical_to_continuous_index(points, origin, spacing, direction)
+    return sample_at_continuous_index(
+        array, u[..., 0], u[..., 1], u[..., 2], interp=interp, default_value=default_value
+    )

@@ -1,0 +1,205 @@
+"""Binary morphology on device.
+
+TPU-native replacements for ITK's ``BinaryDilate`` / ``BinaryErode`` /
+``BinaryMorphologicalClosing`` / ``BinaryFillhole`` (reference call sites:
+generation/dvf.py:269-287, utils/valve.py:61,120, label/fusion.py:311).
+
+Ball (ellipsoid) structuring elements are realised through the bounded
+Euclidean distance transform: ``dilate(m, r) = EDT(m) <= r`` — exact for any
+radius, one fused kernel per axis, no iterated neighbourhood loops.  Erosion
+follows by duality with ITK's boundary-to-foreground convention.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core.distance import squared_edt
+from platipy_tpu.core.image import Image
+
+__all__ = [
+    "binary_dilate",
+    "binary_erode",
+    "binary_closing",
+    "binary_opening",
+    "binary_fill_holes",
+    "label_contour",
+]
+
+
+def _radius3(radius) -> np.ndarray:
+    r = np.asarray(radius, dtype=np.float64).reshape(-1)
+    if r.size == 1:
+        r = np.repeat(r, 3)
+    if r.size != 3:
+        raise ValueError("radius must be scalar or length-3 (x,y,z)")
+    return r
+
+
+def _unwrap(m):
+    if isinstance(m, Image):
+        return m.array > 0, m
+    return jnp.asarray(m) > 0, None
+
+
+def _rewrap(arr, img: Optional[Image], dtype=jnp.uint8):
+    arr = arr.astype(dtype)
+    return img.with_array(arr) if img is not None else arr
+
+
+def binary_dilate(mask, radius=(1, 1, 1), kernel: str = "ball"):
+    """Dilate by an ellipsoid (or box) of per-axis voxel radii (x,y,z order).
+
+    Matches ``sitk.BinaryDilate(mask, radius)`` with the default ball SE:
+    a voxel joins the mask if the ellipsoid inequality
+    sum((d_i / r_i)^2) <= 1 holds for some mask voxel at offset d.
+    """
+    m, img = _unwrap(mask)
+    r = _radius3(radius)
+    if np.all(r <= 0):
+        return _rewrap(m, img)
+    if kernel == "box":
+        out = m
+        for axis, rad in zip((2, 1, 0), r):  # x, y, z
+            out = _axis_max(out, axis, int(rad))
+        return _rewrap(out, img)
+    # ellipsoid via scaled EDT: spacing 1/r per axis, threshold at 1
+    inv = np.where(r > 0, 1.0 / np.maximum(r, 1e-9), 1e9)
+    d2 = squared_edt(m, spacing_xyz=inv, max_distance_vox=int(np.max(r)) + 1)
+    out = d2 <= 1.0 + 1e-6
+    return _rewrap(out, img)
+
+
+def binary_erode(mask, radius=(1, 1, 1), kernel: str = "ball"):
+    """Erode: dual of dilation (image border counts as foreground, ITK default)."""
+    m, img = _unwrap(mask)
+    r = _radius3(radius)
+    if np.all(r <= 0):
+        return _rewrap(m, img)
+    if kernel == "box":
+        out = m
+        for axis, rad in zip((2, 1, 0), r):
+            out = ~_axis_max(~out, axis, int(rad))
+        return _rewrap(out, img)
+    inv = np.where(r > 0, 1.0 / np.maximum(r, 1e-9), 1e9)
+    d2 = squared_edt(~m, spacing_xyz=inv, max_distance_vox=int(np.max(r)) + 1)
+    out = ~(d2 <= 1.0 + 1e-6)
+    return _rewrap(out, img)
+
+
+def binary_closing(mask, radius=(1, 1, 1), kernel: str = "ball"):
+    """``sitk.BinaryMorphologicalClosing`` (safe border) analogue."""
+    m, img = _unwrap(mask)
+    r = _radius3(radius)
+    pad = [(int(x) + 1,) * 2 for x in (r[2], r[1], r[0])]
+    mp = jnp.pad(m, pad)
+    closed = binary_erode(binary_dilate(mp, r, kernel) > 0, r, kernel) > 0
+    out = closed[
+        pad[0][0] : closed.shape[0] - pad[0][1],
+        pad[1][0] : closed.shape[1] - pad[1][1],
+        pad[2][0] : closed.shape[2] - pad[2][1],
+    ]
+    return _rewrap(out, img)
+
+
+def binary_opening(mask, radius=(1, 1, 1), kernel: str = "ball"):
+    m, img = _unwrap(mask)
+    r = _radius3(radius)
+    opened = binary_dilate(binary_erode(m, r, kernel) > 0, r, kernel) > 0
+    return _rewrap(opened, img)
+
+
+def _axis_max(m: jnp.ndarray, axis: int, radius: int) -> jnp.ndarray:
+    if radius <= 0:
+        return m
+    pad = [(0, 0)] * m.ndim
+    pad[axis] = (radius, radius)
+    padded = jnp.pad(m, pad, constant_values=False)
+    out = jnp.zeros_like(m)
+    n = m.shape[axis]
+    for d in range(2 * radius + 1):
+        out = out | jax.lax.dynamic_slice_in_dim(padded, d, n, axis)
+    return out
+
+
+def _neighbor_or(m: jnp.ndarray, connectivity: int = 6) -> jnp.ndarray:
+    """OR of each voxel's neighbourhood (one propagation step)."""
+    padded = jnp.pad(m, 1, constant_values=False)
+    shape = m.shape
+    out = m
+    if connectivity == 6:
+        offsets = [
+            (0, 1, 1), (2, 1, 1), (1, 0, 1), (1, 2, 1), (1, 1, 0), (1, 1, 2),
+        ]
+    else:
+        offsets = [
+            (dz, dy, dx)
+            for dz in range(3)
+            for dy in range(3)
+            for dx in range(3)
+            if not (dz == 1 and dy == 1 and dx == 1)
+        ]
+    for off in offsets:
+        out = out | jax.lax.dynamic_slice(padded, off, shape)
+    return out
+
+
+def binary_fill_holes(mask, fully_connected_background: bool = False):
+    """``sitk.BinaryFillhole`` analogue: fill background regions not connected
+    to the image border (flood fill from the border, on device)."""
+    m, img = _unwrap(mask)
+    bg = ~m
+    # seed: border background voxels
+    seed = jnp.zeros_like(bg)
+    seed = seed.at[0, :, :].set(bg[0, :, :])
+    seed = seed.at[-1, :, :].set(bg[-1, :, :])
+    seed = seed.at[:, 0, :].set(bg[:, 0, :])
+    seed = seed.at[:, -1, :].set(bg[:, -1, :])
+    seed = seed.at[:, :, 0].set(bg[:, :, 0])
+    seed = seed.at[:, :, -1].set(bg[:, :, -1])
+    connectivity = 26 if fully_connected_background else 6
+
+    def cond(state):
+        reach, changed = state
+        return changed
+
+    def body(state):
+        reach, _ = state
+        new = _neighbor_or(reach, connectivity) & bg
+        return new, jnp.any(new != reach)
+
+    reach, _ = jax.lax.while_loop(cond, body, (seed, jnp.array(True)))
+    out = m | ~reach  # holes = unreachable background
+    return _rewrap(out, img)
+
+
+def label_contour(mask, fully_connected: bool = False):
+    """``sitk.LabelContour`` / ``BinaryContour`` analogue: inner boundary voxels.
+
+    fully_connected=False (ITK default): a foreground voxel is boundary if any
+    *face* neighbour is background; True: any of the 26 neighbours.
+    """
+    m, img = _unwrap(mask)
+    # pad with replicate so edge-touching foreground is not marked as boundary
+    # (matches ITK's zero-flux Neumann default)
+    padded = jnp.pad(m, 1, mode="edge")
+    shape = m.shape
+    interior = m
+    if fully_connected:
+        offsets = [
+            (dz, dy, dx)
+            for dz in range(3)
+            for dy in range(3)
+            for dx in range(3)
+            if not (dz == 1 and dy == 1 and dx == 1)
+        ]
+    else:
+        offsets = [(0, 1, 1), (2, 1, 1), (1, 0, 1), (1, 2, 1), (1, 1, 0), (1, 1, 2)]
+    for off in offsets:
+        interior = interior & jax.lax.dynamic_slice(padded, off, shape)
+    out = m & ~interior
+    return _rewrap(out, img)

@@ -1,0 +1,186 @@
+"""Resampling — ITK ``ResampleImageFilter`` semantics on device.
+
+``resample(input_image, reference, transform, ...)`` produces an image on the
+reference grid where ``out[i] = input( T( P_ref(i) ) )`` — i.e. the transform
+maps reference (fixed) physical points into input (moving) physical space,
+exactly the convention of ``sitk.Resample`` as used throughout the reference
+(/root/reference/platipy/imaging/registration/utils.py:148-192).
+
+Fast paths:
+* linear transforms fold (ref index -> phys -> T -> phys -> input index) into a
+  single affine, evaluated via broadcasted 1-D iotas (no [N,3] point tensor);
+* ``warp_image`` takes a dense DVF defined *on the reference grid* (the demons
+  inner-loop case) and skips the field interpolation entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core import interp as _interp
+from platipy_tpu.core.image import Image, index_to_physical_matrix, physical_to_index_matrix
+from platipy_tpu.core.transform import (
+    CompositeTransform,
+    DisplacementFieldTransform,
+    Transform,
+    TranslationTransform,
+)
+
+__all__ = ["resample", "warp_image", "identity_dvf", "transform_to_displacement_field"]
+
+
+def _linear_hmatrix_jnp(transform: Transform) -> jnp.ndarray:
+    """Differentiable 4x4 homogeneous matrix for a linear transform."""
+    if isinstance(transform, CompositeTransform):
+        m = jnp.eye(4)
+        for t in reversed(transform.transforms):
+            m = _linear_hmatrix_jnp(t) @ m
+        return m
+    if isinstance(transform, TranslationTransform):
+        m = jnp.eye(4)
+        return m.at[:3, 3].set(transform.translation)
+    if hasattr(transform, "hmatrix"):
+        return jnp.asarray(transform.hmatrix)
+    a = transform.matrix()
+    c = jnp.asarray(transform.center)
+    t = jnp.asarray(transform.translation)
+    m = jnp.eye(4, dtype=a.dtype)
+    m = m.at[:3, :3].set(a)
+    m = m.at[:3, 3].set(c + t - a @ c)
+    return m
+
+
+def _ref_grid(reference) -> tuple:
+    if isinstance(reference, Image):
+        return reference.spatial_shape, reference.origin, reference.spacing, reference.direction
+    raise TypeError("reference must be an Image")
+
+
+def resample(
+    input_image: Image,
+    reference: Optional[Image] = None,
+    transform: Optional[Transform] = None,
+    interp=_interp.INTERP_LINEAR,
+    default_value: float = 0.0,
+    output_dtype=None,
+) -> Image:
+    """Resample ``input_image`` onto ``reference``'s grid through ``transform``."""
+    if reference is None:
+        reference = input_image
+    if transform is None:
+        transform = TranslationTransform(jnp.zeros(3))
+    shape_zyx, r_origin, r_spacing, r_direction = _ref_grid(reference)
+    array = input_image.array
+    in_dtype = array.dtype
+    interp_code = _interp.interp_name(interp)
+    if interp_code == _interp.INTERP_BSPLINE:
+        array = _interp.spline_coefficients(array)
+
+    nz, ny, nx = shape_zyx
+    ref_i2p = index_to_physical_matrix(r_origin, r_spacing, r_direction)
+    mov_p2i = physical_to_index_matrix(
+        input_image.origin, input_image.spacing, input_image.direction
+    )
+
+    if transform.is_linear():
+        # Fold everything into one index->index affine (traced, differentiable).
+        t_h = _linear_hmatrix_jnp(transform).astype(jnp.float32)
+        total = jnp.asarray(mov_p2i, jnp.float32) @ t_h @ jnp.asarray(ref_i2p, jnp.float32)
+        a, b = total[:3, :3], total[:3, 3]
+        ix, iy, iz = _interp.grid_continuous_indices(shape_zyx)
+        ux = a[0, 0] * ix + a[0, 1] * iy + a[0, 2] * iz + b[0]
+        uy = a[1, 0] * ix + a[1, 1] * iy + a[1, 2] * iz + b[1]
+        uz = a[2, 0] * ix + a[2, 1] * iy + a[2, 2] * iz + b[2]
+        out = _interp.sample_at_continuous_index(
+            array, ux, uy, uz, interp=interp_code, default_value=default_value
+        )
+    else:
+        points = _grid_physical_points(shape_zyx, ref_i2p)
+        moved = transform.apply(points.reshape(-1, 3)).reshape(points.shape)
+        a = jnp.asarray(mov_p2i[:3, :3], jnp.float32)
+        b = jnp.asarray(mov_p2i[:3, 3], jnp.float32)
+        u = moved @ a.T + b
+        out = _interp.sample_at_continuous_index(
+            array, u[..., 0], u[..., 1], u[..., 2], interp=interp_code,
+            default_value=default_value,
+        )
+
+    if output_dtype is None:
+        output_dtype = in_dtype
+    if not jnp.issubdtype(output_dtype, jnp.floating):
+        # integer outputs round like ITK's output cast for NN/linear paths
+        out = jnp.rint(out)
+    out = out.astype(output_dtype)
+    return Image(out, r_origin, r_spacing, r_direction)
+
+
+def _grid_physical_points(shape_zyx, i2p) -> jnp.ndarray:
+    nz, ny, nx = shape_zyx
+    ix, iy, iz = _interp.grid_continuous_indices(shape_zyx)
+    m = jnp.asarray(i2p, dtype=jnp.float32)
+    px = m[0, 0] * ix + m[0, 1] * iy + m[0, 2] * iz + m[0, 3]
+    py = m[1, 0] * ix + m[1, 1] * iy + m[1, 2] * iz + m[1, 3]
+    pz = m[2, 0] * ix + m[2, 1] * iy + m[2, 2] * iz + m[2, 3]
+    px, py, pz = jnp.broadcast_arrays(px, py, pz)
+    return jnp.stack([px, py, pz], axis=-1)
+
+
+def warp_image(
+    moving: Image,
+    dvf: Image,
+    reference: Optional[Image] = None,
+    interp=_interp.INTERP_LINEAR,
+    default_value: float = 0.0,
+) -> Image:
+    """Warp ``moving`` by a dense displacement field.
+
+    The DVF ([z,y,x,3], physical mm, (x,y,z) components) is defined on
+    ``reference``'s grid (defaults to the DVF's own grid).  Equivalent to
+    ``sitk.Resample(moving, ref, DisplacementFieldTransform(dvf))`` but without
+    re-interpolating the field.
+    """
+    if reference is None:
+        reference = dvf
+    shape_zyx = reference.spatial_shape
+    ref_i2p = index_to_physical_matrix(reference.origin, reference.spacing, reference.direction)
+    mov_p2i = physical_to_index_matrix(moving.origin, moving.spacing, moving.direction)
+    points = _grid_physical_points(shape_zyx, ref_i2p) + dvf.array
+    a = jnp.asarray(mov_p2i[:3, :3], jnp.float32)
+    b = jnp.asarray(mov_p2i[:3, 3], jnp.float32)
+    u = points @ a.T + b
+    array = moving.array
+    interp_code = _interp.interp_name(interp)
+    if interp_code == _interp.INTERP_BSPLINE:
+        array = _interp.spline_coefficients(array)
+    out = _interp.sample_at_continuous_index(
+        array, u[..., 0], u[..., 1], u[..., 2], interp=interp_code, default_value=default_value
+    )
+    out = out.astype(moving.array.dtype if jnp.issubdtype(moving.array.dtype, jnp.floating) else jnp.float32)
+    return Image(out, reference.origin, reference.spacing, reference.direction)
+
+
+def identity_dvf(reference: Image, dtype=jnp.float32) -> Image:
+    """Zero displacement field on the reference grid ([z,y,x,3])."""
+    nz, ny, nx = reference.spatial_shape
+    return Image(
+        jnp.zeros((nz, ny, nx, 3), dtype=dtype),
+        reference.origin,
+        reference.spacing,
+        reference.direction,
+    )
+
+
+def transform_to_displacement_field(transform: Transform, reference: Image) -> Image:
+    """Dense DVF of ``transform`` on the reference grid.
+
+    Mirrors ``sitk.TransformToDisplacementField`` (used at
+    reference deformable.py:100-106): field[i] = T(P(i)) - P(i).
+    """
+    ref_i2p = index_to_physical_matrix(reference.origin, reference.spacing, reference.direction)
+    points = _grid_physical_points(reference.spatial_shape, ref_i2p)
+    moved = transform.apply(points.reshape(-1, 3)).reshape(points.shape)
+    return Image(moved - points, reference.origin, reference.spacing, reference.direction)

@@ -1,0 +1,226 @@
+"""Registration utilities — drop-in API mirror of
+platipy/imaging/registration/utils.py (reference lines 22-344).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core import filters as _filters
+from platipy_tpu.core.distance import signed_maurer_distance_map
+from platipy_tpu.core.image import Image
+from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST, interp_name
+from platipy_tpu.core.morphology import binary_dilate
+from platipy_tpu.core.resample import resample
+from platipy_tpu.core.transform import Transform
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "apply_transform",
+    "apply_linear_transform",
+    "apply_deformable_transform",
+    "smooth_and_resample",
+    "convert_mask_to_distance_map",
+    "convert_mask_to_reg_structure",
+    "control_point_spacing_distance_to_number",
+    "registration_command_iteration",
+    "deformable_registration_command_iteration",
+]
+
+
+def registration_command_iteration(iteration: int, metric_value: float):
+    """Per-iteration metric print (reference utils.py:22-27)."""
+    print("{0:3} = {1:10.5f}".format(iteration, metric_value))
+
+
+def deformable_registration_command_iteration(iteration: int, metric_value: float):
+    print("{0:3} = {1:10.5f}".format(iteration, metric_value))
+
+
+def control_point_spacing_distance_to_number(image: Image, grid_spacing):
+    """Convert control-point grid spacing (mm) to mesh size (reference utils.py:44-51)."""
+    image_spacing = np.array(image.spacing)
+    image_size = np.array(image.size)
+    number_points = image_size * image_spacing / np.array(grid_spacing)
+    return (number_points + 0.5).astype(int)
+
+
+def apply_linear_transform(
+    input_image: Image,
+    reference_image: Image,
+    transform: Transform,
+    is_structure: bool = False,
+    default_value=0,
+    interpolator=INTERP_NEAREST,
+) -> Image:
+    if is_structure:
+        default_value = 0
+        interpolator = INTERP_NEAREST
+    return apply_transform(
+        input_image=input_image,
+        reference_image=reference_image,
+        transform=transform,
+        default_value=default_value,
+        interpolator=interpolator,
+    )
+
+
+def apply_deformable_transform(
+    input_image: Image,
+    transform: Transform,
+    is_structure: bool = False,
+    default_value=0,
+    interpolator=INTERP_NEAREST,
+) -> Image:
+    if is_structure:
+        default_value = 0
+        interpolator = INTERP_NEAREST
+    return apply_transform(
+        input_image=input_image,
+        reference_image=None,
+        transform=transform,
+        default_value=default_value,
+        interpolator=interpolator,
+    )
+
+
+def apply_transform(
+    input_image: Image,
+    reference_image: Optional[Image] = None,
+    transform: Optional[Transform] = None,
+    default_value=0,
+    interpolator=INTERP_NEAREST,
+) -> Image:
+    """Resample into the reference space through a transform, preserving the
+    input dtype (reference utils.py:148-192)."""
+    return resample(
+        input_image,
+        reference=reference_image if reference_image is not None else input_image,
+        transform=transform,
+        interp=interpolator,
+        default_value=default_value,
+        output_dtype=input_image.array.dtype,
+    )
+
+
+def smooth_and_resample(
+    image: Image,
+    isotropic_voxel_size_mm=None,
+    shrink_factor=None,
+    smoothing_sigma=None,
+    interpolator=INTERP_LINEAR,
+) -> Image:
+    """Gaussian smooth + grid resample, exact reference semantics
+    (utils.py:195-267): variance-specified DiscreteGaussian with the reference's
+    kernel-width cap, new size ``int(sz/sf + 0.5)``, new spacing
+    ``(n_o - 1) * s_o / (n_n - 1)``, same origin/direction.
+    """
+    if smoothing_sigma:
+        if hasattr(smoothing_sigma, "__iter__"):
+            smoothing_variance = [i * i for i in smoothing_sigma]
+        else:
+            smoothing_variance = (smoothing_sigma**2,) * 3
+
+        maximum_kernel_width = int(
+            max([8 * j * i for i, j in zip(image.spacing, smoothing_variance)])
+        )
+        image = _filters.discrete_gaussian(
+            image, smoothing_variance, maximum_kernel_width=max(maximum_kernel_width, 2)
+        )
+
+    original_spacing = image.spacing
+    original_size = image.size
+
+    if shrink_factor and isotropic_voxel_size_mm:
+        raise AttributeError(
+            "Function must be called with either isotropic_voxel_size_mm or "
+            "shrink_factor, not both."
+        )
+    elif isotropic_voxel_size_mm:
+        scale_factor = (
+            isotropic_voxel_size_mm * np.ones(3) / np.array(image.spacing)
+        )
+        new_size = [int(sz / float(sf) + 0.5) for sz, sf in zip(original_size, scale_factor)]
+    elif shrink_factor:
+        if isinstance(shrink_factor, (list, tuple)):
+            new_size = [int(sz / float(sf) + 0.5) for sz, sf in zip(original_size, shrink_factor)]
+        else:
+            new_size = [int(sz / float(shrink_factor) + 0.5) for sz in original_size]
+    else:
+        return image
+
+    new_spacing = [
+        ((size_o_i - 1) * spacing_o_i) / (size_n_i - 1)
+        for size_o_i, spacing_o_i, size_n_i in zip(original_size, original_spacing, new_size)
+    ]
+
+    nx, ny, nz = new_size
+    reference = Image(
+        jnp.zeros((nz, ny, nx), dtype=image.array.dtype),
+        image.origin,
+        tuple(new_spacing),
+        image.direction,
+    )
+    return resample(
+        image,
+        reference=reference,
+        transform=None,
+        interp=interpolator,
+        default_value=0.0,
+        output_dtype=image.array.dtype,
+    )
+
+
+def convert_mask_to_distance_map(
+    mask: Image, squared_distance: bool = False, normalise: bool = False
+) -> Image:
+    """Signed distance map, inside positive (reference utils.py:270-299)."""
+    arr = np.asarray(mask.array)
+    vals = np.unique(arr[arr > 0])
+    if len(vals) > 2:
+        cutoff = np.median(vals)
+        mask = mask.with_array(
+            ((mask.array >= cutoff) & (mask.array <= float(vals.max()))).astype(jnp.uint8)
+        )
+
+    raw_map = signed_maurer_distance_map(
+        mask,
+        inside_is_positive=True,
+        squared_distance=squared_distance,
+        use_image_spacing=True,
+    )
+
+    if normalise:
+        return raw_map.with_array(raw_map.array / float(np.asarray(raw_map.array).max()))
+    return raw_map
+
+
+def convert_mask_to_reg_structure(mask: Image, expansion=(0, 0, 0), scale=lambda x: x) -> Image:
+    """Normalised interior distance map for structure-guided DIR
+    (reference utils.py:302-344)."""
+    arr = np.asarray(mask.array)
+    vals = np.unique(arr[arr > 0])
+    if len(vals) > 2:
+        cutoff = np.median(vals)
+        mask = mask.with_array(
+            ((mask.array >= cutoff) & (mask.array <= float(vals.max()))).astype(jnp.uint8)
+        )
+
+    if not hasattr(expansion, "__iter__"):
+        expansion = [int(expansion / i) for i in mask.spacing]
+    if any(expansion):
+        mask = binary_dilate(mask, radius=expansion)
+
+    distance_map = convert_mask_to_distance_map(mask, squared_distance=False)
+    masked = jnp.where(mask.array > 0, distance_map.array, 0.0)
+    max_val = float(np.asarray(masked).max())
+    if max_val <= 0:
+        max_val = 1.0
+    scaled = masked / max_val
+    out = mask.with_array(scaled.astype(jnp.float32))
+    return scale(out)
