@@ -1,0 +1,333 @@
+"""Deformable registration: fast symmetric-forces demons + multiscale driver.
+
+TPU-native rebuild of the reference's compute core
+(/root/reference/platipy/imaging/registration/deformable.py:31-306).  The ITK
+filter iterated a C++ voxel sweep per demons iteration; here each pyramid level
+is ONE jit-compiled XLA program: a ``fori_loop`` whose body fuses
+
+    warp(moving, field) -> symmetric ESM force -> update-field Gaussian ->
+    additive field update -> displacement-field Gaussian
+
+entirely on device (HBM-bandwidth bound: ~1 warp gather + 2 separable smooths
+per iteration).  The per-level program is shape-static, so it vmaps across an
+atlas axis and shard_maps across an ICI mesh unchanged — that is the "DP" of
+the multi-atlas pipeline.
+
+Semantics matched to the reference:
+
+* additive update rule (FastSymmetricForces filter), symmetric gradient force
+  ``u = (f-m)(∇f+∇m)/2 / (‖(∇f+∇m)/2‖² + (f-m)²/K)``, K normalised so the
+  per-iteration step is capped at ``max_step_vox`` voxels (ITK default 0.5);
+* smooth-update-field (σ=1 vox) and smooth-displacement-field
+  (``regularisation_kernel_mm`` / full-res spacing, in voxels) both on, as set
+  at reference deformable.py:244-257;
+* the multiscale driver reproduces deformable.py:130-159 exactly: resample
+  running DVF to the level grid, pre-warp moving, run demons from a ZERO level
+  field, compose ``dvf_total += Resample(dvf_iter, tfm_total)``, then smooth
+  the total with the (numerically voxel-valued) sigmas — including the
+  reference's quirk of feeding voxel-unit sigmas to a physical-unit smoother.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core import filters as _filters
+from platipy_tpu.core.image import Image
+from platipy_tpu.core.interp import INTERP_LINEAR, interp_name
+from platipy_tpu.core.resample import (
+    identity_dvf,
+    resample,
+    transform_to_displacement_field,
+    warp_image,
+)
+from platipy_tpu.core.transform import DisplacementFieldTransform, Transform
+from platipy_tpu.registration.utils import smooth_and_resample
+
+__all__ = [
+    "demons_level",
+    "multiscale_demons",
+    "fast_symmetric_forces_demons_registration",
+]
+
+
+# ---------------------------------------------------------------------------
+# single-level demons (one XLA program)
+# ---------------------------------------------------------------------------
+
+def _vector_smooth(field: jnp.ndarray, kernels_zyx) -> jnp.ndarray:
+    """Smooth each (x,y,z) component of a [z,y,x,3] field separably."""
+    return _filters.convolve_separable(field, kernels_zyx)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations",
+        "spacing",
+        "std_kernels_key",
+        "update_kernels_key",
+        "max_step_vox",
+    ),
+)
+def _demons_level_impl(
+    fixed: jnp.ndarray,
+    moving: jnp.ndarray,
+    init_field: jnp.ndarray,
+    *,
+    iterations: int,
+    spacing: Tuple[float, float, float],
+    std_kernels_key: Tuple[Tuple[float, ...], ...],
+    update_kernels_key: Tuple[Tuple[float, ...], ...],
+    max_step_vox: float,
+):
+    spacing_arr = np.asarray(spacing, dtype=np.float64)
+    # ITK ESM normaliser: bound of s*J/(|J|^2 + s^2/K) is sqrt(K)/2, so
+    # K = 4 (max_step_vox * mean_spacing)^2 caps each update at max_step_vox
+    # voxels (ITK MaximumUpdateStepLength default 0.5)
+    k_norm = 4.0 * (max_step_vox**2) * float(np.mean(spacing_arr**2))
+
+    std_kernels = [np.asarray(k) for k in std_kernels_key]
+    update_kernels = [np.asarray(k) for k in update_kernels_key]
+
+    grad_f = _filters.gradient(fixed, spacing)
+
+    nz, ny, nx = fixed.shape
+    # precompute index grids once; warp is index-space here (field in mm,
+    # converted with spacing — identity direction within a level, which is how
+    # the reference's demons filter also operates)
+    sx, sy, sz = (float(s) for s in spacing)
+
+    def warp_by_field(vol, field):
+        ux = (
+            jax.lax.broadcasted_iota(jnp.float32, (nz, ny, nx), 2)
+            + field[..., 0] / sx
+        )
+        uy = (
+            jax.lax.broadcasted_iota(jnp.float32, (nz, ny, nx), 1)
+            + field[..., 1] / sy
+        )
+        uz = (
+            jax.lax.broadcasted_iota(jnp.float32, (nz, ny, nx), 0)
+            + field[..., 2] / sz
+        )
+        from platipy_tpu.core.interp import sample_at_continuous_index
+
+        return sample_at_continuous_index(vol, ux, uy, uz, interp=INTERP_LINEAR,
+                                          default_value=0.0)
+
+    def body(_, field):
+        m_w = warp_by_field(moving, field)
+        grad_m = _filters.gradient(m_w, spacing)
+        diff = fixed - m_w
+        j = 0.5 * (grad_f + grad_m)
+        j_sq = jnp.sum(j * j, axis=-1)
+        denom = j_sq + (diff * diff) / k_norm
+        # ITK ESM thresholds: zero the update where the intensity difference
+        # is below 1e-3 (kills interpolation-noise amplification in flat
+        # regions) or the denominator is degenerate
+        valid = (jnp.abs(diff) > 1e-3) & (denom > 1e-9)
+        scale = jnp.where(valid, diff / jnp.maximum(denom, 1e-9), 0.0)
+        update = j * scale[..., None]
+        update = _vector_smooth(update, update_kernels)
+        field = field + update
+        field = _vector_smooth(field, std_kernels)
+        return field
+
+    return jax.lax.fori_loop(0, iterations, body, init_field)
+
+
+def demons_level(
+    fixed: Image,
+    moving: Image,
+    init_field: Optional[Image] = None,
+    iterations: int = 10,
+    std_devs_vox=(1.0, 1.0, 1.0),
+    update_std_vox=(1.0, 1.0, 1.0),
+    max_step_vox: float = 0.5,
+    smooth_displacement_field: bool = True,
+    smooth_update_field: bool = True,
+) -> Image:
+    """Run demons at one resolution level; returns the incremental DVF (mm)."""
+    if init_field is None:
+        init_field = identity_dvf(fixed)
+
+    def kernels(sigmas_vox, enabled):
+        if not enabled:
+            return ((1.0,),) * 3
+        s = np.asarray(sigmas_vox, dtype=np.float64).reshape(-1)
+        if s.size == 1:
+            s = np.repeat(s, 3)
+        # sigmas are (x,y,z); array axes are (z,y,x)
+        ks = [
+            _filters.discrete_gaussian_kernel1d(s[2] ** 2, 0.1, 30),
+            _filters.discrete_gaussian_kernel1d(s[1] ** 2, 0.1, 30),
+            _filters.discrete_gaussian_kernel1d(s[0] ** 2, 0.1, 30),
+        ]
+        return tuple(tuple(float(v) for v in k) for k in ks)
+
+    out = _demons_level_impl(
+        fixed.array.astype(jnp.float32),
+        moving.array.astype(jnp.float32),
+        init_field.array.astype(jnp.float32),
+        iterations=int(iterations),
+        spacing=tuple(float(s) for s in fixed.spacing),
+        std_kernels_key=kernels(std_devs_vox, smooth_displacement_field),
+        update_kernels_key=kernels(update_std_vox, smooth_update_field),
+        max_step_vox=float(max_step_vox),
+    )
+    return fixed.with_array(out)
+
+
+# ---------------------------------------------------------------------------
+# multiscale driver (reference deformable.py:31-187 semantics)
+# ---------------------------------------------------------------------------
+
+def multiscale_demons(
+    fixed_image: Image,
+    moving_image: Image,
+    initial_transform: Optional[Transform] = None,
+    initial_displacement_field: Optional[Image] = None,
+    isotropic_resample: Optional[bool] = None,
+    resolution_staging: Sequence[float] = (8, 4, 1),
+    smoothing_sigmas: Sequence[float] = (8, 4, 1),
+    iteration_staging: Sequence[int] = (10, 10, 10),
+    interp_order=INTERP_LINEAR,
+    regularisation_kernel_vox=(1.5, 1.5, 1.5),
+    update_std_vox=(1.0, 1.0, 1.0),
+    max_step_vox: float = 0.5,
+    verbose: bool = False,
+) -> Image:
+    """Multi-resolution demons; returns the total DVF on the fixed grid."""
+    fixed_images: List[Image] = []
+    moving_images: List[Image] = []
+
+    for resolution, smoothing_sigma in zip(resolution_staging, smoothing_sigmas):
+        iso_mm, shrink = (resolution, None) if isotropic_resample else (None, resolution)
+        fixed_images.append(
+            smooth_and_resample(
+                fixed_image, isotropic_voxel_size_mm=iso_mm, shrink_factor=shrink,
+                smoothing_sigma=smoothing_sigma, interpolator=interp_order,
+            )
+        )
+        moving_images.append(
+            smooth_and_resample(
+                moving_image, isotropic_voxel_size_mm=iso_mm, shrink_factor=shrink,
+                smoothing_sigma=smoothing_sigma, interpolator=interp_order,
+            )
+        )
+
+    if initial_displacement_field is None:
+        if initial_transform is not None:
+            dvf_total = transform_to_displacement_field(initial_transform, fixed_image)
+        else:
+            dvf_total = identity_dvf(fixed_image)
+    else:
+        dvf_total = resample(initial_displacement_field, fixed_image, None,
+                             interp=INTERP_LINEAR, default_value=0.0)
+
+    for i, (f_image, m_image) in enumerate(zip(fixed_images, moving_images)):
+        # resample total field to the level grid
+        dvf_total = resample(dvf_total, f_image, None, interp=INTERP_LINEAR,
+                             default_value=0.0)
+        # pre-warp the moving image through the running transform
+        m_warped = warp_image(m_image, dvf_total, reference=f_image,
+                              interp=interp_order, default_value=0.0)
+
+        dvf_iter = demons_level(
+            f_image,
+            m_warped,
+            iterations=int(iteration_staging[i]),
+            std_devs_vox=regularisation_kernel_vox,
+            update_std_vox=update_std_vox,
+            max_step_vox=max_step_vox,
+        )
+
+        # compose: dvf_total(x) += dvf_iter(x + dvf_total(x))   [ref :154]
+        dvf_iter_pulled = warp_image(dvf_iter, dvf_total, reference=f_image,
+                                     interp=INTERP_LINEAR, default_value=0.0)
+        dvf_total = dvf_total.with_array(dvf_total.array + dvf_iter_pulled.array)
+
+        # reference quirk: voxel-unit sigmas fed to the physical-unit smoother
+        sigma = np.asarray(regularisation_kernel_vox, dtype=np.float64).reshape(-1)
+        if sigma.size == 1:
+            sigma = np.repeat(sigma, 3)
+        dvf_total = _filters.smoothing_recursive_gaussian(dvf_total, sigma)
+
+        if verbose:
+            mag = float(np.asarray(jnp.abs(dvf_total.array)).max())
+            print(f"level {i}: shape={f_image.spatial_shape} max|dvf|={mag:.3f} mm")
+
+    dvf_total = resample(dvf_total, fixed_image, None, interp=INTERP_LINEAR,
+                         default_value=0.0)
+    return dvf_total
+
+
+def fast_symmetric_forces_demons_registration(
+    fixed_image: Image,
+    moving_image: Image,
+    resolution_staging: Sequence[float] = (8, 4, 1),
+    iteration_staging: Sequence[int] = (10, 10, 10),
+    isotropic_resample: bool = False,
+    initial_displacement_field: Optional[Image] = None,
+    regularisation_kernel_mm: float = 1.5,
+    smoothing_sigma_factor: float = 1,
+    smoothing_sigmas=False,
+    default_value=None,
+    ncores: int = 1,
+    interp_order=INTERP_LINEAR,
+    verbose: bool = False,
+):
+    """Drop-in mirror of reference deformable.py:190-306.
+
+    ``ncores`` is accepted for API compatibility and ignored — XLA owns the
+    chip.  Returns (registered_image, DisplacementFieldTransform, dvf).
+    """
+    moving_dtype = moving_image.array.dtype
+    fixed_image = fixed_image.astype(jnp.float32)
+    moving_image = moving_image.astype(jnp.float32)
+
+    # regularisation kernel: mm -> voxels of the (full-res) fixed image
+    regularisation_kernel_vox = np.array(regularisation_kernel_mm) / np.array(
+        fixed_image.spacing
+    )
+
+    if not smoothing_sigmas:
+        smoothing_sigmas = [i * smoothing_sigma_factor for i in resolution_staging]
+
+    deformation_field = multiscale_demons(
+        fixed_image=fixed_image,
+        moving_image=moving_image,
+        resolution_staging=resolution_staging,
+        smoothing_sigmas=smoothing_sigmas,
+        iteration_staging=iteration_staging,
+        isotropic_resample=isotropic_resample,
+        initial_displacement_field=initial_displacement_field,
+        interp_order=interp_order,
+        regularisation_kernel_vox=tuple(regularisation_kernel_vox.tolist()),
+        verbose=verbose,
+    )
+
+    if default_value is None:
+        default_value = 0
+        if float(np.asarray(moving_image.array).min()) <= -1000:
+            default_value = -1000
+
+    registered_image = warp_image(
+        moving_image, deformation_field, reference=fixed_image,
+        interp=interp_order, default_value=default_value,
+    )
+    if not jnp.issubdtype(moving_dtype, jnp.floating):
+        registered_image = registered_image.with_array(
+            jnp.rint(registered_image.array).astype(moving_dtype)
+        )
+    else:
+        registered_image = registered_image.astype(moving_dtype)
+
+    output_transform = DisplacementFieldTransform(deformation_field)
+    return registered_image, output_transform, deformation_field

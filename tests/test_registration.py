@@ -1,0 +1,155 @@
+"""Registration engine tests: recover known transforms on synthetic volumes.
+
+Mirrors the reference's synthetic-sphere E2E strategy
+(platipy/imaging/tests/test_cardiac.py:35-142) at unit scale.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from platipy_tpu.core.image import from_array
+from platipy_tpu.core.resample import warp_image
+from platipy_tpu.core.transform import TranslationTransform
+from platipy_tpu.registration.deformable import (
+    fast_symmetric_forces_demons_registration,
+    multiscale_demons,
+)
+from platipy_tpu.registration.linear import alignment_registration, linear_registration
+
+
+def _sphere(shape=(32, 48, 48), center=(16, 24, 24), r=10, spacing=(1.5, 1.5, 2.5),
+            inside=0.0, outside=-1000.0, soft=True):
+    zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]].astype(np.float32)
+    d = np.sqrt(
+        ((xx - center[2]) * spacing[0]) ** 2
+        + ((yy - center[1]) * spacing[1]) ** 2
+        + ((zz - center[0]) * spacing[2]) ** 2
+    )
+    r_mm = r * spacing[0]
+    if soft:
+        arr = outside + (inside - outside) / (1 + np.exp((d - r_mm) / 2.0))
+    else:
+        arr = np.where(d <= r_mm, inside, outside).astype(np.float32)
+    return from_array(arr.astype(np.float32), spacing=spacing)
+
+
+def _dsc(a, b):
+    a = np.asarray(a) > 0.5
+    b = np.asarray(b) > 0.5
+    return 2 * (a & b).sum() / max(a.sum() + b.sum(), 1)
+
+
+def test_alignment_registration_recovers_shift():
+    fixed = _sphere(center=(16, 24, 24), inside=1000.0, outside=0.0)
+    moving = _sphere(center=(16, 24, 30), inside=1000.0, outside=0.0)
+    aligned, tfm = alignment_registration(fixed, moving, moments=True)
+    # COM difference: 6 voxels * 1.5mm = 9mm in +x
+    np.testing.assert_allclose(np.asarray(tfm.translation), [9.0, 0, 0], atol=0.5)
+    mask_f = np.asarray(fixed.array) > 500
+    mask_a = np.asarray(aligned.array) > 500
+    assert _dsc(mask_f, mask_a) > 0.95
+
+
+@pytest.mark.parametrize("optimiser", ["gradient_descent", "lbfgsb"])
+def test_linear_registration_rigid_shift(optimiser):
+    fixed = _sphere(center=(16, 24, 24))
+    moving = _sphere(center=(18, 26, 27))
+    registered, tfm = linear_registration(
+        fixed,
+        moving,
+        reg_method="rigid",
+        metric="mean_squares",
+        optimiser=optimiser,
+        shrink_factors=[4, 2],
+        smooth_sigmas=[2, 0],
+        number_of_iterations=30,
+    )
+    mask_f = np.asarray(fixed.array) > -500
+    mask_r = np.asarray(registered.array) > -500
+    assert _dsc(mask_f, mask_r) > 0.9
+    # default value auto-detected as CT-like
+    assert np.asarray(registered.array).min() <= -900
+
+
+def test_linear_registration_similarity_scale():
+    fixed = _sphere(r=12)
+    moving = _sphere(r=9)
+    registered, tfm = linear_registration(
+        fixed,
+        moving,
+        reg_method="similarity",
+        metric="mean_squares",
+        optimiser="gradient_descent",
+        shrink_factors=[4, 2],
+        smooth_sigmas=[2, 0],
+        number_of_iterations=40,
+    )
+    mask_f = np.asarray(fixed.array) > -500
+    mask_r = np.asarray(registered.array) > -500
+    d0 = _dsc(mask_f, np.asarray(moving.array) > -500)
+    d1 = _dsc(mask_f, mask_r)
+    assert d1 > d0  # improved
+    assert d1 > 0.93
+
+
+def test_linear_registration_correlation_metric():
+    fixed = _sphere(center=(16, 24, 24))
+    # moving has different intensity scaling: correlation should still work
+    moving = _sphere(center=(16, 24, 28))
+    moving = moving.with_array(moving.array * 0.5 + 100.0)
+    registered, tfm = linear_registration(
+        fixed,
+        moving,
+        reg_method="translation",
+        metric="correlation",
+        optimiser="gradient_descent",
+        shrink_factors=[4, 2],
+        smooth_sigmas=[2, 0],
+        number_of_iterations=30,
+        default_value=-400.0,
+    )
+    # recovered translation should be ~[6, 0, 0] mm (4 voxels * 1.5mm)
+    opt_t = np.asarray(tfm.transforms[1].translation)
+    np.testing.assert_allclose(opt_t, [6.0, 0.0, 0.0], atol=0.5)
+    mask_f = np.asarray(fixed.array) > -500
+    # equivalent threshold on the rescaled intensities: 0.5*(-500)+100
+    mask_r = np.asarray(registered.array) > -150.0
+    assert _dsc(mask_f, mask_r) > 0.95
+
+
+def test_demons_recovers_local_deformation():
+    fixed = _sphere(r=11)
+    moving = _sphere(r=9)
+    registered, tfm, dvf = fast_symmetric_forces_demons_registration(
+        fixed,
+        moving,
+        resolution_staging=[4, 2],
+        iteration_staging=[15, 15],
+        isotropic_resample=True,
+        regularisation_kernel_mm=1.5,
+    )
+    mask_f = np.asarray(fixed.array) > -500
+    d0 = _dsc(mask_f, np.asarray(moving.array) > -500)
+    d1 = _dsc(mask_f, np.asarray(registered.array) > -500)
+    assert d1 > d0
+    assert d1 > 0.97
+    # dvf on fixed grid with 3 components
+    assert dvf.array.shape == fixed.array.shape + (3,)
+
+
+def test_demons_dvf_transform_propagates_structure():
+    fixed = _sphere(r=11, soft=False, inside=1.0, outside=-1000.0)
+    moving = _sphere(r=9, soft=False, inside=1.0, outside=-1000.0)
+    _, tfm, dvf = fast_symmetric_forces_demons_registration(
+        fixed, moving,
+        resolution_staging=[4, 2],
+        iteration_staging=[15, 15],
+        isotropic_resample=True,
+    )
+    # propagate a binary structure through the DVF (as label propagation does)
+    struct = moving.with_array((np.asarray(moving.array) > 0).astype(np.uint8))
+    warped = warp_image(struct.astype(jnp.float32), dvf, reference=fixed,
+                        interp="nearest", default_value=0.0)
+    fixed_struct = np.asarray(fixed.array) > 0
+    assert _dsc(fixed_struct, np.asarray(warped.array)) > 0.9
