@@ -89,18 +89,23 @@ def signed_maurer_distance_map(
 ) -> Image:
     """``sitk.SignedMaurerDistanceMap`` analogue.
 
-    Outside voxels carry the (squared) distance to the nearest inside voxel;
-    inside voxels carry the negated (squared) distance to the nearest outside
-    voxel; signs flip with ``inside_is_positive``.
+    ITK convention (verified against the reference's surface-metric goldens,
+    test_metrics.py:52): the magnitude is the distance to the mask's *inner
+    boundary voxels* (the contour — mask voxels with a face-adjacent
+    background neighbour), zero on the contour itself, negative inside.
+    For outside voxels this equals the distance to the nearest inside voxel.
     """
+    from platipy_tpu.core.morphology import label_contour
+
     m = mask_image.array > 0
+    contour = label_contour(m) > 0
     spacing = mask_image.spacing if use_image_spacing else (1.0, 1.0, 1.0)
-    d_out_sq = squared_edt(m, spacing, max_distance_vox)      # 0 inside
-    d_in_sq = squared_edt(~m, spacing, max_distance_vox)      # 0 outside
+    d_sq = squared_edt(contour, spacing, max_distance_vox)
     if squared_distance:
-        signed = jnp.where(m, -d_in_sq, d_out_sq)
+        signed = jnp.where(m & ~contour, -d_sq, d_sq)
     else:
-        signed = jnp.where(m, -jnp.sqrt(d_in_sq), jnp.sqrt(d_out_sq))
+        d = jnp.sqrt(d_sq)
+        signed = jnp.where(m & ~contour, -d, d)
     if inside_is_positive:
         signed = -signed
     return mask_image.with_array(signed.astype(jnp.float32))

@@ -164,6 +164,54 @@ class Image:
             f"spacing={tuple(round(s, 3) for s in self.spacing)})"
         )
 
+    # -- sitk-style elementwise arithmetic (metadata-preserving) ---------------
+    def _binop(self, other, op):
+        other_arr = other.array if isinstance(other, Image) else other
+        return self.with_array(op(self.array, other_arr))
+
+    def __add__(self, other):
+        return self._binop(other, lambda a, b: a + b)
+
+    def __radd__(self, other):
+        # supports sum([...]) which starts from 0
+        return self._binop(other, lambda a, b: b + a)
+
+    def __sub__(self, other):
+        return self._binop(other, lambda a, b: a - b)
+
+    def __rsub__(self, other):
+        return self._binop(other, lambda a, b: b - a)
+
+    def __mul__(self, other):
+        return self._binop(other, lambda a, b: a * b)
+
+    def __rmul__(self, other):
+        return self._binop(other, lambda a, b: b * a)
+
+    def __truediv__(self, other):
+        return self._binop(other, lambda a, b: a / b)
+
+    def __pow__(self, other):
+        return self._binop(other, lambda a, b: a**b)
+
+    def __neg__(self):
+        return self.with_array(-self.array)
+
+    def __gt__(self, other):
+        return self._binop(other, lambda a, b: (a > b).astype(jnp.uint8))
+
+    def __ge__(self, other):
+        return self._binop(other, lambda a, b: (a >= b).astype(jnp.uint8))
+
+    def __lt__(self, other):
+        return self._binop(other, lambda a, b: (a < b).astype(jnp.uint8))
+
+    def __le__(self, other):
+        return self._binop(other, lambda a, b: (a <= b).astype(jnp.uint8))
+
+    def __abs__(self):
+        return self.with_array(jnp.abs(self.array))
+
 
 def index_to_physical_matrix(origin, spacing, direction) -> np.ndarray:
     """4x4 homogeneous: physical = direction @ diag(spacing) @ index_xyz + origin."""

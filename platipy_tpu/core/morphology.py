@@ -184,9 +184,9 @@ def label_contour(mask, fully_connected: bool = False):
     *face* neighbour is background; True: any of the 26 neighbours.
     """
     m, img = _unwrap(mask)
-    # pad with replicate so edge-touching foreground is not marked as boundary
-    # (matches ITK's zero-flux Neumann default)
-    padded = jnp.pad(m, 1, mode="edge")
+    # ITK BinaryContour pads with background, so foreground touching the image
+    # border IS boundary (this matters after tight auto-cropping)
+    padded = jnp.pad(m, 1, constant_values=False)
     shape = m.shape
     interior = m
     if fully_connected:

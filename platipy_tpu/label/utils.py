@@ -1,0 +1,149 @@
+"""Label encodings, overlap correction, centres of mass, coordinate transforms.
+
+Drop-in mirror of platipy/imaging/label/utils.py (reference lines 23-286).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core.image import Image
+from platipy_tpu.utils.math import gen_primes
+
+__all__ = [
+    "correct_volume_overlap",
+    "get_com",
+    "vectorised_transform_index_to_physical_point",
+    "vectorised_transform_physical_point_to_index",
+    "generate_primes",
+    "prime_encode_structure_list",
+    "prime_decode_image",
+    "binary_encode_structure_list",
+    "binary_decode_image",
+]
+
+generate_primes = gen_primes
+
+
+def correct_volume_overlap(binary_label_dict: Dict[str, Image],
+                           assign_overlap_to_largest: bool = True) -> Dict[str, Image]:
+    """Assign overlapping voxels to one structure by volume rank
+    (reference utils.py:23-58)."""
+    volume_dict = {
+        name: int(np.asarray(img.array).sum()) for name, img in binary_label_dict.items()
+    }
+    keys, vals = zip(*volume_dict.items())
+    if assign_overlap_to_largest:
+        volume_rank = np.argsort(vals)[::-1]
+    else:
+        volume_rank = np.argsort(vals)
+    ranked_names = np.array(keys)[volume_rank]
+
+    ref = binary_label_dict[keys[0]]
+    combined = np.zeros(ref.spatial_shape, dtype=bool)
+    for img in binary_label_dict.values():
+        combined |= np.asarray(img.array) > 0
+
+    # membership bitmask per structure, in rank order
+    members = np.stack(
+        [np.asarray(binary_label_dict[n].array) > 0 for n in ranked_names]
+    )
+
+    output_label_dict = {}
+    remaining = combined.copy()
+    for i, name in enumerate(ranked_names):
+        assigned = remaining & members[i]
+        output_label_dict[str(name)] = ref.with_array(
+            jnp.asarray(assigned.astype(np.uint8))
+        )
+        remaining &= ~assigned
+    return output_label_dict
+
+
+def get_com(label: Image, as_int: bool = True, real_coords: bool = False):
+    """Centre of mass (z,y,x order, matching scipy's center_of_mass as used at
+    reference utils.py:61-84)."""
+    arr = np.asarray(label.array)
+    total = arr.sum()
+    if total == 0:
+        com = [s / 2 for s in arr.shape]
+    else:
+        grids = np.indices(arr.shape)
+        com = [(g * arr).sum() / total for g in grids]
+
+    if real_coords:
+        return np.asarray(label.physical_point(com[::-1]))
+    if as_int:
+        return [int(i) for i in com]
+    return com
+
+
+def vectorised_transform_index_to_physical_point(image: Image, point_array, rotate=True):
+    if rotate:
+        spacing = np.asarray(image.spacing)[::-1]
+        origin = np.asarray(image.origin)[::-1]
+    else:
+        spacing = np.asarray(image.spacing)
+        origin = np.asarray(image.origin)
+    return point_array * spacing + origin
+
+
+def vectorised_transform_physical_point_to_index(image: Image, point_array, rotate=True):
+    if rotate:
+        spacing = np.asarray(image.spacing)[::-1]
+        origin = np.asarray(image.origin)[::-1]
+    else:
+        spacing = np.asarray(image.spacing)
+        origin = np.asarray(image.origin)
+    return (point_array - origin) / spacing
+
+
+def prime_encode_structure_list(structure_list: List[Image]) -> Image:
+    """Prime-product multi-label encoding (reference utils.py:147-183)."""
+    ref = structure_list[0]
+    encoded = np.ones(ref.spatial_shape, dtype=np.uint64)
+    for s_img, prime in zip(structure_list, gen_primes()):
+        mask = np.asarray(s_img.array) > 0
+        encoded = np.where(mask, encoded * np.uint64(prime), encoded)
+    return ref.with_array(jnp.asarray(encoded))
+
+
+def prime_decode_image(prime_encoded_image: Image) -> List[Image]:
+    encoded = np.asarray(prime_encoded_image.array).astype(np.uint64)
+    structure_list = []
+    for prime in gen_primes():
+        s_arr = (encoded % np.uint64(prime)) == 0
+        if s_arr.sum() > 0:
+            structure_list.append(
+                prime_encoded_image.with_array(jnp.asarray(s_arr.astype(np.uint8)))
+            )
+        else:
+            break
+    return structure_list
+
+
+def binary_encode_structure_list(structure_list: List[Image]) -> Image:
+    """Bit-field multi-label encoding, 32 structures max (reference :219-254)."""
+    if len(structure_list) > 32:
+        raise ValueError("You can only encode a maximum of 32 structures with this method!")
+    ref = structure_list[0]
+    encoded = np.zeros(ref.spatial_shape, dtype=np.uint64)
+    for power, s_img in enumerate(structure_list):
+        mask = np.asarray(s_img.array).astype(bool)
+        encoded = np.bitwise_or(encoded, mask * np.uint64(2 ** (power + 1)))
+    return ref.with_array(jnp.asarray(encoded.astype(np.uint32)))
+
+
+def binary_decode_image(binary_encoded_img: Image) -> List[Image]:
+    encoded = np.asarray(binary_encoded_img.array).astype(np.int64)
+    structure_list = []
+    for power in range(32):
+        s_arr = np.bitwise_and(encoded, 2 ** (power + 1))
+        if s_arr.sum() > 0:
+            structure_list.append(
+                binary_encoded_img.with_array(jnp.asarray((s_arr > 0).astype(np.uint8)))
+            )
+    return structure_list

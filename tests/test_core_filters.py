@@ -98,14 +98,17 @@ def test_edt_anisotropic_spacing():
 
 
 def test_signed_maurer_convention():
+    # ITK convention: magnitude = distance to the mask's inner-boundary voxels
     mask = np.zeros((10, 10, 10), dtype=np.uint8)
     mask[3:7, 3:7, 3:7] = 1
     img = from_array(mask, spacing=(1, 1, 2))
     sm = np.asarray(signed_maurer_distance_map(img).array)
-    # outside voxel adjacent in x: distance 1
+    # outside voxel adjacent in x: distance 1 to the contour
     assert sm[5, 5, 7] == pytest.approx(1.0, abs=1e-4)
-    # inside voxel adjacent to boundary: -1
-    assert sm[5, 5, 3] == pytest.approx(-1.0, abs=1e-4)
+    # boundary (contour) voxel itself: 0
+    assert sm[5, 5, 3] == pytest.approx(0.0, abs=1e-4)
+    # first interior voxel: -1 (to the nearest contour voxel)
+    assert sm[5, 5, 4] == pytest.approx(-1.0, abs=1e-4)
     # z-adjacent outside voxel: spacing 2
     assert sm[7, 5, 5] == pytest.approx(2.0, abs=1e-4)
 
