@@ -66,7 +66,17 @@ def squared_edt(
     s = np.asarray(spacing_xyz, dtype=np.float64).reshape(-1)
     if s.size == 1:
         s = np.repeat(s, 3)
-    m = jnp.asarray(mask) > 0
+    return _squared_edt_jit(
+        jnp.asarray(mask),
+        spacing_key=tuple(float(v) for v in s),
+        max_distance_vox=None if max_distance_vox is None else int(max_distance_vox),
+    )
+
+
+@partial(jax.jit, static_argnames=("spacing_key", "max_distance_vox"))
+def _squared_edt_jit(mask, *, spacing_key, max_distance_vox):
+    s = spacing_key
+    m = mask > 0
     fsq = jnp.where(m, 0.0, _INF).astype(jnp.float32)
     fsq = _edt_pass(fsq, 2, s[0], max_distance_vox)  # x
     fsq = _edt_pass(fsq, 1, s[1], max_distance_vox)  # y

@@ -85,36 +85,44 @@ def gaussian_kernel1d(sigma_vox: float, truncate: float = 4.0) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _conv1d_along_axis(arr: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
-    """Convolve [z,y,x(,c)] array along a spatial axis, edge-replicate padding."""
+    """Convolve [z,y,x(,c)] array along a spatial axis, edge-replicate padding.
+
+    Dispatched as one jitted program per (shape, kernel, axis) — on remote
+    backends eager op-by-op dispatch is prohibitively slow.
+    """
+    return _conv1d_jit(arr, kernel_key=tuple(float(v) for v in kernel), axis=axis)
+
+
+@partial(jax.jit, static_argnames=("kernel_key", "axis"))
+def _conv1d_jit(arr: jnp.ndarray, *, kernel_key, axis: int) -> jnp.ndarray:
+    # shift-and-add: k fused multiply-adds on the VPU.  A C=1 conv would pad
+    # the channel dimension to the MXU tile and waste ~100x the FLOPs.
+    kernel = np.asarray(kernel_key, dtype=np.float64)
     k = kernel.size
     if k == 1:
         return arr * float(kernel[0])
     r = k // 2
     pad = [(0, 0)] * arr.ndim
-    pad[axis] = (r, r)
+    pad[axis] = (r, k - 1 - r)
     x = jnp.pad(arr, pad, mode="edge")
-    # move conv axis last, flatten the rest into batch
-    x = jnp.moveaxis(x, axis, -1)
-    lead_shape = x.shape[:-1]
-    n = x.shape[-1]
-    x = x.reshape(-1, 1, n)
-    rhs = jnp.asarray(kernel[::-1].copy(), dtype=x.dtype).reshape(1, 1, k)
-    y = jax.lax.conv_general_dilated(
-        x,
-        rhs,
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    y = y.reshape(*lead_shape, y.shape[-1])
-    return jnp.moveaxis(y, -1, axis)
+    n = arr.shape[axis]
+    out = None
+    for i, w in enumerate(kernel):
+        sh = jax.lax.dynamic_slice_in_dim(x, i, n, axis) * jnp.asarray(w, arr.dtype)
+        out = sh if out is None else out + sh
+    return out
 
 
-def convolve_separable(arr: jnp.ndarray, kernels: Sequence[np.ndarray]) -> jnp.ndarray:
-    """Apply 1-D kernels along (z, y, x) axes in turn; kernels[i] for axis i."""
+def convolve_separable(
+    arr: jnp.ndarray, kernels: Sequence[np.ndarray], axes: Sequence[int] = (0, 1, 2)
+) -> jnp.ndarray:
+    """Apply 1-D kernels along the given axes in turn; kernels[i] for axes[i].
+
+    Defaults to the (z, y, x) axes of a [z,y,x(,c)] array; pass explicit axes
+    for batched stacks (e.g. axes=(1,2,3) for [N,z,y,x]).
+    """
     out = arr
-    for axis, kern in enumerate(kernels):
+    for axis, kern in zip(axes, kernels):
         if kern is None or kern.size == 1:
             continue
         out = _conv1d_along_axis(out, np.asarray(kern, dtype=np.float64), axis)

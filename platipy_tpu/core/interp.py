@@ -65,7 +65,7 @@ def physical_to_continuous_index(points, origin, spacing, direction):
     m = physical_to_index_matrix(origin, spacing, direction)
     a = jnp.asarray(m[:3, :3], dtype=points.dtype)
     b = jnp.asarray(m[:3, 3], dtype=points.dtype)
-    return points @ a.T + b
+    return jnp.matmul(points, a.T, precision=jax.lax.Precision.HIGHEST) + b
 
 
 def grid_continuous_indices(shape_zyx: Tuple[int, int, int], dtype=jnp.float32):
@@ -281,3 +281,172 @@ def sample_image(
     return sample_at_continuous_index(
         array, u[..., 0], u[..., 1], u[..., 2], interp=interp, default_value=default_value
     )
+
+
+# ---------------------------------------------------------------------------
+# TPU-fast warping: multipass shift-and-select
+# ---------------------------------------------------------------------------
+#
+# XLA's generic gather runs near-scalar on TPU (~60 ns/element measured —
+# 35x the elementwise floor).  For dense warps with BOUNDED displacement the
+# shift-and-select form — a sum of (2D+2) statically-shifted volumes masked by
+# per-voxel floor-index equality — runs entirely on the VPU at HBM speed.
+#
+# The 3-axis composition (x, then y, then z, offsets all evaluated at the
+# output voxel) is exact when the field is locally constant over the
+# displacement length scale; demons fields are Gaussian-regularised every
+# iteration, so the approximation error is far below the pipeline's tolerance.
+# Exact gather-based sampling remains the default for final resamples.
+
+def _lerp_shift_axis(vol: jnp.ndarray, offset: jnp.ndarray, axis: int, max_disp: int):
+    """1-D linear interpolation along ``axis`` at per-voxel offsets (voxels),
+    |offset| clamped to ``max_disp``.  Returns (values, inside_mask)."""
+    n = vol.shape[axis]
+    base = jax.lax.broadcasted_iota(jnp.float32, offset.shape, axis)
+    u_raw = base + offset
+    inside = (u_raw >= -0.5) & (u_raw <= n - 0.5)
+    off = jnp.clip(offset, -max_disp, max_disp - 1)
+    u = jnp.clip(base + off, 0.0, n - 1.0)
+    x0 = jnp.floor(u)
+    t = (u - x0).astype(vol.dtype)
+    d = (x0 - base).astype(jnp.int32)
+    pad_width = [(0, 0)] * vol.ndim
+    pad_width[axis] = (max_disp, max_disp + 1)
+    p = jnp.pad(vol, pad_width, mode="edge")
+
+    # sequential accumulation keeps the live set O(volume); an unrolled loop
+    # makes XLA hold ~2*max_disp temporaries and OOMs at batch scale
+    def body(k, acc):
+        sh = jax.lax.dynamic_slice_in_dim(p, k, n, axis)
+        kk = k - max_disp
+        w = jnp.where(d == kk, 1.0 - t, 0.0) + jnp.where(d + 1 == kk, t, 0.0)
+        return acc + w * sh
+
+    out = jax.lax.fori_loop(0, 2 * max_disp + 2, body, jnp.zeros(offset.shape, vol.dtype))
+    return out, inside
+
+
+def warp_multipass(
+    vol: jnp.ndarray,
+    off_x: jnp.ndarray,
+    off_y: jnp.ndarray,
+    off_z: jnp.ndarray,
+    max_disp_vox=(16, 16, 16),
+    default_value: float = 0.0,
+):
+    """Warp a [z,y,x] volume by per-voxel index offsets via three 1-D passes.
+
+    ``max_disp_vox`` is the static per-axis (x,y,z) displacement bound in
+    voxels.  Out-of-domain voxels get ``default_value``.
+    """
+    dx, dy, dz = (int(v) for v in max_disp_vox)
+    out, in_x = _lerp_shift_axis(vol, off_x, 2, dx)
+    out, in_y = _lerp_shift_axis(out, off_y, 1, dy)
+    out, in_z = _lerp_shift_axis(out, off_z, 0, dz)
+    inside = in_x & in_y & in_z
+    return jnp.where(inside, out, jnp.asarray(default_value, out.dtype))
+
+
+# ---------------------------------------------------------------------------
+# separable (axis-aligned) resampling as per-axis matmuls — rides the MXU
+# ---------------------------------------------------------------------------
+
+def axis_interp_matrix(n_in: int, n_out: int, scale: float, shift: float,
+                       interp=INTERP_LINEAR):
+    """Interpolation matrix W [n_out, n_in] for u = scale*i_out + shift, plus
+    the per-output validity vector (ITK [-0.5, n-0.5] buffer bounds)."""
+    i_out = np.arange(n_out, dtype=np.float64)
+    u = scale * i_out + shift
+    valid = (u >= -0.5) & (u <= n_in - 0.5)
+    w = np.zeros((n_out, n_in), dtype=np.float32)
+    interp = interp_name(interp)
+    if interp == INTERP_NEAREST:
+        idx = np.clip(np.round(u).astype(int), 0, n_in - 1)
+        w[np.arange(n_out), idx] = 1.0
+    elif interp == INTERP_LINEAR:
+        x0 = np.floor(u)
+        t = u - x0
+        i0 = np.clip(x0.astype(int), 0, n_in - 1)
+        i1 = np.clip(i0 + 1, 0, n_in - 1)
+        np.add.at(w, (np.arange(n_out), i0), (1.0 - t).astype(np.float32))
+        np.add.at(w, (np.arange(n_out), i1), t.astype(np.float32))
+    elif interp == INTERP_BSPLINE:
+        x0 = np.floor(u)
+        t = u - x0
+        t2, t3 = t * t, t * t * t
+        weights = [
+            (1 - 3 * t + 3 * t2 - t3) / 6.0,
+            (4 - 6 * t2 + 3 * t3) / 6.0,
+            (1 + 3 * t + 3 * t2 - 3 * t3) / 6.0,
+            t3 / 6.0,
+        ]
+        for k, wk in enumerate(weights):
+            ik = np.clip(x0.astype(int) + k - 1, 0, n_in - 1)
+            np.add.at(w, (np.arange(n_out), ik), wk.astype(np.float32))
+    else:  # pragma: no cover
+        raise ValueError(interp)
+    return w, valid
+
+
+def resample_separable(
+    array: jnp.ndarray,
+    axis_maps,  # ((scale_x, shift_x), (scale_y, shift_y), (scale_z, shift_z))
+    out_shape_zyx,
+    interp=INTERP_LINEAR,
+    default_value: float = 0.0,
+):
+    """Exact axis-aligned resampling as three per-axis matmuls (MXU-bound).
+
+    For B-spline, pass prefiltered coefficients as ``array``.
+    """
+    nz_i, ny_i, nx_i = array.shape[:3]
+    nz_o, ny_o, nx_o = out_shape_zyx
+    (sx, bx), (sy, by), (sz, bz) = axis_maps
+    wx, vx = axis_interp_matrix(nx_i, nx_o, sx, bx, interp)
+    wy, vy = axis_interp_matrix(ny_i, ny_o, sy, by, interp)
+    wz, vz = axis_interp_matrix(nz_i, nz_o, sz, bz, interp)
+    return _resample_separable_jit(
+        array,
+        wx_key=_np_key(wx), wy_key=_np_key(wy), wz_key=_np_key(wz),
+        valid_key=(tuple(bool(v) for v in vx), tuple(bool(v) for v in vy),
+                   tuple(bool(v) for v in vz)),
+        default_value=float(default_value),
+    )
+
+
+def _np_key(arr: np.ndarray):
+    return (arr.shape, arr.tobytes())
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wx_key", "wy_key", "wz_key", "valid_key", "default_value")
+)
+def _resample_separable_jit(array, *, wx_key, wy_key, wz_key, valid_key, default_value):
+    def unkey(key):
+        shape, buf = key
+        return jnp.asarray(np.frombuffer(buf, dtype=np.float32).reshape(shape))
+
+    wx, wy, wz = unkey(wx_key), unkey(wy_key), unkey(wz_key)
+    vx = np.asarray(valid_key[0])
+    vy = np.asarray(valid_key[1])
+    vz = np.asarray(valid_key[2])
+
+    arr = array.astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    if arr.ndim == 3:
+        out = jnp.einsum("zyx,Xx->zyX", arr, wx, precision=hp)
+        out = jnp.einsum("zyx,Yy->zYx", out, wy, precision=hp)
+        out = jnp.einsum("zyx,Zz->Zyx", out, wz, precision=hp)
+    else:
+        out = jnp.einsum("zyxc,Xx->zyXc", arr, wx, precision=hp)
+        out = jnp.einsum("zyxc,Yy->zYxc", out, wy, precision=hp)
+        out = jnp.einsum("zyxc,Zz->Zyxc", out, wz, precision=hp)
+
+    valid = (
+        jnp.asarray(vz)[:, None, None]
+        & jnp.asarray(vy)[None, :, None]
+        & jnp.asarray(vx)[None, None, :]
+    )
+    if arr.ndim == 4:
+        valid = valid[..., None]
+    return jnp.where(valid, out, jnp.asarray(default_value, out.dtype))

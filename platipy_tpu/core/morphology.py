@@ -12,6 +12,7 @@ follows by duality with ITK's boundary-to-foreground convention.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Union
 
 import jax
@@ -184,6 +185,12 @@ def label_contour(mask, fully_connected: bool = False):
     *face* neighbour is background; True: any of the 26 neighbours.
     """
     m, img = _unwrap(mask)
+    out = _label_contour_jit(m, fully_connected=bool(fully_connected))
+    return _rewrap(out, img)
+
+
+@functools.partial(jax.jit, static_argnames=("fully_connected",))
+def _label_contour_jit(m, *, fully_connected: bool):
     # ITK BinaryContour pads with background, so foreground touching the image
     # border IS boundary (this matters after tight auto-cropping)
     padded = jnp.pad(m, 1, constant_values=False)
@@ -201,5 +208,4 @@ def label_contour(mask, fully_connected: bool = False):
         offsets = [(0, 1, 1), (2, 1, 1), (1, 0, 1), (1, 2, 1), (1, 1, 0), (1, 1, 2)]
     for off in offsets:
         interior = interior & jax.lax.dynamic_slice(padded, off, shape)
-    out = m & ~interior
-    return _rewrap(out, img)
+    return m & ~interior

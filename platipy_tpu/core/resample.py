@@ -38,7 +38,7 @@ def _linear_hmatrix_jnp(transform: Transform) -> jnp.ndarray:
     if isinstance(transform, CompositeTransform):
         m = jnp.eye(4)
         for t in reversed(transform.transforms):
-            m = _linear_hmatrix_jnp(t) @ m
+            m = jnp.matmul(_linear_hmatrix_jnp(t), m, precision=jax.lax.Precision.HIGHEST)
         return m
     if isinstance(transform, TranslationTransform):
         m = jnp.eye(4)
@@ -60,6 +60,55 @@ def _ref_grid(reference) -> tuple:
     raise TypeError("reference must be an Image")
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape_zyx", "interp_code", "default_value", "out_dtype_name")
+)
+def _resample_linear_impl(array, transform, ref_i2p, mov_p2i, *, shape_zyx, interp_code,
+                          default_value, out_dtype_name):
+    t_h = _linear_hmatrix_jnp(transform).astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    total_mat = jnp.matmul(jnp.matmul(mov_p2i, t_h, precision=hp), ref_i2p, precision=hp)
+    a, b = total_mat[:3, :3], total_mat[:3, 3]
+    ix, iy, iz = _interp.grid_continuous_indices(shape_zyx)
+    ux = a[0, 0] * ix + a[0, 1] * iy + a[0, 2] * iz + b[0]
+    uy = a[1, 0] * ix + a[1, 1] * iy + a[1, 2] * iz + b[1]
+    uz = a[2, 0] * ix + a[2, 1] * iy + a[2, 2] * iz + b[2]
+    out = _interp.sample_at_continuous_index(
+        array, ux, uy, uz, interp=interp_code, default_value=default_value
+    )
+    return _cast_out(out, out_dtype_name)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape_zyx", "interp_code", "default_value", "out_dtype_name")
+)
+def _resample_generic_impl(array, transform, ref_i2p, mov_p2i, *, shape_zyx, interp_code,
+                           default_value, out_dtype_name):
+    points = _grid_physical_points(shape_zyx, ref_i2p)
+    moved = transform.apply(points.reshape(-1, 3)).reshape(points.shape)
+    a = mov_p2i[:3, :3]
+    b = mov_p2i[:3, 3]
+    u = jnp.matmul(moved, a.T, precision=jax.lax.Precision.HIGHEST) + b
+    out = _interp.sample_at_continuous_index(
+        array, u[..., 0], u[..., 1], u[..., 2], interp=interp_code,
+        default_value=default_value,
+    )
+    return _cast_out(out, out_dtype_name)
+
+
+def _cast_out(out, out_dtype_name):
+    if out_dtype_name is None:
+        return out
+    dtype = jnp.dtype(out_dtype_name)
+    if not jnp.issubdtype(dtype, jnp.floating):
+        # integer outputs round like ITK's output cast for NN/linear paths
+        out = jnp.rint(out)
+    return out.astype(dtype)
+
+
 def resample(
     input_image: Image,
     reference: Optional[Image] = None,
@@ -68,7 +117,11 @@ def resample(
     default_value: float = 0.0,
     output_dtype=None,
 ) -> Image:
-    """Resample ``input_image`` onto ``reference``'s grid through ``transform``."""
+    """Resample ``input_image`` onto ``reference``'s grid through ``transform``.
+
+    The array computation is one jit-compiled program (critical on remote
+    backends where each eager op pays a dispatch round trip).
+    """
     if reference is None:
         reference = input_image
     if transform is None:
@@ -80,41 +133,54 @@ def resample(
     if interp_code == _interp.INTERP_BSPLINE:
         array = _interp.spline_coefficients(array)
 
-    nz, ny, nx = shape_zyx
     ref_i2p = index_to_physical_matrix(r_origin, r_spacing, r_direction)
     mov_p2i = physical_to_index_matrix(
         input_image.origin, input_image.spacing, input_image.direction
     )
 
-    if transform.is_linear():
-        # Fold everything into one index->index affine (traced, differentiable).
-        t_h = _linear_hmatrix_jnp(transform).astype(jnp.float32)
-        total = jnp.asarray(mov_p2i, jnp.float32) @ t_h @ jnp.asarray(ref_i2p, jnp.float32)
-        a, b = total[:3, :3], total[:3, 3]
-        ix, iy, iz = _interp.grid_continuous_indices(shape_zyx)
-        ux = a[0, 0] * ix + a[0, 1] * iy + a[0, 2] * iz + b[0]
-        uy = a[1, 0] * ix + a[1, 1] * iy + a[1, 2] * iz + b[1]
-        uz = a[2, 0] * ix + a[2, 1] * iy + a[2, 2] * iz + b[2]
-        out = _interp.sample_at_continuous_index(
-            array, ux, uy, uz, interp=interp_code, default_value=default_value
-        )
-    else:
-        points = _grid_physical_points(shape_zyx, ref_i2p)
-        moved = transform.apply(points.reshape(-1, 3)).reshape(points.shape)
-        a = jnp.asarray(mov_p2i[:3, :3], jnp.float32)
-        b = jnp.asarray(mov_p2i[:3, 3], jnp.float32)
-        u = moved @ a.T + b
-        out = _interp.sample_at_continuous_index(
-            array, u[..., 0], u[..., 1], u[..., 2], interp=interp_code,
-            default_value=default_value,
-        )
-
     if output_dtype is None:
         output_dtype = in_dtype
-    if not jnp.issubdtype(output_dtype, jnp.floating):
-        # integer outputs round like ITK's output cast for NN/linear paths
-        out = jnp.rint(out)
-    out = out.astype(output_dtype)
+    out_dtype_name = jnp.dtype(output_dtype).name
+
+    # axis-aligned fast path: no transform + identical directions means the
+    # index->index map is diagonal -> exact separable resampling on the MXU
+    is_identity_t = isinstance(transform, TranslationTransform) and not np.any(
+        np.asarray(transform.translation)
+    )
+    if is_identity_t and np.allclose(
+        input_image.direction, r_direction
+    ) and abs(np.linalg.det(np.asarray(r_direction).reshape(3, 3))) > 1e-6:
+        total = mov_p2i @ ref_i2p
+        offdiag = total[:3, :3] - np.diag(np.diag(total[:3, :3]))
+        if np.abs(offdiag).max() < 1e-9:
+            axis_maps = (
+                (float(total[0, 0]), float(total[0, 3])),
+                (float(total[1, 1]), float(total[1, 3])),
+                (float(total[2, 2]), float(total[2, 3])),
+            )
+            out = _interp.resample_separable(
+                array, axis_maps, shape_zyx, interp=interp_code,
+                default_value=float(default_value),
+            )
+            out = _cast_out(out, out_dtype_name)
+            return Image(out, r_origin, r_spacing, r_direction)
+
+    if transform.is_linear():
+        # Fold everything into one index->index affine (traced, differentiable).
+        out = _resample_linear_impl(
+            array, transform,
+            jnp.asarray(ref_i2p, jnp.float32), jnp.asarray(mov_p2i, jnp.float32),
+            shape_zyx=shape_zyx, interp_code=interp_code,
+            default_value=float(default_value), out_dtype_name=out_dtype_name,
+        )
+    else:
+        out = _resample_generic_impl(
+            array, transform,
+            jnp.asarray(ref_i2p, jnp.float32), jnp.asarray(mov_p2i, jnp.float32),
+            shape_zyx=shape_zyx, interp_code=interp_code,
+            default_value=float(default_value), out_dtype_name=out_dtype_name,
+        )
+
     return Image(out, r_origin, r_spacing, r_direction)
 
 
@@ -127,6 +193,20 @@ def _grid_physical_points(shape_zyx, i2p) -> jnp.ndarray:
     pz = m[2, 0] * ix + m[2, 1] * iy + m[2, 2] * iz + m[2, 3]
     px, py, pz = jnp.broadcast_arrays(px, py, pz)
     return jnp.stack([px, py, pz], axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape_zyx", "interp_code", "default_value")
+)
+def _warp_impl(array, dvf_arr, ref_i2p, mov_p2i, *, shape_zyx, interp_code, default_value):
+    points = _grid_physical_points(shape_zyx, ref_i2p) + dvf_arr
+    a = mov_p2i[:3, :3]
+    b = mov_p2i[:3, 3]
+    u = jnp.matmul(points, a.T, precision=jax.lax.Precision.HIGHEST) + b
+    return _interp.sample_at_continuous_index(
+        array, u[..., 0], u[..., 1], u[..., 2], interp=interp_code,
+        default_value=default_value,
+    )
 
 
 def warp_image(
@@ -148,18 +228,18 @@ def warp_image(
     shape_zyx = reference.spatial_shape
     ref_i2p = index_to_physical_matrix(reference.origin, reference.spacing, reference.direction)
     mov_p2i = physical_to_index_matrix(moving.origin, moving.spacing, moving.direction)
-    points = _grid_physical_points(shape_zyx, ref_i2p) + dvf.array
-    a = jnp.asarray(mov_p2i[:3, :3], jnp.float32)
-    b = jnp.asarray(mov_p2i[:3, 3], jnp.float32)
-    u = points @ a.T + b
     array = moving.array
     interp_code = _interp.interp_name(interp)
     if interp_code == _interp.INTERP_BSPLINE:
         array = _interp.spline_coefficients(array)
-    out = _interp.sample_at_continuous_index(
-        array, u[..., 0], u[..., 1], u[..., 2], interp=interp_code, default_value=default_value
+    out = _warp_impl(
+        array, dvf.array,
+        jnp.asarray(ref_i2p, jnp.float32), jnp.asarray(mov_p2i, jnp.float32),
+        shape_zyx=shape_zyx, interp_code=interp_code, default_value=float(default_value),
     )
-    out = out.astype(moving.array.dtype if jnp.issubdtype(moving.array.dtype, jnp.floating) else jnp.float32)
+    out = out.astype(
+        moving.array.dtype if jnp.issubdtype(moving.array.dtype, jnp.floating) else jnp.float32
+    )
     return Image(out, reference.origin, reference.spacing, reference.direction)
 
 

@@ -121,7 +121,11 @@ def versor_to_matrix(versor: jnp.ndarray) -> jnp.ndarray:
 
 
 def _apply_linear(points, matrix, center, translation):
-    return (points - center) @ matrix.T + center + translation
+    # coordinate math must stay f32 on TPU (default matmul precision is bf16)
+    return (
+        jnp.matmul(points - center, matrix.T, precision=jax.lax.Precision.HIGHEST)
+        + center + translation
+    )
 
 
 def _linear_as_matrix(matrix, center, translation) -> np.ndarray:
@@ -409,7 +413,10 @@ class MatrixTransform(Transform):
         return cls(*children)
 
     def apply(self, points):
-        return points @ self.hmatrix[:3, :3].T + self.hmatrix[:3, 3]
+        return (
+            jnp.matmul(points, self.hmatrix[:3, :3].T, precision=jax.lax.Precision.HIGHEST)
+            + self.hmatrix[:3, 3]
+        )
 
     def is_linear(self):
         return True

@@ -1,0 +1,398 @@
+"""Atlas-parallel execution — the framework's data parallelism.
+
+The reference runs its N independent per-atlas registrations serially
+(multiatlas/run.py:261-347, cardiac/run.py:674-869) — the dominant outer loop.
+Here the atlases are STACKED on a leading axis and the whole chain
+
+    pyramid -> demons (all levels) -> structure warp -> weight map -> fusion
+
+is one jit-compiled program vmapped over that axis.  On a multi-chip mesh the
+stacks are sharded over an ``atlas`` axis (``NamedSharding`` + GSPMD), so each
+chip runs its atlases' registrations locally and the fusion sum becomes a
+``psum``-style collective on ICI.  This is the key to the <60 s north star.
+
+All functions here are pure-array (metadata passed statically) so they
+vmap/shard/jit cleanly; the Image-level pipeline wraps them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core import filters as _filters
+from platipy_tpu.core.image import Image
+from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST, sample_at_continuous_index
+from platipy_tpu.registration.deformable import _demons_level_impl
+
+__all__ = [
+    "atlas_mesh",
+    "shard_over_atlases",
+    "batched_multiscale_demons",
+    "batched_warp_by_dvf",
+    "batched_weight_maps",
+    "level_grids",
+]
+
+
+# ---------------------------------------------------------------------------
+# mesh helpers
+# ---------------------------------------------------------------------------
+
+def atlas_mesh(n_devices: Optional[int] = None):
+    """1-D device mesh over an 'atlas' axis (data parallelism over atlases)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.sharding.Mesh(np.array(devices), ("atlas",))
+
+
+def shard_over_atlases(stack: jnp.ndarray, mesh) -> jnp.ndarray:
+    """Shard a [N, ...] stack over the mesh's atlas axis (pads N if needed is
+    the caller's job; N must be divisible by the axis size)."""
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("atlas")
+    )
+    return jax.device_put(stack, sharding)
+
+
+# ---------------------------------------------------------------------------
+# grid utilities (same origin/direction, spacing/shape change only)
+# ---------------------------------------------------------------------------
+
+def level_grids(shape_zyx, spacing_xyz, resolution_staging, isotropic_resample):
+    """Pyramid level (shape, spacing) pairs with the reference's exact
+    smooth_and_resample size/spacing formulas (registration/utils.py:237-255)."""
+    out = []
+    size_xyz = np.array([shape_zyx[2], shape_zyx[1], shape_zyx[0]], dtype=np.int64)
+    spacing = np.asarray(spacing_xyz, dtype=np.float64)
+    for resolution in resolution_staging:
+        if isotropic_resample:
+            scale = resolution * np.ones(3) / spacing
+            new_size = np.array([int(sz / float(sf) + 0.5) for sz, sf in zip(size_xyz, scale)])
+        else:
+            new_size = np.array([int(sz / float(resolution) + 0.5) for sz in size_xyz])
+        new_spacing = (size_xyz - 1) * spacing / (new_size - 1)
+        out.append(
+            (
+                (int(new_size[2]), int(new_size[1]), int(new_size[0])),
+                tuple(float(s) for s in new_spacing),
+            )
+        )
+    return out
+
+
+def _regrid(arr, from_spacing, to_spacing, to_shape_zyx, interp=INTERP_LINEAR,
+            default_value=0.0):
+    """Resample [z,y,x(,c)] between grids sharing origin/direction.
+
+    Exact separable per-axis matmuls (MXU) — see interp.resample_separable.
+    """
+    from platipy_tpu.core.interp import resample_separable
+
+    fs = np.asarray(from_spacing, dtype=np.float64)
+    ts = np.asarray(to_spacing, dtype=np.float64)
+    axis_maps = (
+        (float(ts[0] / fs[0]), 0.0),
+        (float(ts[1] / fs[1]), 0.0),
+        (float(ts[2] / fs[2]), 0.0),
+    )
+    return resample_separable(arr, axis_maps, to_shape_zyx, interp=interp,
+                              default_value=default_value)
+
+
+def _warp_arr(arr, field, spacing_xyz, interp=INTERP_LINEAR, default_value=0.0,
+              max_disp_vox=None):
+    """Warp [z,y,x(,c)] by a same-grid DVF (mm, (x,y,z) components).
+
+    Uses the multipass shift-and-select warp (VPU-friendly; XLA gather runs
+    near-scalar on TPU).  ``max_disp_vox`` is the static per-axis displacement
+    bound; defaults to 48 mm / spacing.
+    """
+    from platipy_tpu.core.interp import warp_multipass
+
+    nz, ny, nx = field.shape[:3]
+    sx, sy, sz = (float(s) for s in spacing_xyz)
+    if max_disp_vox is None:
+        max_disp_vox = (
+            int(np.ceil(48.0 / sx)) + 1,
+            int(np.ceil(48.0 / sy)) + 1,
+            int(np.ceil(48.0 / sz)) + 1,
+        )
+    if arr.ndim == 4:
+        # warp each component with the same offsets
+        outs = [
+            warp_multipass(
+                arr[..., c], field[..., 0] / sx, field[..., 1] / sy, field[..., 2] / sz,
+                max_disp_vox=max_disp_vox, default_value=default_value,
+            )
+            for c in range(arr.shape[-1])
+        ]
+        return jnp.stack(outs, axis=-1)
+    if interp == INTERP_NEAREST:
+        # NN via rounding the offsets to integers, then a 1-tap multipass
+        field = jnp.round(
+            jnp.stack(
+                [
+                    jax.lax.broadcasted_iota(jnp.float32, (nz, ny, nx), 2) + field[..., 0] / sx,
+                    jax.lax.broadcasted_iota(jnp.float32, (nz, ny, nx), 1) + field[..., 1] / sy,
+                    jax.lax.broadcasted_iota(jnp.float32, (nz, ny, nx), 0) + field[..., 2] / sz,
+                ],
+                axis=-1,
+            )
+        )
+        off_x = field[..., 0] - jax.lax.broadcasted_iota(jnp.float32, (nz, ny, nx), 2)
+        off_y = field[..., 1] - jax.lax.broadcasted_iota(jnp.float32, (nz, ny, nx), 1)
+        off_z = field[..., 2] - jax.lax.broadcasted_iota(jnp.float32, (nz, ny, nx), 0)
+        return warp_multipass(arr, off_x, off_y, off_z, max_disp_vox=max_disp_vox,
+                              default_value=default_value)
+    return warp_multipass(
+        arr, field[..., 0] / sx, field[..., 1] / sy, field[..., 2] / sz,
+        max_disp_vox=max_disp_vox, default_value=default_value,
+    )
+
+
+def _smooth_kernels(sigma, spacing_xyz, mode: str):
+    """Kernels (z,y,x order) for pyramid / regularisation smoothing."""
+    if not sigma:
+        return None
+    if hasattr(sigma, "__iter__"):
+        variance = [s * s for s in sigma]
+    else:
+        variance = (sigma * sigma,) * 3
+    spacing = np.asarray(spacing_xyz)
+    max_width = int(max([8 * v * s for v, s in zip(variance, spacing)]))
+    max_width = max(max_width, 2)
+    var_vox = np.asarray(variance) / spacing**2
+    if mode == "discrete":
+        ks = [
+            _filters.discrete_gaussian_kernel1d(var_vox[2], 0.01, max_width),
+            _filters.discrete_gaussian_kernel1d(var_vox[1], 0.01, max_width),
+            _filters.discrete_gaussian_kernel1d(var_vox[0], 0.01, max_width),
+        ]
+    else:
+        sig_vox = np.sqrt(var_vox)
+        ks = [
+            _filters.gaussian_kernel1d(sig_vox[2]),
+            _filters.gaussian_kernel1d(sig_vox[1]),
+            _filters.gaussian_kernel1d(sig_vox[0]),
+        ]
+    return ks
+
+
+# ---------------------------------------------------------------------------
+# batched multiscale demons
+# ---------------------------------------------------------------------------
+
+def batched_multiscale_demons(
+    fixed_arr: jnp.ndarray,
+    moving_stack: jnp.ndarray,
+    spacing_xyz: Tuple[float, float, float],
+    resolution_staging: Sequence[float],
+    iteration_staging: Sequence[int],
+    smoothing_sigmas: Sequence[float],
+    isotropic_resample: bool = True,
+    regularisation_kernel_mm: float = 1.5,
+    max_step_vox: float = 0.5,
+) -> jnp.ndarray:
+    """Multiscale demons of every atlas against one fixed image, batched.
+
+    fixed_arr: [z,y,x]; moving_stack: [N,z,y,x] on the SAME grid.
+    Returns DVF stack [N,z,y,x,3] (mm) on the fixed grid.
+
+    Per level one jitted program runs: regrid fields, pre-warp, N demons loops
+    under vmap, composition, total-field smoothing.  Sharding the leading axis
+    makes each step chip-local.
+    """
+    shape_zyx = fixed_arr.shape
+    grids = level_grids(shape_zyx, spacing_xyz, resolution_staging, isotropic_resample)
+
+    reg_kernel_vox = tuple(
+        (np.array(regularisation_kernel_mm) / np.array(spacing_xyz)).tolist()
+    )
+
+    n = moving_stack.shape[0]
+    dvf_stack = jnp.zeros(shape_zyx + (3,), jnp.float32)[None].repeat(n, axis=0)
+    prev_shape, prev_spacing = shape_zyx, tuple(float(s) for s in spacing_xyz)
+
+    for i, ((lvl_shape, lvl_spacing), sigma, iters) in enumerate(
+        zip(grids, smoothing_sigmas, iteration_staging)
+    ):
+        dvf_stack = _demons_level_batched(
+            fixed_arr,
+            moving_stack,
+            dvf_stack,
+            full_shape=tuple(shape_zyx),
+            full_spacing=tuple(float(s) for s in spacing_xyz),
+            prev_shape=prev_shape,
+            prev_spacing=prev_spacing,
+            lvl_shape=lvl_shape,
+            lvl_spacing=lvl_spacing,
+            sigma_key=float(sigma) if not hasattr(sigma, "__iter__") else tuple(sigma),
+            iterations=int(iters),
+            reg_kernel_vox=reg_kernel_vox,
+            max_step_vox=float(max_step_vox),
+        )
+        prev_shape, prev_spacing = lvl_shape, lvl_spacing
+
+    # final: regrid total field back to the fixed grid
+    final = jax.vmap(
+        lambda f: _regrid(f, prev_spacing, tuple(spacing_xyz), tuple(shape_zyx))
+    )(dvf_stack)
+    return final
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "full_shape", "full_spacing", "prev_shape", "prev_spacing",
+        "lvl_shape", "lvl_spacing", "sigma_key", "iterations",
+        "reg_kernel_vox", "max_step_vox",
+    ),
+)
+def _demons_level_batched(
+    fixed_arr, moving_stack, dvf_stack, *,
+    full_shape, full_spacing, prev_shape, prev_spacing,
+    lvl_shape, lvl_spacing, sigma_key, iterations,
+    reg_kernel_vox, max_step_vox,
+):
+    # pyramid smoothing kernels (reference DiscreteGaussian semantics)
+    pyr_kernels = _smooth_kernels(sigma_key, full_spacing, "discrete")
+
+    def make_level(arr):
+        if pyr_kernels is not None:
+            arr = _filters.convolve_separable(arr, pyr_kernels)
+        return _regrid(arr, full_spacing, lvl_spacing, lvl_shape)
+
+    f_level = make_level(fixed_arr.astype(jnp.float32))
+    m_level = jax.vmap(make_level)(moving_stack.astype(jnp.float32))
+
+    # bring running total DVF onto the level grid
+    dvf_level = jax.vmap(
+        lambda f: _regrid(f, prev_spacing, lvl_spacing, lvl_shape)
+    )(dvf_stack)
+
+    # pre-warp each moving level image through its running field
+    m_warped = jax.vmap(
+        lambda m, f: _warp_arr(m, f, lvl_spacing)
+    )(m_level, dvf_level)
+
+    # per-iteration field smoothing kernels (ITK PDE framework: err 0.1, w 30)
+    def pde_kernels(sig_vox):
+        s = np.asarray(sig_vox, dtype=np.float64).reshape(-1)
+        if s.size == 1:
+            s = np.repeat(s, 3)
+        return tuple(
+            tuple(float(v) for v in _filters.discrete_gaussian_kernel1d(s[k] ** 2, 0.1, 30))
+            for k in (2, 1, 0)
+        )
+
+    # within a level the incremental field starts at zero (pre-warped moving),
+    # so a tight inner bound suffices; between-level warps use the mm bound
+    max_disp = tuple(
+        min(12, n - 1) for n in (lvl_shape[2], lvl_shape[1], lvl_shape[0])
+    )
+    demons = functools.partial(
+        _demons_level_impl,
+        iterations=iterations,
+        spacing=lvl_spacing,
+        std_kernels_key=pde_kernels(reg_kernel_vox),
+        update_kernels_key=pde_kernels((1.0, 1.0, 1.0)),
+        max_step_vox=max_step_vox,
+        max_disp_vox=max_disp,
+    )
+    zero_field = jnp.zeros(lvl_shape + (3,), jnp.float32)
+    dvf_iter = jax.vmap(lambda m: demons(f_level, m, zero_field))(m_warped)
+
+    # compose: dvf_total += dvf_iter( x + dvf_total(x) )
+    dvf_pulled = jax.vmap(
+        lambda it, tot: _warp_arr(it, tot, lvl_spacing)
+    )(dvf_iter, dvf_level)
+    dvf_total = dvf_level + dvf_pulled
+
+    # reference quirk: voxel-unit sigmas fed to the physical-unit smoother
+    sig = np.asarray(reg_kernel_vox, dtype=np.float64).reshape(-1)
+    if sig.size == 1:
+        sig = np.repeat(sig, 3)
+    sig_vox = sig / np.asarray(lvl_spacing)
+    total_kernels = [
+        _filters.gaussian_kernel1d(sig_vox[2]),
+        _filters.gaussian_kernel1d(sig_vox[1]),
+        _filters.gaussian_kernel1d(sig_vox[0]),
+    ]
+    dvf_total = _filters.convolve_separable(dvf_total, total_kernels, axes=(1, 2, 3))
+    return dvf_total
+
+
+def batched_warp_by_dvf(
+    stack: jnp.ndarray,
+    dvf_stack: jnp.ndarray,
+    spacing_xyz,
+    interp=INTERP_LINEAR,
+    default_value: float = 0.0,
+) -> jnp.ndarray:
+    """Warp a [N,z,y,x] stack by per-atlas DVFs on the same grid."""
+    spacing = tuple(float(s) for s in spacing_xyz)
+
+    @jax.jit
+    def run(s, d):
+        return jax.vmap(
+            lambda a, f: _warp_arr(a, f, spacing, interp=interp, default_value=default_value)
+        )(s, d)
+
+    return run(stack, dvf_stack)
+
+
+def batched_weight_maps(
+    target_arr: jnp.ndarray,
+    moving_stack: jnp.ndarray,
+    spacing_xyz,
+    vote_type: str = "unweighted",
+    vote_params: Optional[dict] = None,
+) -> jnp.ndarray:
+    """Weight maps for every atlas at once (fusion.py:56-202 semantics)."""
+    from platipy_tpu.label.fusion import DEFAULT_VOTE_PARAMS
+
+    params = dict(DEFAULT_VOTE_PARAMS)
+    if vote_params:
+        params.update(vote_params)
+    vote = vote_type.lower()
+    target = target_arr.astype(jnp.float32)
+    stack = moving_stack.astype(jnp.float32)
+
+    if vote == "unweighted":
+        return jnp.ones_like(stack)
+
+    if vote == "global":
+        sq = (stack - target[None]) ** 2
+        w = params["factor"] / jnp.sum(sq, axis=(1, 2, 3))
+        return jnp.broadcast_to(w[:, None, None, None], stack.shape).astype(jnp.float32)
+
+    if vote == "local":
+        sigma = params["sigma"]
+        spacing = np.asarray(spacing_xyz)
+        var_vox = (sigma * sigma) / spacing**2
+        kernels = [
+            _filters.discrete_gaussian_kernel1d(var_vox[2]),
+            _filters.discrete_gaussian_kernel1d(var_vox[1]),
+            _filters.discrete_gaussian_kernel1d(var_vox[0]),
+        ]
+        sq = (stack - target[None]) ** 2
+        raw = _filters.convolve_separable(sq, kernels, axes=(1, 2, 3))
+        return (raw + params["epsilon"]) ** -1.0
+
+    if vote == "block":
+        block = params["blockSize"]
+        if isinstance(block, int):
+            block = (block,) * 3
+        kernels = [np.full(2 * int(r) + 1, 1.0 / (2 * int(r) + 1)) for r in
+                   (block[2], block[1], block[0])]
+        sq = (stack - target[None]) ** 2
+        raw = _filters.convolve_separable(sq, kernels, axes=(1, 2, 3))
+        return params["factor"] * (raw ** -1.0) ** abs(params["gain"] / 2.0)
+
+    raise ValueError(f"Unsupported batched vote_type {vote_type!r}")

@@ -1,0 +1,347 @@
+"""Multi-atlas segmentation pipeline — drop-in mirror of
+platipy/imaging/projects/multiatlas/run.py (reference lines 47-441), rebuilt
+atlas-parallel.
+
+Pipeline stages (reference semantics preserved):
+  1. auto-crop the target via <=8 quick similarity registrations (:203-248)
+  2. per-atlas linear registration + label propagation (:255-300)
+  3. per-atlas demons DIR (:306-347) — here BATCHED: atlases stacked on a
+     leading axis, one jit-compiled multiscale demons over all of them,
+     sharded over the device mesh's 'atlas' axis when multiple chips exist
+  4. weight maps + label fusion (:352-364) — a batched cross-atlas reduction
+  5. paste binary/probability results into the original space (:366-404)
+  6. post-processing: largest component, closing, overlap correction (:406-437)
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core.image import Image
+from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST
+from platipy_tpu.core.components import connected_components, relabel_components
+from platipy_tpu.core.morphology import binary_closing
+from platipy_tpu.label.fusion import process_probability_image, weighted_voting_batched
+from platipy_tpu.label.utils import correct_volume_overlap
+from platipy_tpu.parallel.atlas import (
+    atlas_mesh,
+    batched_multiscale_demons,
+    batched_warp_by_dvf,
+    batched_weight_maps,
+    shard_over_atlases,
+)
+from platipy_tpu.registration.linear import linear_registration
+from platipy_tpu.registration.utils import apply_transform
+from platipy_tpu.utils.crop import crop_to_roi, label_to_roi, paste
+
+logger = logging.getLogger(__name__)
+
+ATLAS_PATH = os.environ.get("ATLAS_PATH", "/atlas")
+
+MUTLIATLAS_SETTINGS_DEFAULTS = {
+    "atlas_settings": {
+        "atlas_id_list": ["03"],
+        "atlas_structure_list": ["WHOLEHEART"],
+        "atlas_path": ATLAS_PATH,
+        "atlas_image_format": "Case_{0}/Images/Case_{0}_CROP.nii.gz",
+        "atlas_label_format": "Case_{0}/Structures/Case_{0}_{1}_CROP.nii.gz",
+        "crop_atlas_to_structures": False,
+        "crop_atlas_expansion_mm": (20, 20, 40),
+    },
+    "auto_crop_target_image_settings": {
+        "expansion_mm": [20, 20, 40],
+    },
+    "linear_registration_settings": {
+        "reg_method": "affine",
+        "shrink_factors": [16, 8, 4],
+        "smooth_sigmas": [0, 0, 0],
+        "sampling_rate": 0.75,
+        "default_value": None,
+        "number_of_iterations": 50,
+        "metric": "mean_squares",
+        "optimiser": "gradient_descent_line_search",
+        "verbose": False,
+    },
+    "deformable_registration_settings": {
+        "isotropic_resample": True,
+        "resolution_staging": [6, 3, 1.5],
+        "iteration_staging": [150, 125, 100],
+        "smoothing_sigmas": [0, 0, 0],
+        "ncores": 8,
+        "default_value": None,
+        "verbose": False,
+    },
+    "label_fusion_settings": {
+        "vote_type": "unweighted",
+        "vote_params": None,
+        "optimal_threshold": {},
+    },
+    "postprocessing_settings": {
+        "run_postprocessing": True,
+        "binaryfillhole_mm": 3,
+        "structures_for_binaryfillhole": [],
+        "structures_for_overlap_correction": [],
+    },
+}
+
+# keep the reference's misspelled name as the canonical one (API parity);
+# provide the corrected alias as well
+MULTIATLAS_SETTINGS_DEFAULTS = MUTLIATLAS_SETTINGS_DEFAULTS
+
+
+def _load_atlas_set(settings) -> Dict:
+    """Read atlas images/structures from disk or from an in-memory dict."""
+    from platipy_tpu.nifti.io import read_image
+
+    atlas_settings = settings["atlas_settings"]
+    atlas_set = {}
+
+    in_memory = atlas_settings.get("atlas_set")
+    if in_memory is not None:
+        for atlas_id, case in in_memory.items():
+            atlas_set[atlas_id] = {"Original": dict(case)}
+        return atlas_set
+
+    atlas_path = atlas_settings["atlas_path"]
+    for atlas_id in atlas_settings["atlas_id_list"]:
+        image = read_image(
+            f"{atlas_path}/{atlas_settings['atlas_image_format'].format(atlas_id)}"
+        )
+        structures = {
+            struct: read_image(
+                f"{atlas_path}/{atlas_settings['atlas_label_format'].format(atlas_id, struct)}"
+            )
+            for struct in atlas_settings["atlas_structure_list"]
+        }
+        atlas_set[atlas_id] = {"Original": {"CT Image": image, **structures}}
+    return atlas_set
+
+
+def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
+    """Run the atlas-based segmentation algorithm (reference run.py:106-441).
+
+    Returns (results, results_prob): dicts of binary / probability Images.
+    """
+    results = {}
+    results_prob = {}
+
+    atlas_settings = settings["atlas_settings"]
+    atlas_structure_list = atlas_settings["atlas_structure_list"]
+    crop_atlas_to_structures = atlas_settings["crop_atlas_to_structures"]
+    crop_atlas_expansion_mm = atlas_settings["crop_atlas_expansion_mm"]
+
+    atlas_set = _load_atlas_set(settings)
+    atlas_id_list = list(atlas_set.keys())
+
+    if crop_atlas_to_structures:
+        for atlas_id in atlas_id_list:
+            case = atlas_set[atlas_id]["Original"]
+            crop_box_size, crop_box_index = label_to_roi(
+                [case[s] for s in atlas_structure_list],
+                expansion_mm=crop_atlas_expansion_mm,
+            )
+            case["CT Image"] = crop_to_roi(case["CT Image"], crop_box_size, crop_box_index)
+            for struct in atlas_structure_list:
+                case[struct] = crop_to_roi(case[struct], crop_box_size, crop_box_index)
+
+    # --- step 1: auto-crop the target (reference :203-248) -------------------
+    expansion_mm = settings["auto_crop_target_image_settings"]["expansion_mm"]
+
+    quick_reg_settings = {
+        "reg_method": "similarity",
+        "shrink_factors": [8],
+        "smooth_sigmas": [0],
+        "sampling_rate": 0.75,
+        "default_value": -1000,
+        "number_of_iterations": 25,
+        "final_interp": INTERP_LINEAR,
+        "metric": "mean_squares",
+        "optimiser": "gradient_descent_line_search",
+    }
+
+    logger.info("Running initial similarity transform to crop image volume")
+    registered_crop_images = []
+    for atlas_id in atlas_id_list[: min(8, len(atlas_id_list))]:
+        atlas_image = atlas_set[atlas_id]["Original"]["CT Image"]
+        reg_image, _ = linear_registration(img, atlas_image, **quick_reg_settings)
+        registered_crop_images.append(reg_image.astype(jnp.float32))
+
+    combined = sum(
+        [np.asarray(i.array) for i in registered_crop_images]
+    ) / len(registered_crop_images)
+    combined_image = img.with_array(jnp.asarray((combined > -1000).astype(np.uint8)))
+
+    crop_box_size, crop_box_index = label_to_roi(combined_image, expansion_mm=expansion_mm)
+    img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
+    logger.info("Calculated crop box: %s %s", crop_box_index, crop_box_size)
+
+    # --- step 2: linear registration per atlas (reference :255-300) ----------
+    linear_registration_settings = settings["linear_registration_settings"]
+    logger.info(
+        "Running %s transform to align atlas images",
+        linear_registration_settings["reg_method"],
+    )
+
+    for atlas_id in atlas_id_list:
+        atlas_set[atlas_id]["RIR"] = {}
+        atlas_reg_image = atlas_set[atlas_id]["Original"]["CT Image"]
+
+        _, initial_tfm = linear_registration(
+            img_crop, atlas_reg_image, **linear_registration_settings
+        )
+        atlas_set[atlas_id]["RIR"]["Transform"] = initial_tfm
+        atlas_set[atlas_id]["RIR"]["CT Image"] = apply_transform(
+            input_image=atlas_reg_image,
+            reference_image=img_crop,
+            transform=initial_tfm,
+            default_value=-1000,
+            interpolator=INTERP_LINEAR,
+        )
+        for struct in atlas_structure_list:
+            atlas_set[atlas_id]["RIR"][struct] = apply_transform(
+                input_image=atlas_set[atlas_id]["Original"][struct],
+                reference_image=img_crop,
+                transform=initial_tfm,
+                default_value=0,
+                interpolator=INTERP_NEAREST,
+            )
+        atlas_set[atlas_id]["Original"] = None
+
+    # --- step 3: batched demons DIR (reference :306-347, parallelised) -------
+    deformable_settings = settings["deformable_registration_settings"]
+    logger.info("Running batched DIR to refine atlas image registration")
+
+    target_arr = img_crop.array.astype(jnp.float32)
+    moving_stack = jnp.stack(
+        [atlas_set[i]["RIR"]["CT Image"].array.astype(jnp.float32) for i in atlas_id_list]
+    )
+    struct_stacks = {
+        s: jnp.stack(
+            [atlas_set[i]["RIR"][s].array.astype(jnp.float32) for i in atlas_id_list]
+        )
+        for s in atlas_structure_list
+    }
+
+    # shard the atlas axis over the mesh when it divides evenly
+    n_dev = len(jax.devices())
+    if n_dev > 1 and moving_stack.shape[0] % n_dev == 0:
+        mesh = atlas_mesh()
+        moving_stack = shard_over_atlases(moving_stack, mesh)
+        struct_stacks = {k: shard_over_atlases(v, mesh) for k, v in struct_stacks.items()}
+
+    smoothing_sigmas = deformable_settings.get("smoothing_sigmas")
+    if not smoothing_sigmas:
+        smoothing_sigmas = list(deformable_settings["resolution_staging"])
+
+    dvf_stack = batched_multiscale_demons(
+        target_arr,
+        moving_stack,
+        spacing_xyz=img_crop.spacing,
+        resolution_staging=deformable_settings["resolution_staging"],
+        iteration_staging=deformable_settings["iteration_staging"],
+        smoothing_sigmas=smoothing_sigmas,
+        isotropic_resample=deformable_settings["isotropic_resample"],
+        regularisation_kernel_mm=deformable_settings.get("regularisation_kernel_mm", 1.5),
+    )
+
+    dir_images = batched_warp_by_dvf(
+        moving_stack, dvf_stack, img_crop.spacing,
+        interp=INTERP_LINEAR, default_value=-1000.0,
+    )
+    dir_structs = {
+        s: batched_warp_by_dvf(
+            struct_stacks[s], dvf_stack, img_crop.spacing,
+            interp=INTERP_NEAREST, default_value=0.0,
+        )
+        for s in atlas_structure_list
+    }
+
+    for k, atlas_id in enumerate(atlas_id_list):
+        atlas_set[atlas_id]["DIR"] = {
+            "CT Image": img_crop.with_array(dir_images[k]),
+        }
+        for s in atlas_structure_list:
+            atlas_set[atlas_id]["DIR"][s] = img_crop.with_array(dir_structs[s][k])
+        atlas_set[atlas_id]["RIR"] = None
+
+    # --- step 4: weight maps + fusion (reference :352-364) -------------------
+    vote_type = settings["label_fusion_settings"]["vote_type"]
+    vote_params = settings["label_fusion_settings"]["vote_params"]
+
+    weight_stack = batched_weight_maps(
+        target_arr, dir_images, img_crop.spacing,
+        vote_type=vote_type, vote_params=vote_params,
+    )
+    for k, atlas_id in enumerate(atlas_id_list):
+        atlas_set[atlas_id]["DIR"]["Weight Map"] = img_crop.with_array(weight_stack[k])
+
+    from platipy_tpu.core import filters as _filters
+
+    combined_label_dict = {}
+    for s in atlas_structure_list:
+        combined = weighted_voting_batched(weight_stack, dir_structs[s])
+        prob = img_crop.with_array(combined)
+        prob = _filters.discrete_gaussian(prob, 1.0)
+        arr = prob.array
+        lo, hi = jnp.min(arr), jnp.max(arr)
+        arr = (arr - lo) / jnp.maximum(hi - lo, 1e-12)
+        arr = jnp.where(arr >= 1e-4, arr, 0.0)
+        combined_label_dict[s] = img_crop.with_array(arr.astype(jnp.float32))
+
+    # --- step 5: paste into original space (reference :366-404) --------------
+    logger.info("Generating binary segmentations.")
+    template_img_binary = img.with_array(jnp.zeros(img.spatial_shape, jnp.uint8))
+    template_img_prob = img.with_array(jnp.zeros(img.spatial_shape, jnp.float32))
+
+    for structure_name in atlas_structure_list:
+        probability_map = combined_label_dict[structure_name]
+        optimal_threshold = settings["label_fusion_settings"]["optimal_threshold"].get(
+            structure_name, 0.5
+        )
+        binary_struct = process_probability_image(probability_map, optimal_threshold)
+
+        results[structure_name] = paste(
+            template_img_binary, binary_struct,
+            binary_struct.size, (0, 0, 0), crop_box_index,
+        )
+        results_prob[structure_name] = paste(
+            template_img_prob, probability_map,
+            probability_map.size, (0, 0, 0), crop_box_index,
+        )
+
+    # --- step 6: post-processing (reference :406-437) ------------------------
+    postprocessing_settings = settings["postprocessing_settings"]
+    if postprocessing_settings["run_postprocessing"]:
+        logger.info("Running post-processing.")
+        binaryfillhole_img = [
+            int(postprocessing_settings["binaryfillhole_mm"] / sp) for sp in img.spacing
+        ]
+
+        for structure_name in postprocessing_settings["structures_for_binaryfillhole"]:
+            if structure_name not in results:
+                continue
+            contour_s = results[structure_name]
+            labelled = relabel_components(connected_components(contour_s))
+            largest = contour_s.with_array(
+                (np.asarray(labelled.array) == 1).astype(np.uint8)
+            )
+            results[structure_name] = binary_closing(largest, binaryfillhole_img)
+
+        if len(postprocessing_settings["structures_for_overlap_correction"]) >= 2:
+            input_overlap = {
+                s: results[s]
+                for s in postprocessing_settings["structures_for_overlap_correction"]
+            }
+            output_overlap = correct_volume_overlap(input_overlap)
+            for s in postprocessing_settings["structures_for_overlap_correction"]:
+                results[s] = output_overlap[s]
+
+    logger.info("Done!")
+    return results, results_prob

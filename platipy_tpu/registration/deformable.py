@@ -73,6 +73,7 @@ def _vector_smooth(field: jnp.ndarray, kernels_zyx) -> jnp.ndarray:
         "std_kernels_key",
         "update_kernels_key",
         "max_step_vox",
+        "max_disp_vox",
     ),
 )
 def _demons_level_impl(
@@ -85,6 +86,7 @@ def _demons_level_impl(
     std_kernels_key: Tuple[Tuple[float, ...], ...],
     update_kernels_key: Tuple[Tuple[float, ...], ...],
     max_step_vox: float,
+    max_disp_vox: Tuple[int, int, int] = (16, 16, 16),
 ):
     spacing_arr = np.asarray(spacing, dtype=np.float64)
     # ITK ESM normaliser: bound of s*J/(|J|^2 + s^2/K) is sqrt(K)/2, so
@@ -98,28 +100,18 @@ def _demons_level_impl(
     grad_f = _filters.gradient(fixed, spacing)
 
     nz, ny, nx = fixed.shape
-    # precompute index grids once; warp is index-space here (field in mm,
-    # converted with spacing — identity direction within a level, which is how
-    # the reference's demons filter also operates)
+    # warp is index-space here (field in mm, converted with spacing — identity
+    # direction within a level, which is how the reference's demons filter also
+    # operates); multipass shift-select keeps it VPU-bound (see core/interp.py)
     sx, sy, sz = (float(s) for s in spacing)
 
-    def warp_by_field(vol, field):
-        ux = (
-            jax.lax.broadcasted_iota(jnp.float32, (nz, ny, nx), 2)
-            + field[..., 0] / sx
-        )
-        uy = (
-            jax.lax.broadcasted_iota(jnp.float32, (nz, ny, nx), 1)
-            + field[..., 1] / sy
-        )
-        uz = (
-            jax.lax.broadcasted_iota(jnp.float32, (nz, ny, nx), 0)
-            + field[..., 2] / sz
-        )
-        from platipy_tpu.core.interp import sample_at_continuous_index
+    from platipy_tpu.core.interp import warp_multipass
 
-        return sample_at_continuous_index(vol, ux, uy, uz, interp=INTERP_LINEAR,
-                                          default_value=0.0)
+    def warp_by_field(vol, field):
+        return warp_multipass(
+            vol, field[..., 0] / sx, field[..., 1] / sy, field[..., 2] / sz,
+            max_disp_vox=max_disp_vox, default_value=0.0,
+        )
 
     def body(_, field):
         m_w = warp_by_field(moving, field)
@@ -171,6 +163,12 @@ def demons_level(
         ]
         return tuple(tuple(float(v) for v in k) for k in ks)
 
+    # within a level the incremental field starts at zero (the driver pre-warps
+    # by the accumulated total), so a tight voxel bound suffices
+    max_disp = tuple(
+        min(12, n - 1)
+        for n in (fixed.spatial_shape[2], fixed.spatial_shape[1], fixed.spatial_shape[0])
+    )
     out = _demons_level_impl(
         fixed.array.astype(jnp.float32),
         moving.array.astype(jnp.float32),
@@ -180,6 +178,7 @@ def demons_level(
         std_kernels_key=kernels(std_devs_vox, smooth_displacement_field),
         update_kernels_key=kernels(update_std_vox, smooth_update_field),
         max_step_vox=float(max_step_vox),
+        max_disp_vox=max_disp,
     )
     return fixed.with_array(out)
 

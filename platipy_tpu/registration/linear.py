@@ -10,6 +10,7 @@ optax/JAX-native optimisers with ITK-style physical-shift parameter scaling.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -85,6 +86,171 @@ def _sample_points_for_scales(image: Image, n_per_axis: int = 4) -> jnp.ndarray:
     return jnp.asarray(np.stack(pts), jnp.float32)
 
 
+def _make_level_loss(metric_name, shape_zyx, has_fmask, has_mmask):
+    """Level loss: metric(fixed, warp(moving, initial∘T)) with ITK
+    out-of-buffer exclusion and optional metric masks."""
+    import functools as _ft
+
+    from platipy_tpu.core.resample import _resample_linear_impl
+
+    metric_fn = _metrics.get_metric(metric_name)
+
+    def loss(t, initial_transform, f_arr, m_arr, f_mask, m_mask, ref_i2p, mov_p2i):
+        total = CompositeTransform([initial_transform, t])
+        warped = _resample_linear_impl(
+            m_arr, total, ref_i2p, mov_p2i, shape_zyx=shape_zyx,
+            interp_code=INTERP_LINEAR, default_value=0.0, out_dtype_name="float32",
+        )
+        valid = _resample_linear_impl(
+            jnp.ones_like(m_arr), total, ref_i2p, mov_p2i, shape_zyx=shape_zyx,
+            interp_code=INTERP_NEAREST, default_value=0.0, out_dtype_name="float32",
+        )
+        weight = valid
+        if has_fmask:
+            weight = weight * (f_mask > 0.5).astype(jnp.float32)
+        if has_mmask:
+            m_w = _resample_linear_impl(
+                m_mask, total, ref_i2p, mov_p2i, shape_zyx=shape_zyx,
+                interp_code=INTERP_NEAREST, default_value=0.0, out_dtype_name="float32",
+            )
+            weight = weight * (m_w > 0.5).astype(jnp.float32)
+        return metric_fn(f_arr, warped, weight)
+
+    return loss
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric_name", "optimiser", "iterations", "shape_zyx", "has_fmask", "has_mmask",
+    ),
+)
+def _register_level(
+    opt_transform,
+    initial_transform,
+    f_arr,
+    m_arr,
+    f_mask,
+    m_mask,
+    ref_i2p,
+    mov_p2i,
+    scales,
+    max_step,
+    learning_rate,
+    *,
+    metric_name: str,
+    optimiser: str,
+    iterations: int,
+    shape_zyx,
+    has_fmask: bool,
+    has_mmask: bool,
+):
+    """One multi-resolution level's optimisation as a single XLA program.
+
+    Compiled once per (transform type, metric, optimiser, level shape) and
+    reused across every atlas registration in a pipeline — the compile-count
+    killer for the N-atlas outer loop.
+    """
+    from platipy_tpu.registration.optimise import split_trainable
+
+    loss = _make_level_loss(metric_name, shape_zyx, has_fmask, has_mmask)
+    params, rebuild = split_trainable(opt_transform)
+
+    def loss_of_params(p):
+        return loss(rebuild(p), initial_transform, f_arr, m_arr, f_mask, m_mask,
+                    ref_i2p, mov_p2i)
+
+    value_and_grad = jax.value_and_grad(loss_of_params)
+
+    def scaled(g):
+        return {k: g[k] / scales[k] for k in g}
+
+    def estimated_lr(g):
+        sq = sum(jnp.sum(g[k] * g[k] / scales[k]) for k in g)
+        shift = jnp.sqrt(jnp.maximum(sq, 1e-20))
+        return learning_rate * max_step / shift
+
+    v0, g0 = value_and_grad(params)
+    lr0 = estimated_lr(g0)
+
+    if optimiser in ("gradient_descent", "cgls"):
+        def body(_, carry):
+            p, lr, v = carry
+            _, g = value_and_grad(p)
+            g = scaled(g)
+            cand = jax.tree_util.tree_map(lambda x, gi: x - lr * gi, p, g)
+            v_cand = loss_of_params(cand)
+            accept = v_cand < v
+            p = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, a, b), cand, p)
+            v = jnp.where(accept, v_cand, v)
+            lr = jnp.where(accept, lr * 1.1, lr * 0.5)
+            return p, lr, v
+
+        p_opt, _, final = jax.lax.fori_loop(0, iterations, body, (params, lr0, v0))
+
+    elif optimiser == "gradient_descent_line_search":
+        def body(_, carry):
+            p, v = carry
+            _, g = value_and_grad(p)
+            g = scaled(g)
+
+            def try_step(lr):
+                cand = jax.tree_util.tree_map(lambda x, gi: x - lr * gi, p, g)
+                return cand, loss_of_params(cand)
+
+            def ls_body(state):
+                lr, _, _, it = state
+                cand, vc = try_step(lr)
+                return lr * 0.5, cand, vc, it + 1
+
+            def ls_cond(state):
+                lr, cand, vc, it = state
+                return (vc >= v) & (it < 8)
+
+            cand0, vc0 = try_step(lr0)
+            _, cand, vc, _ = jax.lax.while_loop(ls_cond, ls_body, (lr0 * 0.5, cand0, vc0, 0))
+            accept = vc < v
+            p_new = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, a, b), cand, p)
+            return p_new, jnp.where(accept, vc, v)
+
+        p_opt, final = jax.lax.fori_loop(0, iterations, body, (params, v0))
+
+    elif optimiser in ("lbfgsb", "lbfgs", "lbfgs2"):
+        import optax
+
+        sqrt_s = {k: jnp.sqrt(scales[k]) for k in scales}
+
+        def to_q(p):
+            return {k: p[k] * sqrt_s[k] for k in p}
+
+        def from_q(q):
+            return {k: q[k] / sqrt_s[k] for k in q}
+
+        def loss_q(q):
+            return loss_of_params(from_q(q))
+
+        vg_q = jax.value_and_grad(loss_q)
+        opt = optax.lbfgs()
+        q0 = to_q(params)
+        state0 = opt.init(q0)
+        vq0, gq0 = vg_q(q0)
+
+        def body(_, carry):
+            q, state, v, g = carry
+            updates, state = opt.update(g, state, q, value=v, grad=g, value_fn=loss_q)
+            q = optax.apply_updates(q, updates)
+            v, g = vg_q(q)
+            return q, state, v, g
+
+        q, _, final, _ = jax.lax.fori_loop(0, iterations, body, (q0, state0, vq0, gq0))
+        p_opt = from_q(q)
+
+    else:
+        raise ValueError(f"Unknown optimiser {optimiser!r}")
+
+    return rebuild(p_opt), final
+
+
 def linear_registration(
     fixed_image: Image,
     moving_image: Image,
@@ -146,45 +312,51 @@ def linear_registration(
                 fixed_structure.astype(jnp.float32), f_level, None,
                 interp=INTERP_NEAREST, default_value=0.0,
             )
-        m_mask32 = moving_structure.astype(jnp.float32) if moving_structure is not None else None
-
-        fixed_arr = f_level.array
-
-        ones_m = m_level.with_array(jnp.ones_like(m_level.array))
-
-        def loss_fn(t, _f_level=f_level, _m_level=m_level, _fixed_arr=fixed_arr,
-                    _f_mask=f_mask_level, _m_mask=m_mask32, _ones_m=ones_m):
-            # total map: initial ∘ t  (SetMovingInitialTransform semantics,
-            # reference linear.py:139 + CompositeTransform at :240)
-            total = CompositeTransform([initial_transform, t])
-            warped = resample(_m_level, _f_level, total, interp=INTERP_LINEAR,
-                              default_value=0.0)
-            # ITK metric semantics: points mapping outside the moving buffer
-            # are excluded from the metric (not filled with default)
-            valid = resample(_ones_m, _f_level, total, interp=INTERP_NEAREST,
-                             default_value=0.0)
-            weight = valid.array
-            if _f_mask is not None:
-                weight = weight * (_f_mask.array > 0.5).astype(jnp.float32)
-            if _m_mask is not None:
-                m_w = resample(_m_mask, _f_level, total, interp=INTERP_NEAREST,
-                               default_value=0.0)
-                weight = weight * (m_w.array > 0.5).astype(jnp.float32)
-            return metric_fn(_fixed_arr, warped.array, weight)
+        m_mask_level = None
+        if moving_structure is not None:
+            # bring the moving mask onto the moving level grid so the level's
+            # index mapping applies to it too
+            m_mask_level = resample(
+                moving_structure.astype(jnp.float32), m_level, None,
+                interp=INTERP_NEAREST, default_value=0.0,
+            )
 
         scales = physical_shift_scales(opt_transform, _sample_points_for_scales(f_level))
+        scales = {k: jnp.asarray(v, jnp.float32) for k, v in scales.items()}
 
-        opt_transform, final_loss = optimise(
-            loss_fn,
+        from platipy_tpu.core.image import index_to_physical_matrix, physical_to_index_matrix
+
+        ref_i2p = jnp.asarray(
+            index_to_physical_matrix(f_level.origin, f_level.spacing, f_level.direction),
+            jnp.float32,
+        )
+        mov_p2i = jnp.asarray(
+            physical_to_index_matrix(m_level.origin, m_level.spacing, m_level.direction),
+            jnp.float32,
+        )
+        dummy = jnp.zeros((1, 1, 1), jnp.float32)
+
+        opt_transform, final_loss = _register_level(
             opt_transform,
-            optimiser=optimiser,
-            learning_rate=1.0,
-            number_of_iterations=number_of_iterations,
-            scales=scales,
-            max_step_physical=float(max(f_level.spacing)),
+            initial_transform,
+            f_level.array.astype(jnp.float32),
+            m_level.array.astype(jnp.float32),
+            f_mask_level.array if f_mask_level is not None else dummy,
+            m_mask_level.array if m_mask_level is not None else dummy,
+            ref_i2p,
+            mov_p2i,
+            scales,
+            jnp.float32(max(f_level.spacing)),
+            jnp.float32(1.0),
+            metric_name=metric.lower(),
+            optimiser=optimiser.lower(),
+            iterations=int(number_of_iterations),
+            shape_zyx=f_level.spatial_shape,
+            has_fmask=f_mask_level is not None,
+            has_mmask=m_mask_level is not None,
         )
         if verbose:
-            print(f"level {level} (shrink {shrink}): metric = {final_loss:.6f}")
+            print(f"level {level} (shrink {shrink}): metric = {float(final_loss):.6f}")
 
     combined_transform = CompositeTransform([initial_transform, opt_transform])
 

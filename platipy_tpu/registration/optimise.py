@@ -48,20 +48,36 @@ def split_trainable(transform):
 
 def physical_shift_scales(transform, sample_points: jnp.ndarray) -> dict:
     """Per-parameter scale = mean squared physical shift of the sample points
-    under a unit change of that parameter (ITK ScalesFromPhysicalShift)."""
+    under a unit change of that parameter (ITK ScalesFromPhysicalShift).
+
+    Tiny computation (a jacobian at ~64 points) — pinned to the local CPU
+    backend so it never pays remote-dispatch latency.
+    """
     params, rebuild = split_trainable(transform)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
 
-    def apply_fn(p):
-        return rebuild(p).apply(sample_points)
+    def compute():
+        pts = jnp.asarray(np.asarray(sample_points))
 
-    jac = jax.jacfwd(apply_fn)(params)  # pytree of [N, 3, *param_shape]
-    scales = {}
-    for name, j in jac.items():
-        # mean over points of squared shift magnitude, per scalar parameter
-        axes = (0, 1)
-        sq = jnp.sum(j * j, axis=1)  # [N, *param_shape]
-        scales[name] = jnp.maximum(jnp.mean(sq, axis=0), 1e-10)
-    return scales
+        def apply_fn(p):
+            return rebuild(p).apply(pts)
+
+        jac = jax.jacfwd(apply_fn)(params)  # pytree of [N, 3, *param_shape]
+        scales = {}
+        for name, j in jac.items():
+            # mean over points of squared shift magnitude, per scalar parameter
+            sq = jnp.sum(j * j, axis=1)  # [N, *param_shape]
+            scales[name] = jnp.maximum(jnp.mean(sq, axis=0), 1e-10)
+        return scales
+
+    if cpu is not None:
+        with jax.default_device(cpu):
+            scales = compute()
+        return {k: np.asarray(v) for k, v in scales.items()}
+    return compute()
 
 
 def _tree_scale(grad, scales):
@@ -185,7 +201,7 @@ def optimise(
         # precondition by sqrt(scales) so rotation/translation parameters are
         # commensurate (ITK handles this through optimizer scales too)
         if scales is not None:
-            sqrt_s = {k: jnp.sqrt(scales[k]) for k in scales}
+            sqrt_s = {k: np.sqrt(np.asarray(scales[k])) for k in scales}
 
             def to_q(p):
                 return {k: p[k] * sqrt_s[k] for k in p}

@@ -1,0 +1,241 @@
+"""Vessel splining — VTK-free spline + tube rasterisation.
+
+Rebuild of platipy/imaging/utils/vessel.py:33-435, which delegated to VTK
+(vtkParametricSpline -> vtkTubeFilter -> vtkPolyDataToImageStencil).  Here:
+
+* slice-wise mean COM across atlas masks (same formulas, vessel.py:33-167);
+* a chord-length-parameterised natural cubic spline through the COM points
+  (scipy CubicSpline = the vtkCardinalSpline behaviour), sampled densely;
+* tube voxelisation as distance-to-centreline <= radius via the bounded
+  on-device EDT (replacing polydata stencilling — same geometry, no mesh).
+
+The reference's direction-identity workaround (vessel.py:393-434, needed
+because VTK images cannot carry directions) is reproduced by doing all the
+geometry in identity-direction space and reattaching the original direction.
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core.distance import squared_edt
+from platipy_tpu.core.image import Image
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "com_from_image_list",
+    "spline_centreline",
+    "tube_mask_from_points",
+    "vessel_spline_generation",
+]
+
+
+def com_from_image_list(
+    image_list: List[Image],
+    condition_type: str = "count",
+    condition_value: float = 0,
+    scan_direction: str = "z",
+):
+    """Mean slice-wise COM positions across masks (reference vessel.py:33-167).
+
+    Physical points are computed with IDENTITY direction (origin + spacing*idx),
+    matching the reference's VTK workaround.
+    """
+    reference_image = image_list[0]
+    origin = np.asarray(reference_image.origin)
+    spacing = np.asarray(reference_image.spacing)
+
+    def phys(idx_xyz):
+        return origin + spacing * np.asarray(idx_xyz, dtype=np.float64)
+
+    if scan_direction.lower() == "x":
+        ref_arr = np.asarray(reference_image.array)
+        z, y = np.mgrid[0 : ref_arr.shape[0] : 1, 0 : ref_arr.shape[1] : 1]
+        com_z_list, com_y_list, weight_list, count_list = [], [], [], []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for img in image_list:
+                volume_array = np.asarray(img.array)
+                com_z = 1.0 * (z[:, :, np.newaxis] * volume_array).sum(axis=(1, 0))
+                com_y = 1.0 * (y[:, :, np.newaxis] * volume_array).sum(axis=(1, 0))
+                weights = np.sum(volume_array, axis=(1, 0))
+                weight_list.append(weights)
+                count_list.append(np.any(volume_array, axis=(1, 0)))
+                com_z_list.append(com_z / (1.0 * weights))
+                com_y_list.append(com_y / (1.0 * weights))
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            mean_com_z = np.nanmean(com_z_list, axis=0)
+            mean_com_y = np.nanmean(com_y_list, axis=0)
+            if condition_type.lower() == "area":
+                cond = np.sum(weight_list, axis=0) > condition_value
+            elif condition_type.lower() == "count":
+                cond = np.sum(count_list, axis=0) > condition_value
+            else:
+                raise ValueError(
+                    "Invalid condition type, please select from 'area' or 'count'."
+                )
+            mean_com = np.dstack((mean_com_z, mean_com_y))[0] * np.array((cond,) * 2).T
+
+        point_array = []
+        for index, com in enumerate(mean_com):
+            if np.all(np.isfinite(com)) and np.all(com > 0):
+                point_array.append(phys((index, int(com[1]), int(com[0]))))
+        return point_array
+
+    if scan_direction.lower() == "z":
+        ref_arr = np.asarray(reference_image.array)
+        x, y = np.mgrid[0 : ref_arr.shape[1] : 1, 0 : ref_arr.shape[2] : 1]
+        com_x_list, com_y_list, weight_list, count_list = [], [], [], []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for img in image_list:
+                volume_array = np.asarray(img.array)
+                com_x = 1.0 * (x * volume_array).sum(axis=(1, 2))
+                com_y = 1.0 * (y * volume_array).sum(axis=(1, 2))
+                weights = np.sum(volume_array, axis=(1, 2))
+                weight_list.append(weights)
+                count_list.append(np.any(volume_array, axis=(1, 2)))
+                com_x_list.append(com_x / (1.0 * weights))
+                com_y_list.append(com_y / (1.0 * weights))
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            mean_com_x = np.nanmean(com_x_list, axis=0)
+            mean_com_y = np.nanmean(com_y_list, axis=0)
+            if condition_type.lower() == "area":
+                cond = np.sum(weight_list, axis=0) > condition_value
+            elif condition_type.lower() == "count":
+                cond = np.sum(count_list, axis=0) > condition_value
+            else:
+                raise ValueError(
+                    "Invalid condition type, please select from 'area' or 'count'."
+                )
+            mean_com = np.dstack((mean_com_x, mean_com_y))[0] * np.array((cond,) * 2).T
+
+        point_array = []
+        for index, com in enumerate(mean_com):
+            if np.all(np.isfinite(com)) and np.all(com > 0):
+                point_array.append(phys((int(com[1]), int(com[0]), index)))
+        return point_array
+
+    raise ValueError("scan_direction must be 'x' or 'z'")
+
+
+def spline_centreline(points, samples_per_segment: int = 10) -> np.ndarray:
+    """Natural cubic spline through physical points, chord-length parameterised
+    (the vtkParametricSpline behaviour, vessel.py:176-188)."""
+    pts = np.asarray(points, dtype=np.float64)
+    if pts.shape[0] < 2:
+        return pts
+    from scipy.interpolate import CubicSpline
+
+    chord = np.concatenate([[0], np.cumsum(np.linalg.norm(np.diff(pts, axis=0), axis=1))])
+    if chord[-1] == 0:
+        return pts[:1]
+    u = chord / chord[-1]
+    # drop duplicate parameter values
+    keep = np.concatenate([[True], np.diff(u) > 1e-12])
+    u, pts = u[keep], pts[keep]
+    if pts.shape[0] < 2:
+        return pts
+    cs = CubicSpline(u, pts, axis=0, bc_type="natural")
+    n = samples_per_segment * pts.shape[0]
+    return cs(np.linspace(0, 1, n))
+
+
+def tube_mask_from_points(centreline_points, radius_mm: float, reference_image: Image) -> Image:
+    """Voxelise a tube around a polyline: distance-to-centreline <= radius.
+
+    Identity-direction geometry (matching the reference's VTK workaround);
+    runs as a bounded EDT on device.
+    """
+    origin = np.asarray(reference_image.origin)
+    spacing = np.asarray(reference_image.spacing)
+    shape = reference_image.spatial_shape
+
+    pts = np.asarray(centreline_points, dtype=np.float64)
+    if pts.size == 0:
+        return reference_image.with_array(jnp.zeros(shape, jnp.uint8))
+
+    # densify the polyline to sub-voxel spacing so EDT(points) ~= EDT(polyline)
+    min_spacing = float(spacing.min())
+    dense = [pts[0]]
+    for a, b in zip(pts[:-1], pts[1:]):
+        seg_len = np.linalg.norm(b - a)
+        n = max(1, int(np.ceil(seg_len / (0.5 * min_spacing))))
+        for t in np.linspace(0, 1, n + 1)[1:]:
+            dense.append(a + t * (b - a))
+    dense = np.asarray(dense)
+
+    # continuous indices (identity direction)
+    idx = (dense - origin[None, :]) / spacing[None, :]
+    iz = np.clip(np.round(idx[:, 2]).astype(int), 0, shape[0] - 1)
+    iy = np.clip(np.round(idx[:, 1]).astype(int), 0, shape[1] - 1)
+    ix = np.clip(np.round(idx[:, 0]).astype(int), 0, shape[2] - 1)
+
+    seed = np.zeros(shape, dtype=bool)
+    seed[iz, iy, ix] = True
+
+    max_off = int(np.ceil(radius_mm / min_spacing)) + 1
+    d2 = squared_edt(jnp.asarray(seed), tuple(spacing), max_distance_vox=max_off)
+    mask = (d2 <= radius_mm**2).astype(jnp.uint8)
+    return reference_image.with_array(mask)
+
+
+def vessel_spline_generation(
+    reference_image: Image,
+    atlas_set: Dict,
+    vessel_name_list,
+    vessel_radius_mm_dict: Dict,
+    stop_condition_type_dict: Dict,
+    stop_condition_value_dict: Dict,
+    scan_direction_dict: Dict,
+    atlas_label: str = "DIR",
+) -> Dict[str, Image]:
+    """Generate splined vessels from per-atlas masks (reference vessel.py:336-435)."""
+    splined_vessels = {}
+
+    if isinstance(vessel_name_list, str):
+        vessel_name_list = [vessel_name_list]
+
+    for vessel_name in vessel_name_list:
+        image_list = []
+        for i in atlas_set.keys():
+            try:
+                image_list.append(atlas_set[i][atlas_label][vessel_name])
+            except (KeyError, TypeError):
+                logger.warning(
+                    "No match for ID=%s, label=%s, vessel=%s", i, atlas_label, vessel_name
+                )
+
+        if len(image_list) == 0:
+            logger.warning("No structures found for vessel with name %s!", vessel_name)
+            continue
+
+        point_array = com_from_image_list(
+            image_list,
+            condition_type=stop_condition_type_dict[vessel_name],
+            condition_value=stop_condition_value_dict[vessel_name],
+            scan_direction=scan_direction_dict[vessel_name],
+        )
+        centreline = spline_centreline(point_array)
+
+        vessel_delineation = tube_mask_from_points(
+            centreline, vessel_radius_mm_dict[vessel_name], image_list[0]
+        )
+        # reattach the true direction (identity-space geometry, reference :426)
+        vessel_delineation = Image(
+            vessel_delineation.array,
+            image_list[0].origin,
+            image_list[0].spacing,
+            reference_image.direction,
+        )
+        splined_vessels[vessel_name] = vessel_delineation
+
+    return splined_vessels

@@ -1,0 +1,113 @@
+"""End-to-end multi-atlas segmentation test on synthetic pseudo-CT spheres.
+
+Mirrors the reference's synthetic-sphere strategy
+(platipy/imaging/tests/test_cardiac.py:35-142): jittered atlas cases, shrunk
+demons settings, DSC gate vs ground truth — plus an 8-virtual-device sharded
+run exercising the atlas mesh.
+"""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from platipy_tpu.core.image import Image, from_array
+from platipy_tpu.label.comparison import compute_metric_dsc
+from platipy_tpu.projects.multiatlas.run import (
+    MUTLIATLAS_SETTINGS_DEFAULTS,
+    run_segmentation,
+)
+
+
+def _pseudo_ct(center, radius, shape=(24, 48, 48), spacing=(2.0, 2.0, 2.5)):
+    """Sphere of soft tissue (+40 HU boundary-smoothed) in air, like the
+    reference fixture (test_cardiac.py:35-71)."""
+    zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]].astype(np.float32)
+    d = np.sqrt(
+        ((xx - center[2]) * spacing[0]) ** 2
+        + ((yy - center[1]) * spacing[1]) ** 2
+        + ((zz - center[0]) * spacing[2]) ** 2
+    )
+    r_mm = radius * spacing[0]
+    img = -1000 + 1040 / (1 + np.exp((d - r_mm) / 2.0))
+    mask = (d <= r_mm).astype(np.uint8)
+    return (
+        from_array(img.astype(np.float32), spacing=spacing),
+        from_array(mask, spacing=spacing),
+    )
+
+
+def _make_settings(n_atlases):
+    rng = np.random.RandomState(42)
+    atlas_set = {}
+    for i in range(n_atlases):
+        jitter = rng.randint(-2, 3, size=3)
+        r_jit = 8 + rng.randint(-1, 2)
+        img, mask = _pseudo_ct((12 + jitter[0], 24 + jitter[1], 24 + jitter[2]), r_jit)
+        atlas_set[f"{i:02d}"] = {"CT Image": img, "WHOLEHEART": mask}
+
+    settings = copy.deepcopy(MUTLIATLAS_SETTINGS_DEFAULTS)
+    settings["atlas_settings"]["atlas_set"] = atlas_set
+    settings["atlas_settings"]["atlas_id_list"] = list(atlas_set.keys())
+    settings["atlas_settings"]["atlas_structure_list"] = ["WHOLEHEART"]
+    settings["linear_registration_settings"]["shrink_factors"] = [4, 2]
+    settings["linear_registration_settings"]["smooth_sigmas"] = [2, 0]
+    settings["linear_registration_settings"]["number_of_iterations"] = 20
+    settings["deformable_registration_settings"]["resolution_staging"] = [8, 4]
+    settings["deformable_registration_settings"]["iteration_staging"] = [10, 10]
+    settings["postprocessing_settings"]["structures_for_binaryfillhole"] = ["WHOLEHEART"]
+    return settings
+
+
+def test_multiatlas_segmentation_synthetic():
+    target_img, target_mask = _pseudo_ct((12, 24, 24), 8)
+    settings = _make_settings(n_atlases=4)
+    results, results_prob = run_segmentation(target_img, settings)
+
+    assert "WHOLEHEART" in results
+    auto = results["WHOLEHEART"]
+    assert auto.spatial_shape == target_img.spatial_shape
+    dsc = compute_metric_dsc(target_mask, auto)
+    assert dsc > 0.9, f"multi-atlas DSC too low: {dsc}"
+
+    prob = results_prob["WHOLEHEART"]
+    assert float(np.asarray(prob.array).max()) <= 1.0 + 1e-5
+    assert prob.array.dtype == jnp.float32
+
+
+def test_multiatlas_sharded_over_mesh(eight_cpu_devices):
+    """8 atlases sharded over the 8 virtual devices (atlas mesh DP path)."""
+    target_img, target_mask = _pseudo_ct((12, 24, 24), 8)
+    settings = _make_settings(n_atlases=8)
+    results, _ = run_segmentation(target_img, settings)
+    dsc = compute_metric_dsc(target_mask, results["WHOLEHEART"])
+    assert dsc > 0.9, f"sharded multi-atlas DSC too low: {dsc}"
+
+
+def test_nifti_roundtrip(tmp_path):
+    from platipy_tpu.nifti.io import read_image, write_image
+
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(10, 12, 14) * 100).astype(np.float32)
+    img = from_array(
+        arr,
+        origin=(-12.5, 3.0, 44.0),
+        spacing=(0.9, 1.1, 2.5),
+    )
+    path = str(tmp_path / "test.nii.gz")
+    write_image(img, path)
+    back = read_image(path)
+    np.testing.assert_allclose(np.asarray(back.array), arr, rtol=1e-6)
+    np.testing.assert_allclose(back.origin, img.origin, atol=1e-4)
+    np.testing.assert_allclose(back.spacing, img.spacing, atol=1e-5)
+    np.testing.assert_allclose(back.direction, img.direction, atol=1e-5)
+
+    # uint8 mask roundtrip
+    mask = from_array((arr > 50).astype(np.uint8), spacing=(1, 1, 2))
+    mpath = str(tmp_path / "mask.nii")
+    write_image(mask, mpath)
+    mback = read_image(mpath)
+    assert np.asarray(mback.array).dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(mback.array), np.asarray(mask.array))
