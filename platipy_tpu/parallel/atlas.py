@@ -199,16 +199,17 @@ def batched_multiscale_demons(
     regularisation_kernel_mm: float = 1.5,
     max_step_vox: float = 0.5,
 ) -> jnp.ndarray:
-    """Multiscale demons of every atlas against one fixed image, batched.
+    """Multiscale demons of every atlas against the fixed image(s), batched.
 
-    fixed_arr: [z,y,x]; moving_stack: [N,z,y,x] on the SAME grid.
-    Returns DVF stack [N,z,y,x,3] (mm) on the fixed grid.
+    fixed_arr: [z,y,x] (shared) or [N,z,y,x] (per-atlas fixed, e.g. the
+    cardiac pipeline's HU-gated masked targets); moving_stack: [N,z,y,x] on
+    the SAME grid.  Returns DVF stack [N,z,y,x,3] (mm) on the fixed grid.
 
     Per level one jitted program runs: regrid fields, pre-warp, N demons loops
     under vmap, composition, total-field smoothing.  Sharding the leading axis
     makes each step chip-local.
     """
-    shape_zyx = fixed_arr.shape
+    shape_zyx = moving_stack.shape[1:]
     grids = level_grids(shape_zyx, spacing_xyz, resolution_staging, isotropic_resample)
 
     reg_kernel_vox = tuple(
@@ -268,7 +269,12 @@ def _demons_level_batched(
             arr = _filters.convolve_separable(arr, pyr_kernels)
         return _regrid(arr, full_spacing, lvl_spacing, lvl_shape)
 
-    f_level = make_level(fixed_arr.astype(jnp.float32))
+    if fixed_arr.ndim == 4:
+        f_level = jax.vmap(make_level)(fixed_arr.astype(jnp.float32))
+        fixed_batched = True
+    else:
+        f_level = make_level(fixed_arr.astype(jnp.float32))
+        fixed_batched = False
     m_level = jax.vmap(make_level)(moving_stack.astype(jnp.float32))
 
     # bring running total DVF onto the level grid
@@ -306,7 +312,10 @@ def _demons_level_batched(
         max_disp_vox=max_disp,
     )
     zero_field = jnp.zeros(lvl_shape + (3,), jnp.float32)
-    dvf_iter = jax.vmap(lambda m: demons(f_level, m, zero_field))(m_warped)
+    if fixed_batched:
+        dvf_iter = jax.vmap(lambda f, m: demons(f, m, zero_field))(f_level, m_warped)
+    else:
+        dvf_iter = jax.vmap(lambda m: demons(f_level, m, zero_field))(m_warped)
 
     # compose: dvf_total += dvf_iter( x + dvf_total(x) )
     dvf_pulled = jax.vmap(

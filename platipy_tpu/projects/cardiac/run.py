@@ -1,0 +1,788 @@
+"""Cardiac segmentation pipeline — drop-in mirror of
+platipy/imaging/projects/cardiac/run.py (reference lines 75-1148), rebuilt
+atlas-parallel.
+
+Stages (reference semantics preserved):
+  1. guide-structure crop + registration-structure conversion (:609-615), or
+     auto-crop via quick registrations (:617-656)
+  2. per-atlas linear registration (+ expanded guide masks) (:674-745)
+  3. structure-guided demons DIR_STRUCT (:751-799) — BATCHED over atlases
+  4. intensity demons with HU gating at -400 (:806-869) — BATCHED, with
+     per-atlas masked fixed images
+  5. iterative atlas removal (:876-891)
+  6. vessel splining (:894-905)
+  7. fusion + per-structure optimal thresholds (:908-1006)
+  8. vessels binary-encoded as "probability" output (:1008-1042)
+  9. geometric valves / conduction nodes (:1044-1108)
+ 10. post-processing (:1110-1140)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core.components import connected_components, relabel_components
+from platipy_tpu.core.image import Image
+from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST
+from platipy_tpu.core.morphology import binary_closing
+from platipy_tpu.generation.mask import extend_mask
+from platipy_tpu.label.fusion import (
+    combine_labels,
+    compute_weight_map,
+    process_probability_image,
+    weighted_voting_batched,
+)
+from platipy_tpu.label.iar import run_iar
+from platipy_tpu.label.utils import binary_encode_structure_list, correct_volume_overlap
+from platipy_tpu.parallel.atlas import (
+    atlas_mesh,
+    batched_multiscale_demons,
+    batched_warp_by_dvf,
+    batched_weight_maps,
+    shard_over_atlases,
+)
+from platipy_tpu.registration.linear import linear_registration
+from platipy_tpu.registration.utils import apply_transform, convert_mask_to_reg_structure
+from platipy_tpu.utils.conduction import (
+    geometric_atrioventricularnode,
+    geometric_sinoatrialnode,
+)
+from platipy_tpu.utils.crop import crop_to_roi, label_to_roi, paste
+from platipy_tpu.utils.valve import (
+    generate_valve_from_great_vessel,
+    generate_valve_using_cylinder,
+)
+from platipy_tpu.utils.vessel import vessel_spline_generation
+
+logger = logging.getLogger(__name__)
+
+ATLAS_PATH = os.environ.get(
+    "ATLAS_PATH", str(Path.home().joinpath(".platipy_tpu", "cardiac", "test_atlas"))
+)
+
+CARDIAC_SETTINGS_DEFAULTS = {
+    "atlas_settings": {
+        "atlas_id_list": ["03", "05", "08", "10", "11", "12", "13", "16", "24", "35"],
+        "atlas_structure_list": [
+            "AORTICVALVE", "ASCENDINGAORTA", "LANTDESCARTERY", "LCIRCUMFLEXARTERY",
+            "LCORONARYARTERY", "LEFTATRIUM", "LEFTVENTRICLE", "MITRALVALVE",
+            "PULMONARYARTERY", "PULMONICVALVE", "RCORONARYARTERY", "RIGHTATRIUM",
+            "RIGHTVENTRICLE", "SVC", "TRICUSPIDVALVE", "WHOLEHEART",
+        ],
+        "atlas_path": ATLAS_PATH,
+        "atlas_image_format": "Case_{0}/Images/Case_{0}_CROP.nii.gz",
+        "atlas_label_format": "Case_{0}/Structures/Case_{0}_{1}_CROP.nii.gz",
+        "crop_atlas_to_structures": False,
+        "crop_atlas_expansion_mm": (20, 20, 40),
+        "guide_structure_name": "WHOLEHEART",
+        "superior_extension": 30,
+    },
+    "auto_crop_target_image_settings": {
+        "expansion_mm": [20, 20, 40],
+    },
+    "linear_registration_settings": {
+        "reg_method": "affine",
+        "shrink_factors": [16, 8, 4],
+        "smooth_sigmas": [0, 0, 0],
+        "sampling_rate": 0.75,
+        "default_value": -1000,
+        "number_of_iterations": 50,
+        "metric": "mean_squares",
+        "optimiser": "gradient_descent_line_search",
+        "verbose": False,
+    },
+    "structure_guided_registration_settings": {
+        "isotropic_resample": True,
+        "resolution_staging": [16, 8, 2],
+        "iteration_staging": [50, 50, 50],
+        "smoothing_sigmas": [0, 0, 0],
+        "ncores": 8,
+        "default_value": 0,
+        "verbose": False,
+    },
+    "deformable_registration_settings": {
+        "isotropic_resample": True,
+        "resolution_staging": [6, 3, 1.5],
+        "iteration_staging": [200, 150, 100],
+        "smoothing_sigmas": [0, 0, 0],
+        "ncores": 8,
+        "default_value": 0,
+        "verbose": False,
+    },
+    "iar_settings": {
+        "reference_structure": False,
+        "smooth_distance_maps": True,
+        "smooth_sigma": 1,
+        "z_score_statistic": "mad",
+        "outlier_method": "iqr",
+        "outlier_factor": 1.5,
+        "min_best_atlases": 5,
+        "project_on_sphere": False,
+    },
+    "label_fusion_settings": {
+        "vote_type": "unweighted",
+        "vote_params": None,
+        "optimal_threshold": {
+            "AORTICVALVE": 0.5,
+            "ASCENDINGAORTA": 0.44,
+            "LEFTATRIUM": 0.40,
+            "LEFTVENTRICLE": 0.45,
+            "MITRALVALVE": 0.5,
+            "PULMONARYARTERY": 0.46,
+            "PULMONICVALVE": 0.5,
+            "RIGHTATRIUM": 0.38,
+            "RIGHTVENTRICLE": 0.42,
+            "SVC": 0.44,
+            "TRICUSPIDVALVE": 0.5,
+            "WHOLEHEART": 0.5,
+        },
+    },
+    "vessel_spline_settings": {
+        "vessel_name_list": [
+            "LANTDESCARTERY", "LCIRCUMFLEXARTERY", "LCORONARYARTERY", "RCORONARYARTERY",
+        ],
+        "vessel_radius_mm_dict": {
+            "LANTDESCARTERY": 2, "LCIRCUMFLEXARTERY": 2,
+            "LCORONARYARTERY": 2, "RCORONARYARTERY": 2,
+        },
+        "scan_direction_dict": {
+            "LANTDESCARTERY": "z", "LCIRCUMFLEXARTERY": "z",
+            "LCORONARYARTERY": "x", "RCORONARYARTERY": "z",
+        },
+        "stop_condition_type_dict": {
+            "LANTDESCARTERY": "count", "LCIRCUMFLEXARTERY": "count",
+            "LCORONARYARTERY": "count", "RCORONARYARTERY": "count",
+        },
+        "stop_condition_value_dict": {
+            "LANTDESCARTERY": 2, "LCIRCUMFLEXARTERY": 2,
+            "LCORONARYARTERY": 2, "RCORONARYARTERY": 2,
+        },
+    },
+    "geometric_segmentation_settings": {
+        "run_geometric_algorithms": True,
+        "geometric_name_suffix": "_GEOMETRIC",
+        "atlas_structure_names": {
+            "atlas_left_ventricle": "LEFTVENTRICLE",
+            "atlas_right_ventricle": "RIGHTVENTRICLE",
+            "atlas_left_atrium": "LEFTATRIUM",
+            "atlas_right_atrium": "RIGHTATRIUM",
+            "atlas_ascending_aorta": "ASCENDINGAORTA",
+            "atlas_pulmonary_artery": "PULMONARYARTERY",
+            "atlas_superior_vena_cava": "SVC",
+            "atlas_whole_heart": "WHOLEHEART",
+        },
+        "valve_definitions": {
+            "mitral_valve_thickness_mm": 10,
+            "mitral_valve_radius_mm": 15,
+            "tricuspid_valve_thickness_mm": 10,
+            "tricuspid_valve_radius_mm": 15,
+            "pulmonic_valve_thickness_mm": 10,
+            "aortic_valve_thickness_mm": 10,
+        },
+        "conduction_system_definitions": {
+            "sinoatrial_node_radius_mm": 10,
+            "atrioventricular_node_radius_mm": 10,
+        },
+    },
+    "postprocessing_settings": {
+        "run_postprocessing": True,
+        "binaryfillhole_mm": 3,
+        "structures_for_binaryfillhole": [
+            "ASCENDINGAORTA", "LEFTATRIUM", "LEFTVENTRICLE", "RIGHTATRIUM",
+            "RIGHTVENTRICLE", "SVC", "AORTICVALVE", "MITRALVALVE", "PULMONICVALVE",
+            "TRICUSPIDVALVE", "WHOLEHEART",
+        ],
+        "structures_for_overlap_correction": [
+            "ASCENDINGAORTA", "LEFTATRIUM", "LEFTVENTRICLE", "RIGHTATRIUM",
+            "RIGHTVENTRICLE", "PULMONARYARTERY", "SVC",
+        ],
+    },
+    "return_atlas_guide_structure": False,
+    "return_as_cropped": False,
+    "return_proba_as_contours": False,
+}
+
+OPEN_ATLAS_URL = "https://zenodo.org/record/6592437/files/open_atlas.zip?download=1"
+
+import copy as _copy
+
+OPEN_ATLAS_SETTINGS = _copy.deepcopy(CARDIAC_SETTINGS_DEFAULTS)
+OPEN_ATLAS_SETTINGS["atlas_settings"] = {
+    "atlas_id_list": [
+        "LCTSC-Test-S2-201", "LCTSC-Test-S2-203", "LCTSC-Test-S3-201",
+        "LUNG1-002", "LUNG1-009", "LUNG1-021", "LUNG1-067", "LUNG1-226",
+    ],
+    "atlas_structure_list": [
+        "Atrium_L", "Ventricle_L", "Atrium_R", "Ventricle_R", "A_Aorta",
+        "A_Pulmonary", "V_Venacava_S", "A_LAD", "A_Coronary_L", "A_Cflx",
+        "A_Coronary_R", "Heart",
+    ],
+    "atlas_path": ATLAS_PATH,
+    "atlas_image_format": "{0}/IMAGES/CT.nii.gz",
+    "atlas_label_format": "{0}/STRUCTURES/{1}.nii.gz",
+    "crop_atlas_to_structures": True,
+    "crop_atlas_expansion_mm": (50, 50, 50),
+    "guide_structure_name": "Heart",
+    "superior_extension": 30,
+}
+OPEN_ATLAS_SETTINGS["label_fusion_settings"] = {
+    "vote_type": "unweighted",
+    "vote_params": None,
+    "optimal_threshold": {
+        "Atrium_L": 0.5, "Ventricle_L": 0.5, "Atrium_R": 0.5, "Ventricle_R": 0.5,
+        "A_Aorta": 0.5, "A_Pulmonary": 0.5, "V_Venacava_S": 0.5, "Heart": 0.5,
+    },
+}
+OPEN_ATLAS_SETTINGS["vessel_spline_settings"] = {
+    "vessel_name_list": ["A_LAD", "A_Cflx", "A_Coronary_L", "A_Coronary_R"],
+    "vessel_radius_mm_dict": {
+        "A_LAD": 2, "A_Cflx": 2, "A_Coronary_L": 2, "A_Coronary_R": 2,
+    },
+    "scan_direction_dict": {
+        "A_LAD": "z", "A_Cflx": "z", "A_Coronary_L": "x", "A_Coronary_R": "z",
+    },
+    "stop_condition_type_dict": {
+        "A_LAD": "count", "A_Cflx": "count", "A_Coronary_L": "count",
+        "A_Coronary_R": "count",
+    },
+    "stop_condition_value_dict": {
+        "A_LAD": 2, "A_Cflx": 2, "A_Coronary_L": 2, "A_Coronary_R": 2,
+    },
+}
+OPEN_ATLAS_SETTINGS["geometric_segmentation_settings"]["atlas_structure_names"] = {
+    "atlas_left_ventricle": "Ventricle_L",
+    "atlas_right_ventricle": "Ventricle_R",
+    "atlas_left_atrium": "Atrium_L",
+    "atlas_right_atrium": "Atrium_R",
+    "atlas_ascending_aorta": "A_Aorta",
+    "atlas_pulmonary_artery": "A_Pulmonary",
+    "atlas_superior_vena_cava": "V_Venacava_S",
+    "atlas_whole_heart": "Heart",
+}
+OPEN_ATLAS_SETTINGS["postprocessing_settings"]["structures_for_binaryfillhole"] = [
+    "Atrium_L", "Ventricle_L", "Atrium_R", "Ventricle_R", "A_Aorta",
+    "A_Pulmonary", "V_Venacava_S", "Heart",
+]
+OPEN_ATLAS_SETTINGS["postprocessing_settings"]["structures_for_overlap_correction"] = [
+    "Atrium_L", "Ventricle_L", "Atrium_R", "Ventricle_R", "A_Aorta",
+    "A_Pulmonary", "V_Venacava_S",
+]
+OPEN_ATLAS_SETTINGS["return_proba_as_contours"] = True
+
+HYBRID_SETTINGS_DEFAULTS = {
+    "fetch_open_atlas": True,
+    "nnunet_settings": None,  # populated lazily from projects.nnunet
+    "cardiac_settings": OPEN_ATLAS_SETTINGS,
+}
+
+
+def install_open_atlas(atlas_path):
+    """Fetch the open atlas from Zenodo into atlas_path (requires network)."""
+    import shutil
+    import tempfile
+
+    from platipy_tpu.utils.download import download_and_extract_zip_file
+
+    logger.info("Fetching and installing open cardiac atlas to %s", atlas_path)
+    temp_dir = tempfile.mkdtemp()
+    download_and_extract_zip_file(OPEN_ATLAS_URL, temp_dir)
+    temp_atlas_path = Path(temp_dir).joinpath("test_atlas")
+    atlas_path = Path(atlas_path)
+    if not atlas_path.parent.exists():
+        atlas_path.parent.mkdir(parents=True)
+    shutil.copytree(temp_atlas_path, atlas_path)
+    shutil.rmtree(temp_dir)
+
+
+def run_hybrid_segmentation(img: Image, settings=HYBRID_SETTINGS_DEFAULTS):
+    """CNN whole-heart + atlas substructures (reference run.py:473-504)."""
+    from platipy_tpu.projects.nnunet.run import NNUNET_SETTINGS_DEFAULTS
+    from platipy_tpu.projects.nnunet.run import run_segmentation as run_nnunet
+
+    atlas_path = Path(settings["cardiac_settings"]["atlas_settings"]["atlas_path"])
+    if not atlas_path.exists() or len(list(atlas_path.glob("*"))) == 0:
+        if settings["fetch_open_atlas"]:
+            install_open_atlas(atlas_path)
+        else:
+            raise SystemError(f"No atlas exists at {atlas_path}")
+
+    nnunet_settings = settings["nnunet_settings"] or NNUNET_SETTINGS_DEFAULTS
+    mask_wh = run_nnunet(img, nnunet_settings)
+
+    if "Struct_0" not in mask_wh.keys():
+        logger.warning("Whole Heart segmentation failed. Unable to proceed.")
+        return {}
+
+    return run_cardiac_segmentation(
+        img, guide_structure=mask_wh["Struct_0"], settings=settings["cardiac_settings"]
+    )
+
+
+def _load_atlas_set(settings):
+    from platipy_tpu.nifti.io import read_image
+
+    atlas_settings = settings["atlas_settings"]
+    atlas_set = {}
+
+    in_memory = atlas_settings.get("atlas_set")
+    if in_memory is not None:
+        for atlas_id, case in in_memory.items():
+            atlas_set[atlas_id] = {"Original": dict(case)}
+        return atlas_set
+
+    atlas_path = atlas_settings["atlas_path"]
+    for atlas_id in atlas_settings["atlas_id_list"]:
+        image = read_image(
+            f"{atlas_path}/{atlas_settings['atlas_image_format'].format(atlas_id)}"
+        )
+        structures = {
+            struct: read_image(
+                f"{atlas_path}/{atlas_settings['atlas_label_format'].format(atlas_id, struct)}"
+            )
+            for struct in atlas_settings["atlas_structure_list"]
+        }
+        atlas_set[atlas_id] = {"Original": {"CT Image": image, **structures}}
+    return atlas_set
+
+
+def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
+                             settings=CARDIAC_SETTINGS_DEFAULTS):
+    """Run the atlas-based cardiac segmentation (reference run.py:507-1148).
+
+    Returns (results, results_prob).
+    """
+    results = {}
+    results_prob = {}
+
+    return_as_cropped = settings["return_as_cropped"]
+
+    atlas_settings = settings["atlas_settings"]
+    atlas_structure_list = atlas_settings["atlas_structure_list"]
+    guide_structure_name = atlas_settings.get("guide_structure_name")
+
+    atlas_set = _load_atlas_set(settings)
+    atlas_id_list = list(atlas_set.keys())
+
+    if atlas_settings["crop_atlas_to_structures"]:
+        for atlas_id in atlas_id_list:
+            case = atlas_set[atlas_id]["Original"]
+            cb_size, cb_index = label_to_roi(
+                [case[s] for s in atlas_structure_list],
+                expansion_mm=atlas_settings["crop_atlas_expansion_mm"],
+            )
+            case["CT Image"] = crop_to_roi(case["CT Image"], cb_size, cb_index)
+            for struct in atlas_structure_list:
+                case[struct] = crop_to_roi(case[struct], cb_size, cb_index)
+
+    # --- step 1: cropping -----------------------------------------------------
+    expansion_mm = settings["auto_crop_target_image_settings"]["expansion_mm"]
+
+    if guide_structure:
+        crop_box_size, crop_box_index = label_to_roi(guide_structure, expansion_mm=expansion_mm)
+        img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
+        guide_structure = crop_to_roi(guide_structure, crop_box_size, crop_box_index)
+        target_reg_structure = convert_mask_to_reg_structure(guide_structure, expansion=2)
+    else:
+        quick_reg_settings = {
+            "reg_method": "similarity",
+            "shrink_factors": [8],
+            "smooth_sigmas": [0],
+            "sampling_rate": 0.75,
+            "default_value": -1000,
+            "number_of_iterations": 25,
+            "final_interp": INTERP_LINEAR,
+            "metric": "mean_squares",
+            "optimiser": "gradient_descent_line_search",
+        }
+        registered_crop_images = []
+        logger.info("Running initial similarity transform to crop image volume")
+        for atlas_id in atlas_id_list[: min(8, len(atlas_id_list))]:
+            atlas_image = atlas_set[atlas_id]["Original"]["CT Image"]
+            reg_image, _ = linear_registration(img, atlas_image, **quick_reg_settings)
+            registered_crop_images.append(np.asarray(reg_image.array, dtype=np.float32))
+
+        combined = sum(registered_crop_images) / len(registered_crop_images)
+        combined_image = img.with_array(jnp.asarray((combined > -1000).astype(np.uint8)))
+        crop_box_size, crop_box_index = label_to_roi(combined_image, expansion_mm=expansion_mm)
+        img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
+
+    logger.info("Calculated crop box: %s %s", crop_box_index, crop_box_size)
+
+    # --- step 2: linear registration per atlas ---------------------------------
+    linear_registration_settings = settings["linear_registration_settings"]
+    logger.info("Running %s transform to align atlas images",
+                linear_registration_settings["reg_method"])
+
+    for atlas_id in atlas_id_list:
+        atlas_set[atlas_id]["RIR"] = {}
+
+        if guide_structure:
+            target_reg_image = target_reg_structure
+            atlas_reg_image = convert_mask_to_reg_structure(
+                atlas_set[atlas_id]["Original"][guide_structure_name], expansion=2
+            )
+        else:
+            target_reg_image = img_crop
+            atlas_reg_image = atlas_set[atlas_id]["Original"]["CT Image"]
+
+        _, initial_tfm = linear_registration(
+            target_reg_image, atlas_reg_image, **linear_registration_settings
+        )
+        atlas_set[atlas_id]["RIR"]["Transform"] = initial_tfm
+
+        if guide_structure:
+            atlas_set[atlas_id]["RIR"]["Reg Mask"] = apply_transform(
+                input_image=atlas_reg_image,
+                reference_image=img_crop,
+                transform=initial_tfm,
+                default_value=0,
+                interpolator=INTERP_LINEAR,
+            )
+            expanded_atlas_guide_structure = extend_mask(
+                atlas_set[atlas_id]["Original"][guide_structure_name],
+                direction=("ax", "sup"),
+                extension_mm=atlas_settings["superior_extension"],
+                interior_mm_shape=atlas_settings["superior_extension"] / 2,
+            )
+            atlas_set[atlas_id]["RIR"][guide_structure_name + "EXPANDED"] = apply_transform(
+                input_image=expanded_atlas_guide_structure,
+                reference_image=img_crop,
+                transform=initial_tfm,
+                default_value=0,
+                interpolator=INTERP_NEAREST,
+            )
+
+        atlas_set[atlas_id]["RIR"]["CT Image"] = apply_transform(
+            input_image=atlas_set[atlas_id]["Original"]["CT Image"],
+            reference_image=img_crop,
+            transform=initial_tfm,
+            default_value=-1000,
+            interpolator=INTERP_LINEAR,
+        )
+        for struct in atlas_structure_list:
+            atlas_set[atlas_id]["RIR"][struct] = apply_transform(
+                input_image=atlas_set[atlas_id]["Original"][struct],
+                reference_image=img_crop,
+                transform=initial_tfm,
+                default_value=0,
+                interpolator=INTERP_NEAREST,
+            )
+        atlas_set[atlas_id]["Original"] = None
+
+    spacing = img_crop.spacing
+    mesh = atlas_mesh() if len(jax.devices()) > 1 else None
+
+    def _maybe_shard(stack):
+        if mesh is not None and stack.shape[0] % len(jax.devices()) == 0:
+            return shard_over_atlases(stack, mesh)
+        return stack
+
+    def _stack(label, key):
+        return _maybe_shard(
+            jnp.stack([atlas_set[i][label][key].array.astype(jnp.float32)
+                       for i in atlas_id_list])
+        )
+
+    # --- step 3a: structure-guided demons (batched) -----------------------------
+    label = "RIR"
+    if guide_structure:
+        sgr = settings["structure_guided_registration_settings"]
+        logger.info("Running structure-guided deformable registration (batched)")
+
+        reg_mask_stack = _stack("RIR", "Reg Mask")
+        dvf_struct = batched_multiscale_demons(
+            target_reg_structure.array.astype(jnp.float32),
+            reg_mask_stack,
+            spacing_xyz=spacing,
+            resolution_staging=sgr["resolution_staging"],
+            iteration_staging=sgr["iteration_staging"],
+            smoothing_sigmas=sgr.get("smoothing_sigmas") or sgr["resolution_staging"],
+            isotropic_resample=sgr["isotropic_resample"],
+        )
+
+        ct_stack = _stack("RIR", "CT Image")
+        ct_stack = batched_warp_by_dvf(ct_stack, dvf_struct, spacing,
+                                       interp=INTERP_LINEAR, default_value=-1000.0)
+        expanded_stack = _stack("RIR", guide_structure_name + "EXPANDED")
+        expanded_stack = batched_warp_by_dvf(expanded_stack, dvf_struct, spacing,
+                                             interp=INTERP_NEAREST, default_value=0.0)
+        reg_mask_warp = batched_warp_by_dvf(reg_mask_stack, dvf_struct, spacing,
+                                            interp=INTERP_LINEAR, default_value=0.0)
+        struct_stacks = {}
+        for s in atlas_structure_list:
+            struct_stacks[s] = batched_warp_by_dvf(
+                _stack("RIR", s), dvf_struct, spacing,
+                interp=INTERP_NEAREST, default_value=0.0,
+            )
+        for k, atlas_id in enumerate(atlas_id_list):
+            atlas_set[atlas_id]["DIR_STRUCT"] = {
+                "Reg Mask": img_crop.with_array(reg_mask_warp[k]),
+                "CT Image": img_crop.with_array(ct_stack[k]),
+                guide_structure_name + "EXPANDED": img_crop.with_array(expanded_stack[k]),
+            }
+            for s in atlas_structure_list:
+                atlas_set[atlas_id]["DIR_STRUCT"][s] = img_crop.with_array(
+                    struct_stacks[s][k]
+                )
+            atlas_set[atlas_id]["RIR"] = None
+        label = "DIR_STRUCT"
+    else:
+        ct_stack = _stack("RIR", "CT Image")
+        struct_stacks = {s: _stack("RIR", s) for s in atlas_structure_list}
+
+    # --- step 3b: intensity demons (batched) ------------------------------------
+    deformable_registration_settings = settings["deformable_registration_settings"]
+    logger.info("Running batched DIR to refine atlas image registration")
+
+    target_arr = img_crop.array.astype(jnp.float32)
+    if guide_structure:
+        # HU gating (reference :821-842): mask both images to the combined
+        # expanded guide masks and to atlas HU > -400
+        expanded_target_mask = extend_mask(
+            guide_structure,
+            direction=("ax", "sup"),
+            extension_mm=atlas_settings["superior_extension"],
+            interior_mm_shape=atlas_settings["superior_extension"] / 2,
+        )
+        combined_mask = jnp.maximum(
+            expanded_stack, (expanded_target_mask.array > 0).astype(jnp.float32)[None]
+        )
+        atlas_fixed = jnp.where(combined_mask > 0, target_arr[None], -1000.0)
+        moving_gated = jnp.where(combined_mask > 0, ct_stack, -1000.0)
+        moving_gated = jnp.where(moving_gated > -400, moving_gated, -1000.0)
+        atlas_fixed = jnp.where(moving_gated > -400, atlas_fixed, -1000.0)
+        demons_fixed = atlas_fixed          # [N, z, y, x] per-atlas fixed
+        demons_moving = moving_gated
+    else:
+        demons_fixed = target_arr
+        demons_moving = ct_stack
+
+    dvf_stack = batched_multiscale_demons(
+        demons_fixed,
+        demons_moving,
+        spacing_xyz=spacing,
+        resolution_staging=deformable_registration_settings["resolution_staging"],
+        iteration_staging=deformable_registration_settings["iteration_staging"],
+        smoothing_sigmas=deformable_registration_settings.get("smoothing_sigmas")
+        or deformable_registration_settings["resolution_staging"],
+        isotropic_resample=deformable_registration_settings["isotropic_resample"],
+    )
+
+    dir_images = batched_warp_by_dvf(ct_stack, dvf_stack, spacing,
+                                     interp=INTERP_LINEAR, default_value=-1000.0)
+    dir_structs = {
+        s: batched_warp_by_dvf(struct_stacks[s], dvf_stack, spacing,
+                               interp=INTERP_NEAREST, default_value=0.0)
+        for s in atlas_structure_list
+    }
+
+    for k, atlas_id in enumerate(atlas_id_list):
+        atlas_set[atlas_id]["DIR"] = {"CT Image": img_crop.with_array(dir_images[k])}
+        for s in atlas_structure_list:
+            atlas_set[atlas_id]["DIR"][s] = img_crop.with_array(dir_structs[s][k])
+        atlas_set[atlas_id][label] = None
+
+    # --- step 4: iterative atlas removal ----------------------------------------
+    iar_settings = settings["iar_settings"]
+    if iar_settings["reference_structure"]:
+        for atlas_id in atlas_id_list:
+            atlas_image = atlas_set[atlas_id]["DIR"]["CT Image"]
+            weight_map = compute_weight_map(img_crop, atlas_image, vote_type="global")
+            atlas_set[atlas_id]["DIR"]["Weight Map"] = weight_map
+        atlas_set = run_iar(atlas_set=atlas_set, **iar_settings)
+        atlas_id_list = list(atlas_set.keys())
+    else:
+        logger.info("IAR: No reference structure, skipping iterative atlas removal.")
+
+    # --- step 5: vessel splining -------------------------------------------------
+    vessel_spline_settings = settings["vessel_spline_settings"]
+    segmented_vessel_dict = {}
+    if len(vessel_spline_settings["vessel_name_list"]) > 0:
+        segmented_vessel_dict = vessel_spline_generation(
+            img_crop, atlas_set, **vessel_spline_settings
+        )
+
+    # --- step 6: fusion ------------------------------------------------------------
+    vote_type = settings["label_fusion_settings"]["vote_type"]
+    vote_params = settings["label_fusion_settings"]["vote_params"]
+
+    for atlas_id in atlas_id_list:
+        atlas_image = atlas_set[atlas_id]["DIR"]["CT Image"]
+        weight_map = compute_weight_map(img_crop, atlas_image, vote_type=vote_type,
+                                        vote_params=vote_params)
+        atlas_set[atlas_id]["DIR"]["Weight Map"] = weight_map
+
+    combined_label_dict = combine_labels(atlas_set, atlas_structure_list)
+
+    # --- step 7: paste into original space ---------------------------------------
+    logger.info("Generating binary segmentations.")
+    template_img_binary = img.with_array(jnp.zeros(img.spatial_shape, jnp.uint8))
+    template_img_prob = img.with_array(jnp.zeros(img.spatial_shape, jnp.float32))
+
+    vote_structures = settings["label_fusion_settings"]["optimal_threshold"].keys()
+    vote_structures = [i for i in vote_structures if i in atlas_structure_list]
+
+    for structure_name in vote_structures:
+        probability_map = combined_label_dict[structure_name]
+        optimal_threshold = settings["label_fusion_settings"]["optimal_threshold"][
+            structure_name
+        ]
+        binary_struct = process_probability_image(probability_map, optimal_threshold)
+
+        if return_as_cropped:
+            results[structure_name] = binary_struct
+            if settings["return_proba_as_contours"]:
+                atlas_contours = [
+                    process_probability_image(atlas_set[a]["DIR"][structure_name], 0.5)
+                    for a in atlas_id_list
+                ]
+                results_prob[structure_name] = binary_encode_structure_list(atlas_contours)
+            else:
+                results_prob[structure_name] = probability_map
+            if (not settings["return_atlas_guide_structure"]) and (
+                guide_structure is not None
+            ):
+                results[guide_structure_name] = guide_structure
+                results_prob[guide_structure_name] = guide_structure
+        else:
+            if settings["return_proba_as_contours"]:
+                atlas_contours = [
+                    process_probability_image(atlas_set[a]["DIR"][structure_name], 0.5)
+                    for a in atlas_id_list
+                ]
+                probability_img = binary_encode_structure_list(atlas_contours)
+                template_prob = img.with_array(jnp.zeros(img.spatial_shape, jnp.uint32))
+            else:
+                probability_img = probability_map
+                template_prob = template_img_prob
+
+            results[structure_name] = paste(
+                template_img_binary, binary_struct, binary_struct.size,
+                (0, 0, 0), crop_box_index,
+            )
+            results_prob[structure_name] = paste(
+                template_prob, probability_img, probability_img.size,
+                (0, 0, 0), crop_box_index,
+            )
+
+            if (not settings["return_atlas_guide_structure"]) and (
+                guide_structure is not None
+            ):
+                new_guide_structure = paste(
+                    template_img_binary, guide_structure, guide_structure.size,
+                    (0, 0, 0), crop_box_index,
+                )
+                results[guide_structure_name] = new_guide_structure
+                results_prob[guide_structure_name] = new_guide_structure
+
+    for structure_name in vessel_spline_settings["vessel_name_list"]:
+        if structure_name not in segmented_vessel_dict:
+            continue
+        binary_struct = segmented_vessel_dict[structure_name]
+        if return_as_cropped:
+            results[structure_name] = binary_struct
+            vessel_list = [
+                atlas_set[a]["DIR"][structure_name] for a in atlas_id_list
+            ]
+        else:
+            results[structure_name] = paste(
+                template_img_binary, binary_struct, binary_struct.size,
+                (0, 0, 0), crop_box_index,
+            )
+            vessel_list = []
+            for a in atlas_id_list:
+                vessel_list.append(
+                    paste(
+                        template_img_binary,
+                        atlas_set[a]["DIR"][structure_name].astype(jnp.uint8),
+                        atlas_set[a]["DIR"][structure_name].size,
+                        (0, 0, 0), crop_box_index,
+                    )
+                )
+        results_prob[structure_name] = binary_encode_structure_list(vessel_list)
+
+    # --- step 8: geometric valves / conduction nodes ------------------------------
+    geometric_segmentation_settings = settings["geometric_segmentation_settings"]
+    if geometric_segmentation_settings["run_geometric_algorithms"]:
+        logger.info("Computing geometric definitions for valves and conduction system.")
+        geom_atlas_names = geometric_segmentation_settings["atlas_structure_names"]
+        geom_valve_defs = geometric_segmentation_settings["valve_definitions"]
+        geom_conduction_defs = geometric_segmentation_settings[
+            "conduction_system_definitions"
+        ]
+
+        results["Valve_Mitral"] = generate_valve_using_cylinder(
+            label_atrium=results[geom_atlas_names["atlas_left_atrium"]],
+            label_ventricle=results[geom_atlas_names["atlas_left_ventricle"]],
+            radius_mm=geom_valve_defs["mitral_valve_radius_mm"],
+            height_mm=geom_valve_defs["mitral_valve_thickness_mm"],
+        )
+        results["Valve_Tricuspid"] = generate_valve_using_cylinder(
+            label_atrium=results[geom_atlas_names["atlas_right_atrium"]],
+            label_ventricle=results[geom_atlas_names["atlas_right_ventricle"]],
+            radius_mm=geom_valve_defs["tricuspid_valve_radius_mm"],
+            height_mm=geom_valve_defs["tricuspid_valve_thickness_mm"],
+        )
+        results["Valve_Aortic"] = generate_valve_from_great_vessel(
+            label_great_vessel=results[geom_atlas_names["atlas_ascending_aorta"]],
+            label_ventricle=results[geom_atlas_names["atlas_left_ventricle"]],
+            valve_thickness_mm=geom_valve_defs["aortic_valve_thickness_mm"],
+        )
+        results["Valve_Pulmonic"] = generate_valve_from_great_vessel(
+            label_great_vessel=results[geom_atlas_names["atlas_pulmonary_artery"]],
+            label_ventricle=results[geom_atlas_names["atlas_right_ventricle"]],
+            valve_thickness_mm=geom_valve_defs["pulmonic_valve_thickness_mm"],
+        )
+        results["CN_Sinoatrial"] = geometric_sinoatrialnode(
+            label_svc=results[geom_atlas_names["atlas_superior_vena_cava"]],
+            label_ra=results[geom_atlas_names["atlas_right_atrium"]],
+            label_wholeheart=results[geom_atlas_names["atlas_whole_heart"]],
+            radius_mm=geom_conduction_defs["sinoatrial_node_radius_mm"],
+        )
+        results["CN_Atrioventricular"] = geometric_atrioventricularnode(
+            label_la=results[geom_atlas_names["atlas_left_atrium"]],
+            label_lv=results[geom_atlas_names["atlas_left_ventricle"]],
+            label_ra=results[geom_atlas_names["atlas_right_atrium"]],
+            label_rv=results[geom_atlas_names["atlas_right_ventricle"]],
+            radius_mm=geom_conduction_defs["atrioventricular_node_radius_mm"],
+        )
+
+    # --- step 9: post-processing ----------------------------------------------
+    postprocessing_settings = settings["postprocessing_settings"]
+    if postprocessing_settings["run_postprocessing"]:
+        logger.info("Running post-processing.")
+        binaryfillhole_img = [
+            int(postprocessing_settings["binaryfillhole_mm"] / sp) for sp in img.spacing
+        ]
+
+        for structure_name in postprocessing_settings["structures_for_binaryfillhole"]:
+            if structure_name not in results.keys():
+                continue
+            contour_s = results[structure_name]
+            labelled = relabel_components(connected_components(contour_s))
+            largest = contour_s.with_array(
+                (np.asarray(labelled.array) == 1).astype(np.uint8)
+            )
+            results[structure_name] = binary_closing(largest, binaryfillhole_img)
+
+        input_overlap = {
+            s: results[s]
+            for s in postprocessing_settings["structures_for_overlap_correction"]
+            if s in results
+        }
+        if len(input_overlap) >= 2:
+            output_overlap = correct_volume_overlap(input_overlap)
+            for s in input_overlap:
+                results[s] = output_overlap[s]
+
+    if return_as_cropped:
+        results["CROP_IMAGE"] = img_crop
+
+    logger.info("Done!")
+    return results, results_prob

@@ -1,0 +1,131 @@
+"""Sliding-window tiled inference for the 3-D U-Net.
+
+Replaces nnU-Net's ``predict_from_folder`` path (reference
+projects/nnunet/run.py:105-195): instead of a tempdir NIfTI round trip into a
+PyTorch process, tiles are batched on device with Gaussian blending and the
+softmax accumulated in one pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core.image import Image
+from platipy_tpu.core.resample import resample
+
+__all__ = ["preprocess_ct", "sliding_window_inference", "predict_image"]
+
+
+def preprocess_ct(image: Image, target_spacing=(1.5, 1.5, 2.0),
+                  clip=(-1000.0, 1000.0)) -> Image:
+    """Resample to the model grid and normalise CT intensities (nnU-Net style:
+    clip then z-score over the clip window)."""
+    size = np.asarray(image.size, dtype=np.float64)
+    spacing = np.asarray(image.spacing)
+    new_size = np.maximum(np.round(size * spacing / np.asarray(target_spacing)), 1).astype(int)
+    ref = Image(
+        jnp.zeros((int(new_size[2]), int(new_size[1]), int(new_size[0])), jnp.float32),
+        image.origin, tuple(float(s) for s in target_spacing), image.direction,
+    )
+    img_rs = resample(image.astype(jnp.float32), ref, None, interp="linear",
+                      default_value=clip[0])
+    arr = jnp.clip(img_rs.array, clip[0], clip[1])
+    mean = 0.5 * (clip[0] + clip[1])
+    std = (clip[1] - clip[0]) / 4.0
+    return img_rs.with_array((arr - mean) / std)
+
+
+def _gaussian_importance(tile_shape, sigma_scale: float = 0.125) -> np.ndarray:
+    grids = np.meshgrid(
+        *[np.arange(s, dtype=np.float64) for s in tile_shape], indexing="ij"
+    )
+    w = np.ones(tile_shape)
+    for g, s in zip(grids, tile_shape):
+        sigma = max(s * sigma_scale * 2, 1.0)
+        w *= np.exp(-0.5 * ((g - (s - 1) / 2) / sigma) ** 2)
+    w = w / w.max()
+    return np.maximum(w, 1e-3).astype(np.float32)
+
+
+def sliding_window_inference(
+    apply_fn,
+    params,
+    volume: jnp.ndarray,
+    num_classes: int,
+    tile_shape: Tuple[int, int, int] = (32, 128, 128),
+    overlap: float = 0.5,
+) -> jnp.ndarray:
+    """Tiled softmax prediction of a [z,y,x] volume -> [z,y,x,C] probabilities.
+
+    Tiles are placed with the given overlap and blended with a Gaussian
+    importance map (nnU-Net semantics).  Each tile is one jitted forward pass;
+    identical tile shapes reuse the compiled program.
+    """
+    vol_shape = volume.shape
+    tile_shape = tuple(min(t, s) for t, s in zip(tile_shape, vol_shape))
+    step = [max(1, int(t * (1 - overlap))) for t in tile_shape]
+
+    starts = []
+    for axis in range(3):
+        n, t, s = vol_shape[axis], tile_shape[axis], step[axis]
+        ax_starts = list(range(0, max(n - t, 0) + 1, s))
+        if ax_starts[-1] != n - t:
+            ax_starts.append(n - t)
+        starts.append(sorted(set(ax_starts)))
+
+    weight = jnp.asarray(_gaussian_importance(tile_shape))
+
+    @jax.jit
+    def tile_forward(vol, z0, y0, x0):
+        tile = jax.lax.dynamic_slice(vol, (z0, y0, x0), tile_shape)
+        logits = apply_fn(params, tile[None, ..., None])[0]
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    @jax.jit
+    def accumulate(acc, wacc, probs, z0, y0, x0):
+        w = weight[..., None]
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            jax.lax.dynamic_slice(acc, (z0, y0, x0, 0), tile_shape + (num_classes,))
+            + probs * w,
+            (z0, y0, x0, 0),
+        )
+        wacc = jax.lax.dynamic_update_slice(
+            wacc,
+            jax.lax.dynamic_slice(wacc, (z0, y0, x0), tile_shape) + weight,
+            (z0, y0, x0),
+        )
+        return acc, wacc
+
+    acc = jnp.zeros(vol_shape + (num_classes,), jnp.float32)
+    wacc = jnp.zeros(vol_shape, jnp.float32)
+    for z0 in starts[0]:
+        for y0 in starts[1]:
+            for x0 in starts[2]:
+                probs = tile_forward(volume, z0, y0, x0)
+                acc, wacc = accumulate(acc, wacc, probs, z0, y0, x0)
+
+    return acc / jnp.maximum(wacc[..., None], 1e-6)
+
+
+def predict_image(
+    apply_fn, params, image: Image, num_classes: int,
+    target_spacing=(1.5, 1.5, 2.0), tile_shape=(32, 128, 128),
+) -> Image:
+    """Full prediction pipeline: preprocess -> tiled inference -> resample the
+    label map back to the input grid.  Returns an Image of int labels."""
+    pre = preprocess_ct(image, target_spacing=target_spacing)
+    probs = sliding_window_inference(
+        apply_fn, params, pre.array, num_classes, tile_shape=tile_shape
+    )
+    labels = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+    label_img = pre.with_array(labels)
+    # back to the original grid with NN interpolation
+    out = resample(label_img, image, None, interp="nearest", default_value=0,
+                   output_dtype=jnp.uint8)
+    return out

@@ -1,0 +1,145 @@
+"""CNN segmentation entry point — drop-in mirror of
+platipy/imaging/projects/nnunet/run.py (reference lines 13-195).
+
+The reference shells out to PyTorch nnU-Net via a tempdir NIfTI round trip;
+here inference is the native Flax U-Net with on-device sliding-window tiling.
+The output contract is identical: a dict of ``Struct_{i}`` binary masks, one
+per label value.
+
+Model weights resolve in order: ``settings["params"]`` (in-memory pytree),
+``settings["model_path"]`` (orbax checkpoint), the ``PLATIPY_TPU_MODELS``
+directory for the named model.  The Zenodo model registry is preserved for
+provenance; converting the reference's torch weights requires a host with
+network+torch and is provided by ``convert_torch_checkpoint`` when available.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core.image import Image
+from platipy_tpu.projects.nnunet.inference import predict_image
+from platipy_tpu.projects.nnunet.model import UNet3D, default_unet
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "NNUNET_SETTINGS_DEFAULTS",
+    "available_nnunet_models",
+    "setup_nnunet_environment",
+    "run_segmentation",
+    "save_checkpoint",
+    "load_checkpoint",
+]
+
+MODELS_PATH = os.environ.get(
+    "PLATIPY_TPU_MODELS",
+    str(Path.home().joinpath(".platipy_tpu", "models")),
+)
+
+# provenance registry (reference nnunet/run.py:13-38)
+NNUNET_MODEL_REGISTRY = {
+    "Task400_OPEN_HEART_1FOLD": {
+        "url": "https://zenodo.org/record/6585664/files/Task400_OPEN_HEART_1FOLD.zip?download=1",
+        "description": "Whole-heart CT segmentation (open data, 1 fold)",
+        "num_classes": 2,
+        "target_spacing": (1.5, 1.5, 2.0),
+        "tile_shape": (32, 128, 128),
+    },
+}
+
+NNUNET_SETTINGS_DEFAULTS = {
+    "task": "Task400_OPEN_HEART_1FOLD",
+    "config": "3d_lowres",
+    "trainer": "nnUNetTrainerV2",
+    "clean_sup_slices": False,
+    "folds": None,
+    "params": None,        # in-memory parameter pytree
+    "model_path": None,    # orbax checkpoint directory
+    "features": (32, 64, 128, 256),
+    "num_classes": 2,
+    "target_spacing": (1.5, 1.5, 2.0),
+    "tile_shape": (32, 128, 128),
+}
+
+
+def available_nnunet_models() -> Dict:
+    """The model registry (reference run.py:13-38 semantics)."""
+    return NNUNET_MODEL_REGISTRY
+
+
+def setup_nnunet_environment():
+    """Prepare the model directory (reference sets nnU-Net env vars,
+    run.py:57-72; here a single models directory suffices)."""
+    Path(MODELS_PATH).mkdir(parents=True, exist_ok=True)
+    os.environ["PLATIPY_TPU_MODELS"] = MODELS_PATH
+    return MODELS_PATH
+
+
+def save_checkpoint(params, path):
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    checkpointer = ocp.PyTreeCheckpointer()
+    checkpointer.save(str(path), params, force=True)
+
+
+def load_checkpoint(path):
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.PyTreeCheckpointer()
+    return checkpointer.restore(str(Path(path).absolute()))
+
+
+def _resolve_params(settings):
+    if settings.get("params") is not None:
+        return settings["params"]
+    model_path = settings.get("model_path")
+    if model_path is None:
+        candidate = Path(MODELS_PATH) / settings["task"]
+        if candidate.exists():
+            model_path = candidate
+    if model_path is not None and Path(model_path).exists():
+        logger.info("Loading model parameters from %s", model_path)
+        return load_checkpoint(model_path)
+    raise FileNotFoundError(
+        f"No model parameters found for task {settings['task']!r}. Provide "
+        "settings['params'] (in-memory), settings['model_path'] (orbax "
+        f"checkpoint), or install a checkpoint under {MODELS_PATH}."
+    )
+
+
+def run_segmentation(img: Image, settings=NNUNET_SETTINGS_DEFAULTS) -> Dict[str, Image]:
+    """Run CNN segmentation; returns ``{"Struct_0": mask, ...}`` per label
+    value (reference run.py:105-195 output contract)."""
+    settings = {**NNUNET_SETTINGS_DEFAULTS, **settings}
+    registry = NNUNET_MODEL_REGISTRY.get(settings["task"], {})
+    num_classes = settings.get("num_classes") or registry.get("num_classes", 2)
+    target_spacing = settings.get("target_spacing") or registry.get(
+        "target_spacing", (1.5, 1.5, 2.0)
+    )
+    tile_shape = tuple(settings.get("tile_shape") or registry.get("tile_shape", (32, 128, 128)))
+
+    params = _resolve_params(settings)
+    model = default_unet(num_classes=num_classes, features=tuple(settings["features"]))
+
+    labels = predict_image(
+        model.apply, params, img, num_classes,
+        target_spacing=target_spacing, tile_shape=tile_shape,
+    )
+
+    labels_arr = np.asarray(labels.array)
+    results = {}
+    # reference splits per label value as Struct_{i-1} for labels 1..K
+    for i in range(1, int(labels_arr.max()) + 1):
+        results[f"Struct_{i - 1}"] = labels.with_array(
+            jnp.asarray((labels_arr == i).astype(np.uint8))
+        )
+    return results

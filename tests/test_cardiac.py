@@ -1,0 +1,159 @@
+"""Cardiac pipeline E2E tests — mirrors the reference's synthetic-sphere
+strategy (platipy/imaging/tests/test_cardiac.py:35-237) including the on-disk
+atlas layout (exercising the NIfTI loader path).
+"""
+
+import copy
+import logging
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from platipy_tpu.core.image import Image, from_array
+from platipy_tpu.generation.image import insert_sphere
+from platipy_tpu.label.comparison import compute_metric_dsc
+from platipy_tpu.nifti.io import write_image
+from platipy_tpu.projects.cardiac.run import (
+    CARDIAC_SETTINGS_DEFAULTS,
+    run_cardiac_segmentation,
+)
+
+logger = logging.getLogger(__name__)
+
+SHAPE = (40, 96, 96)
+
+
+@pytest.fixture(scope="module")
+def cardiac_data():
+    """5 pseudo-CT spheres with jittered spacing/centre (reference fixture)."""
+    data = {}
+    for i in range(5):
+        case_id = str(i + 1).zfill(3)
+        ct_arr = np.ones(SHAPE) * -1000
+        mask_arr = np.zeros(SHAPE)
+        submask_arr = np.zeros(SHAPE)
+
+        ct_arr = insert_sphere(ct_arr, sp_radius=16, sp_centre=(20 + i, 48 + i, 48))
+        mask_arr = insert_sphere(mask_arr, sp_radius=16, sp_centre=(20 + i, 48 + i, 48))
+        submask_arr = insert_sphere(submask_arr, sp_radius=4, sp_centre=(20 + i, 45 + i, 45))
+
+        spacing = (0.9 + i * 0.01, 0.9 + i * 0.01, 2.5 + i * 0.01)
+        origin = (320, -52, 60)
+        ct = from_array(ct_arr.astype(np.float32), origin=origin, spacing=spacing)
+        mask = from_array(mask_arr.astype(np.uint8), origin=origin, spacing=spacing)
+        submask = from_array(submask_arr.astype(np.uint8), origin=origin, spacing=spacing)
+
+        data[case_id] = {"CT": ct, "WHOLEHEART": mask, "SUBSTRUCTURE": submask}
+    return data
+
+
+def _base_settings(working_path, cases, structures):
+    settings = copy.deepcopy(CARDIAC_SETTINGS_DEFAULTS)
+    settings["atlas_settings"]["atlas_id_list"] = cases[:-1]
+    settings["atlas_settings"]["atlas_path"] = str(working_path)
+    settings["atlas_settings"]["atlas_structure_list"] = structures
+    settings["linear_registration_settings"]["shrink_factors"] = [8, 4]
+    settings["linear_registration_settings"]["smooth_sigmas"] = [0, 0]
+    settings["linear_registration_settings"]["number_of_iterations"] = 25
+    settings["deformable_registration_settings"]["resolution_staging"] = [8, 4, 2]
+    settings["deformable_registration_settings"]["iteration_staging"] = [5, 5, 5]
+    settings["deformable_registration_settings"]["smoothing_sigmas"] = [0, 0, 0]
+    settings["deformable_registration_settings"]["default_value"] = -1000
+    settings["iar_settings"]["reference_structure"] = None
+    settings["label_fusion_settings"]["optimal_threshold"] = {
+        s: 0.5 for s in structures
+    }
+    settings["vessel_spline_settings"]["vessel_name_list"] = []
+    settings["postprocessing_settings"]["run_postprocessing"] = False
+    settings["geometric_segmentation_settings"]["run_geometric_algorithms"] = False
+    return settings
+
+
+def _write_atlas(working_path, cardiac_data, structures):
+    for case, case_data in cardiac_data.items():
+        ct_path = working_path / f"Case_{case}" / "Images" / f"Case_{case}_CROP.nii.gz"
+        ct_path.parent.mkdir(parents=True, exist_ok=True)
+        write_image(case_data["CT"], str(ct_path))
+        for s in structures:
+            s_path = (
+                working_path / f"Case_{case}" / "Structures" / f"Case_{case}_{s}_CROP.nii.gz"
+            )
+            s_path.parent.mkdir(parents=True, exist_ok=True)
+            write_image(case_data[s], str(s_path))
+
+
+def test_cardiac_service(cardiac_data):
+    """Full pipeline without a guide structure: DSC > 0.98 (ref gate 0.99)."""
+    with tempfile.TemporaryDirectory() as working_dir:
+        working_path = Path(working_dir)
+        cases = list(cardiac_data.keys())
+        _write_atlas(working_path, cardiac_data, ["WHOLEHEART"])
+
+        settings = _base_settings(working_path, cases, ["WHOLEHEART"])
+        infer_case = cases[-1]
+
+        output, _ = run_cardiac_segmentation(
+            cardiac_data[infer_case]["CT"], settings=settings
+        )
+
+        assert "WHOLEHEART" in output
+        dsc = compute_metric_dsc(cardiac_data[infer_case]["WHOLEHEART"], output["WHOLEHEART"])
+        logger.info("WH DSC %s", dsc)
+        assert dsc > 0.98
+
+
+def test_cardiac_structure_guided_service(cardiac_data):
+    """Structure-guided pipeline: WH and substructure DSC > 0.9 (ref gates)."""
+    with tempfile.TemporaryDirectory() as working_dir:
+        working_path = Path(working_dir)
+        cases = list(cardiac_data.keys())
+        structures = ["WHOLEHEART", "SUBSTRUCTURE"]
+        _write_atlas(working_path, cardiac_data, structures)
+
+        settings = _base_settings(working_path, cases, structures)
+        settings["atlas_settings"]["guide_structure_name"] = "WHOLEHEART"
+        settings["structure_guided_registration_settings"]["iteration_staging"] = [5, 5, 5]
+        settings["structure_guided_registration_settings"]["resolution_staging"] = [6, 3, 1.5]
+
+        infer_case = cases[-1]
+        output, _ = run_cardiac_segmentation(
+            cardiac_data[infer_case]["CT"],
+            cardiac_data[infer_case]["WHOLEHEART"],
+            settings=settings,
+        )
+
+        assert "WHOLEHEART" in output
+        assert "SUBSTRUCTURE" in output
+
+        dsc_wh = compute_metric_dsc(
+            cardiac_data[infer_case]["WHOLEHEART"], output["WHOLEHEART"]
+        )
+        logger.info("WH DSC %s", dsc_wh)
+        assert dsc_wh > 0.9
+
+        dsc_ss = compute_metric_dsc(
+            cardiac_data[infer_case]["SUBSTRUCTURE"], output["SUBSTRUCTURE"]
+        )
+        logger.info("SS DSC %s", dsc_ss)
+        assert dsc_ss > 0.9
+
+
+def test_cardiac_geometric_outputs(cardiac_data):
+    """Geometric valve/conduction stage runs on fused chamber outputs."""
+    from platipy_tpu.utils.valve import generate_valve_using_cylinder
+
+    # construct two touching pseudo-chambers directly
+    atrium_arr = np.zeros(SHAPE, np.uint8)
+    ventricle_arr = np.zeros(SHAPE, np.uint8)
+    atrium_arr = insert_sphere(atrium_arr, 8, (14, 48, 48))
+    ventricle_arr = insert_sphere(ventricle_arr, 10, (26, 48, 48))
+    atrium = from_array(atrium_arr, spacing=(1, 1, 2.5))
+    ventricle = from_array(ventricle_arr, spacing=(1, 1, 2.5))
+    valve = generate_valve_using_cylinder(atrium, ventricle, radius_mm=8, height_mm=6)
+    varr = np.asarray(valve.array)
+    assert varr.sum() > 0
+    # valve sits between the chamber centres (z in [14, 26])
+    zz = np.nonzero(varr)[0]
+    assert 12 <= zz.mean() <= 28

@@ -1,0 +1,131 @@
+"""3-D U-Net tests: forward shapes, train step learns, inference contract,
+and a DP x TP sharded train step on the virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from platipy_tpu.core.image import from_array
+from platipy_tpu.projects.nnunet.inference import preprocess_ct, sliding_window_inference
+from platipy_tpu.projects.nnunet.model import UNet3D, default_unet
+from platipy_tpu.projects.nnunet.run import run_segmentation
+from platipy_tpu.projects.nnunet.train import (
+    create_train_state,
+    dice_ce_loss,
+    make_train_step,
+    shard_params_for_tp,
+)
+
+
+def _toy_batch(rng, n=2, shape=(16, 32, 32)):
+    images = []
+    labels = []
+    for _ in range(n):
+        c = rng.randint(8, 24, 2)
+        zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]]
+        mask = ((zz - shape[0] / 2) ** 2 + (yy - c[0]) ** 2 + (xx - c[1]) ** 2) < 36
+        img = mask * 1.0 + rng.randn(*shape) * 0.1
+        images.append(img)
+        labels.append(mask.astype(np.int32))
+    return (
+        jnp.asarray(np.stack(images), jnp.float32)[..., None],
+        jnp.asarray(np.stack(labels)),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return UNet3D(num_classes=2, features=(8, 16, 32), strides=((1, 1, 1), (2, 2, 2), (2, 2, 2)))
+
+
+def test_unet_forward_shape(tiny_model):
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 16, 32, 32, 1), jnp.float32)
+    params = tiny_model.init(rng, x)
+    logits = tiny_model.apply(params, x)
+    assert logits.shape == (1, 16, 32, 32, 2)
+    assert logits.dtype == jnp.float32
+
+
+def test_unet_train_step_learns(tiny_model):
+    rng = np.random.RandomState(0)
+    params, tx, opt_state = create_train_state(
+        tiny_model, jax.random.PRNGKey(0), tile_shape=(16, 32, 32), learning_rate=3e-3
+    )
+    train_step = make_train_step(tiny_model, tx, num_classes=2)
+
+    images, labels = _toy_batch(rng, n=2)
+    losses = []
+    for _ in range(20):
+        params, opt_state, loss = train_step(params, opt_state, images, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, f"loss did not decrease: {losses[0]} -> {losses[-1]}"
+
+
+def test_sliding_window_inference(tiny_model):
+    params = tiny_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 32, 1)))
+    vol = jnp.asarray(np.random.RandomState(1).rand(24, 48, 40), jnp.float32)
+    probs = sliding_window_inference(
+        tiny_model.apply, params, vol, num_classes=2, tile_shape=(16, 32, 32), overlap=0.5
+    )
+    assert probs.shape == (24, 48, 40, 2)
+    np.testing.assert_allclose(np.asarray(probs.sum(axis=-1)), 1.0, atol=1e-4)
+
+
+def test_run_segmentation_contract(tiny_model):
+    """Train briefly so the net segments spheres, then check the Struct_i output."""
+    rng = np.random.RandomState(0)
+    params, tx, opt_state = create_train_state(
+        tiny_model, jax.random.PRNGKey(0), tile_shape=(16, 32, 32), learning_rate=3e-3
+    )
+    train_step = make_train_step(tiny_model, tx, num_classes=2)
+    for _ in range(30):
+        images, labels = _toy_batch(rng, n=2)
+        params, opt_state, _ = train_step(params, opt_state, images, labels)
+
+    # CT-style input: sphere at 0 HU in -1000 air
+    zz, yy, xx = np.mgrid[:24, :48, :48]
+    mask = ((zz - 12) ** 2 + (yy - 24) ** 2 + (xx - 24) ** 2) < 64
+    # preprocessing normalises to (x-mean)/std with mean 0, std 500
+    ct = from_array(((mask * 1.0 + 0.1 * rng.randn(24, 48, 48)) * 500).astype(np.float32),
+                    spacing=(1.5, 1.5, 2.0))
+
+    results = run_segmentation(
+        ct,
+        {
+            "params": params,
+            "features": (8, 16, 32),
+            "num_classes": 2,
+            "target_spacing": (1.5, 1.5, 2.0),
+            "tile_shape": (16, 32, 32),
+        },
+    )
+    assert "Struct_0" in results
+    pred = np.asarray(results["Struct_0"].array) > 0
+    dsc = 2 * (pred & mask).sum() / max(pred.sum() + mask.sum(), 1)
+    assert dsc > 0.7, f"U-Net sphere DSC too low: {dsc}"
+
+
+def test_sharded_train_step(tiny_model, eight_cpu_devices):
+    """DP(4) x TP(2) mesh: batch sharded over data, conv channels over model."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    params, tx, opt_state = create_train_state(
+        tiny_model, jax.random.PRNGKey(0), tile_shape=(16, 32, 32)
+    )
+    train_step = make_train_step(tiny_model, tx, num_classes=2)
+
+    rng = np.random.RandomState(2)
+    images, labels = _toy_batch(rng, n=4)
+
+    with mesh:
+        params = shard_params_for_tp(params, mesh)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x), opt_state
+        )
+        images = jax.device_put(images, NamedSharding(mesh, P("data")))
+        labels = jax.device_put(labels, NamedSharding(mesh, P("data")))
+        params, opt_state, loss = train_step(params, opt_state, images, labels)
+        assert np.isfinite(float(loss))
