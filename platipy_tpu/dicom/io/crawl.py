@@ -1,0 +1,148 @@
+"""DICOM directory crawler (reference: platipy/dicom/io/crawl.py:836-1147).
+
+Recursively finds DICOM files, groups them by patient + series, converts image
+series / RTSTRUCT / RTDOSE objects to NIfTI with templated output naming.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from platipy_tpu.dicom.io.dataset import Element, read_file
+from platipy_tpu.dicom.io.rtdose_to_nifti import convert_rtdose
+from platipy_tpu.dicom.io.rtstruct_to_nifti import transform_point_set_from_dicom_struct
+from platipy_tpu.dicom.io.series import find_dicom_files, read_dicom_series
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["process_dicom_directory", "process_dicom_series"]
+
+
+def _safe(text) -> str:
+    return "".join(c if (c.isalnum() or c in "_-") else "_" for c in str(text))
+
+
+def process_dicom_series(series_files, parent_sorting_field="PatientName"):
+    """Classify one series: returns (kind, data) where kind in
+    {image, rtstruct, rtdose, unknown}."""
+    first = read_file(series_files[0])
+    modality = str(first.get((0x0008, 0x0060), Element(b"CS", "")).value)
+    if modality in ("CT", "MR", "PT"):
+        return "image", read_dicom_series(series_files)
+    if modality == "RTSTRUCT":
+        return "rtstruct", first
+    if modality == "RTDOSE":
+        return "rtdose", series_files[0]
+    return "unknown", None
+
+
+def process_dicom_directory(
+    input_directory,
+    parent_sorting_field: str = "PatientName",
+    output_image_name_format: str = "{parent_sorting_data}_{study_uid_index}_{Modality}_{image_desc}_{series_num}",
+    output_structure_name_format: str = "{parent_sorting_data}_{study_uid_index}_{Modality}_{structure_name}",
+    output_dose_name_format: str = "{parent_sorting_data}_{study_uid_index}_{DoseSummationType}",
+    return_extra: bool = True,
+    output_directory: str = ".",
+):
+    """Crawl a directory of DICOM files and write NIfTI conversions.
+
+    Returns a dict of output file paths per patient.
+    """
+    from platipy_tpu.nifti.io import write_image
+
+    output_directory = Path(output_directory)
+    output_directory.mkdir(parents=True, exist_ok=True)
+
+    sorting_tag = {
+        "PatientName": (0x0010, 0x0010),
+        "PatientID": (0x0010, 0x0020),
+    }.get(parent_sorting_field, (0x0010, 0x0010))
+
+    files = find_dicom_files(input_directory)
+    if not files:
+        logger.warning("No DICOM files found in %s", input_directory)
+        return {}
+
+    # group by (parent, series uid)
+    groups: Dict[tuple, list] = {}
+    study_uids: Dict[str, Dict[str, int]] = {}
+    for f in files:
+        try:
+            ds = read_file(f)
+        except Exception as e:  # unparseable file
+            logger.warning("Skipping %s: %s", f, e)
+            continue
+        parent = _safe(ds.get(sorting_tag, Element(b"LO", "unknown")).value)
+        series = str(ds.get((0x0020, 0x000E), Element(b"UI", "unknown")).value)
+        study = str(ds.get((0x0020, 0x000D), Element(b"UI", "unknown")).value)
+        study_uids.setdefault(parent, {})
+        if study not in study_uids[parent]:
+            study_uids[parent][study] = len(study_uids[parent])
+        groups.setdefault((parent, study, series), []).append(f)
+
+    output: Dict[str, Dict[str, str]] = {}
+    images_by_frame: Dict[str, object] = {}
+
+    # first pass: images (so RTSTRUCTs can reference their grids)
+    rt_items = []
+    for (parent, study, series), series_files in groups.items():
+        kind, data = process_dicom_series(series_files)
+        study_idx = study_uids[parent][study]
+        out = output.setdefault(parent, {})
+        if kind == "image":
+            first = read_file(series_files[0])
+            modality = str(first.get((0x0008, 0x0060), Element(b"CS", "")).value)
+            desc = _safe(first.get((0x0008, 0x103E), Element(b"LO", "")).value)
+            series_num = first.get((0x0020, 0x0011), Element(b"IS", 0)).value
+            name = output_image_name_format.format(
+                parent_sorting_data=parent, study_uid_index=study_idx,
+                Modality=modality, image_desc=desc, series_num=series_num,
+            )
+            path = output_directory / f"{name}.nii.gz"
+            write_image(data, str(path))
+            out[name] = str(path)
+            images_by_frame[series] = data
+            images_by_frame.setdefault(f"study:{study}", data)
+        elif kind in ("rtstruct", "rtdose"):
+            rt_items.append((parent, study, series, kind, data, series_files))
+
+    # second pass: RT objects
+    for parent, study, series, kind, data, series_files in rt_items:
+        study_idx = study_uids[parent][study]
+        out = output.setdefault(parent, {})
+        if kind == "rtstruct":
+            ref_image = images_by_frame.get(f"study:{study}")
+            if ref_image is None and images_by_frame:
+                ref_image = list(images_by_frame.values())[0]
+            if ref_image is None:
+                logger.warning("RTSTRUCT without a reference image, skipping")
+                continue
+            masks, names = transform_point_set_from_dicom_struct(ref_image, data)
+            for mask, s_name in zip(masks, names):
+                name = output_structure_name_format.format(
+                    parent_sorting_data=parent, study_uid_index=study_idx,
+                    Modality="RTSTRUCT", structure_name=_safe(s_name),
+                )
+                path = output_directory / f"{name}.nii.gz"
+                write_image(mask, str(path))
+                out[name] = str(path)
+        elif kind == "rtdose":
+            ds = read_file(series_files[0])
+            summation = _safe(
+                ds.get((0x3004, 0x000A), Element(b"CS", "PLAN")).value
+            )
+            dose_img = convert_rtdose(series_files[0])
+            name = output_dose_name_format.format(
+                parent_sorting_data=parent, study_uid_index=study_idx,
+                DoseSummationType=summation,
+            )
+            path = output_directory / f"{name}.nii.gz"
+            write_image(dose_img, str(path))
+            out[name] = str(path)
+
+    return output

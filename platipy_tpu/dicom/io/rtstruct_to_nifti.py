@@ -1,0 +1,130 @@
+"""RTSTRUCT -> NIfTI conversion
+(reference: platipy/dicom/io/rtstruct_to_nifti.py:44-260).
+
+Contour polygons (physical mm point triplets) are rasterised slice-wise with
+an even-odd polygon fill in index space.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from platipy_tpu.core.image import Image
+from platipy_tpu.dicom.io.dataset import read_file
+from platipy_tpu.dicom.io.series import read_dicom_series
+
+__all__ = ["read_dicom_struct_file", "transform_point_set_from_dicom_struct",
+           "convert_rtstruct"]
+
+
+def read_dicom_struct_file(filename):
+    """Read an RTSTRUCT dataset."""
+    return read_file(str(filename))
+
+
+def _polygon_mask_2d(points_yx: np.ndarray, shape) -> np.ndarray:
+    """Even-odd fill of a closed polygon given (row, col) float vertices."""
+    from matplotlib.path import Path as MplPath
+
+    yy, xx = np.mgrid[: shape[0], : shape[1]]
+    test = np.stack([yy.ravel(), xx.ravel()], axis=1)
+    path = MplPath(points_yx)
+    inside = path.contains_points(test)
+    return inside.reshape(shape)
+
+
+def transform_point_set_from_dicom_struct(image: Image, struct_ds, spacing_override=None):
+    """Rasterise every ROI of an RTSTRUCT into binary masks on ``image``'s grid.
+
+    Returns (list of Image masks, list of ROI names).
+    """
+    rois = struct_ds.get((0x3006, 0x0020))
+    contours = struct_ds.get((0x3006, 0x0039))
+    if rois is None or contours is None:
+        return [], []
+
+    roi_names = {}
+    for item in rois.value:
+        number = item.get((0x3006, 0x0022))
+        name = item.get((0x3006, 0x0026))
+        if number is not None:
+            roi_names[int(number.value)] = str(name.value) if name else f"ROI_{number.value}"
+
+    p2i = image.physical_to_index_matrix()
+    shape = image.spatial_shape
+
+    masks, names = [], []
+    for roi_item in contours.value:
+        number = roi_item.get((0x3006, 0x0084))
+        roi_number = int(number.value) if number is not None else -1
+        name = roi_names.get(roi_number, f"ROI_{roi_number}")
+
+        mask = np.zeros(shape, dtype=np.uint8)
+        contour_seq = roi_item.get((0x3006, 0x0040))
+        if contour_seq is not None:
+            for contour in contour_seq.value:
+                data = contour.get((0x3006, 0x0050))
+                if data is None:
+                    continue
+                pts = np.asarray(data.value, dtype=np.float64).reshape(-1, 3)
+                idx = pts @ p2i[:3, :3].T + p2i[:3, 3]
+                z = int(round(float(np.median(idx[:, 2]))))
+                if z < 0 or z >= shape[0]:
+                    continue
+                poly_yx = idx[:, [1, 0]]
+                filled = _polygon_mask_2d(poly_yx, shape[1:])
+                mask[z] ^= filled.astype(np.uint8)  # even-odd across contours
+
+        masks.append(image.with_array(jnp.asarray(mask)))
+        names.append(name)
+
+    return masks, names
+
+
+def convert_rtstruct(
+    dcm_img,
+    dcm_rt_file,
+    prefix: str = "Struct_",
+    output_dir: str = ".",
+    output_img=None,
+    spacing=None,
+):
+    """Convert an RTSTRUCT (+ its image series) to NIfTI masks
+    (reference rtstruct_to_nifti.py:220-260)."""
+    from platipy_tpu.nifti.io import write_image
+
+    image = read_dicom_series(dcm_img)
+    struct_ds = read_dicom_struct_file(dcm_rt_file)
+
+    if spacing:
+        if isinstance(spacing, str):
+            spacing = [float(s) for s in spacing.split(",")]
+        from platipy_tpu.core.resample import resample
+
+        size = np.asarray(image.size, dtype=np.float64)
+        new_size = np.round(size * np.asarray(image.spacing) / np.asarray(spacing)).astype(int)
+        ref = Image(
+            jnp.zeros((int(new_size[2]), int(new_size[1]), int(new_size[0])), jnp.float32),
+            image.origin, tuple(spacing), image.direction,
+        )
+        image = resample(image, ref, None, interp="linear")
+
+    masks, names = transform_point_set_from_dicom_struct(image, struct_ds)
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    for mask, name in zip(masks, names):
+        clean = "".join(c if (c.isalnum() or c in "_-") else "_" for c in name)
+        write_image(mask, str(output_dir / f"{prefix}{clean}.nii.gz"))
+
+    if output_img is not None:
+        if not str(output_img).endswith(".nii.gz"):
+            output_img = f"{output_img}.nii.gz"
+        write_image(image, str(output_dir / output_img))
+
+    return masks, names

@@ -1,0 +1,48 @@
+"""Bronchus segmentation entry point
+(reference: platipy/imaging/projects/bronchus/run.py:26-67)."""
+
+from __future__ import annotations
+
+import logging
+import tempfile
+
+from platipy_tpu.core.image import Image
+from platipy_tpu.projects.bronchus.bronchus import (
+    default_settings,
+    generate_airway_mask,
+    generate_lung_mask,
+)
+
+logger = logging.getLogger(__name__)
+
+BRONCHUS_SETTINGS_DEFAULTS = {
+    "outputBronchusName": "Auto_Bronchus",
+    "outputLungName": "Auto_Lung",
+    "algorithmSettings": default_settings,
+}
+
+
+def run_bronchus_segmentation(input_image: Image, settings=BRONCHUS_SETTINGS_DEFAULTS):
+    """Run the proximal bronchial tree segmentation.
+
+    Returns a dict with the lung mask and (if successful) the bronchus mask.
+    """
+    working_directory = tempfile.mkdtemp()
+    results = {}
+
+    lung_mask = generate_lung_mask(input_image)
+    results[settings["outputLungName"]] = lung_mask
+
+    bronchus_mask = generate_airway_mask(
+        working_directory,
+        input_image,
+        lung_mask,
+        config_dict=settings["algorithmSettings"],
+    )
+
+    if bronchus_mask is None:
+        logger.error("Unable to generate bronchus mask")
+        return results
+
+    results[settings["outputBronchusName"]] = bronchus_mask
+    return results

@@ -50,6 +50,7 @@ from platipy_tpu.core.transform import DisplacementFieldTransform, Transform
 from platipy_tpu.registration.utils import smooth_and_resample
 
 __all__ = [
+    "bspline_registration",
     "demons_level",
     "multiscale_demons",
     "fast_symmetric_forces_demons_registration",
@@ -330,3 +331,156 @@ def fast_symmetric_forces_demons_registration(
 
     output_transform = DisplacementFieldTransform(deformation_field)
     return registered_image, output_transform, deformation_field
+
+
+# ---------------------------------------------------------------------------
+# B-spline FFD registration (reference deformable.py:309-547)
+# ---------------------------------------------------------------------------
+
+def bspline_registration(
+    fixed_image: Image,
+    moving_image: Image,
+    fixed_structure=False,
+    moving_structure=False,
+    resolution_staging=(8, 4, 2),
+    smooth_sigmas=(4, 2, 1),
+    sampling_rate=0.1,
+    optimiser="LBFGS",
+    metric="mean_squares",
+    initial_grid_spacing=64,
+    grid_scale_factors=(1, 2, 4),
+    interp_order=3,
+    default_value=-1000,
+    number_of_iterations=20,
+    isotropic_resample=False,
+    initial_isotropic_size=1,
+    number_of_histogram_bins_mi=30,
+    verbose=False,
+    ncores=8,
+):
+    """Multi-resolution free-form-deformation registration.
+
+    Drop-in mirror of reference deformable.py:309-547 ("UNDER ACTIVE
+    DEVELOPMENT" there too): control-point mesh from mm spacing, per-level
+    grid refinement by ``grid_scale_factors``, differentiable metric optimised
+    over the coefficient grid.  ``ncores``/``sampling_rate`` accepted for API
+    parity (dense metric on device).
+    Returns (registered_image, BSplineTransform).
+    """
+    from platipy_tpu.core.transform import BSplineTransform
+    from platipy_tpu.registration import metrics as _metrics
+    from platipy_tpu.registration.optimise import optimise
+    from platipy_tpu.registration.utils import (
+        apply_transform,
+        control_point_spacing_distance_to_number,
+        smooth_and_resample,
+    )
+    from platipy_tpu.core.resample import resample as _resample
+    from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST
+
+    fixed_image32 = fixed_image.astype(jnp.float32)
+    moving_dtype = moving_image.array.dtype
+    moving_image32 = moving_image.astype(jnp.float32)
+
+    if isotropic_resample:
+        fixed_image_original = fixed_image32
+        fixed_image32 = smooth_and_resample(
+            fixed_image32, isotropic_voxel_size_mm=initial_isotropic_size
+        )
+        moving_image32 = smooth_and_resample(
+            moving_image32, isotropic_voxel_size_mm=initial_isotropic_size
+        )
+    else:
+        fixed_image_original = fixed_image32
+
+    metric_fn = _metrics.get_metric(metric)
+    if metric.lower() in ("mutual_information", "mattes_mi"):
+        metric_fn = functools.partial(_metrics.mattes_mi, bins=number_of_histogram_bins_mi)
+
+    # initial control grid over the fixed image domain
+    mesh_size = control_point_spacing_distance_to_number(
+        fixed_image32, initial_grid_spacing
+    )
+    extent = np.asarray(fixed_image32.size) * np.asarray(fixed_image32.spacing)
+
+    transform = None
+    for level, (shrink, sigma, gsf) in enumerate(
+        zip(resolution_staging, smooth_sigmas, grid_scale_factors)
+    ):
+        f_level = smooth_and_resample(
+            fixed_image32, shrink_factor=shrink if shrink != 1 else None,
+            smoothing_sigma=sigma if sigma else None,
+        )
+        m_level = smooth_and_resample(
+            moving_image32, shrink_factor=shrink if shrink != 1 else None,
+            smoothing_sigma=sigma if sigma else None,
+        )
+
+        level_mesh = np.maximum((np.asarray(mesh_size) * gsf).astype(int), 1)
+        grid_spacing = extent / level_mesh
+        grid_origin = np.asarray(fixed_image32.origin) - grid_spacing
+        grid_shape = (int(level_mesh[2]) + 3, int(level_mesh[1]) + 3,
+                      int(level_mesh[0]) + 3)
+
+        coefficients = jnp.zeros(grid_shape + (3,), jnp.float32)
+        if transform is not None:
+            # refine: sample the previous displacement at the new knots
+            knots = np.stack(
+                np.meshgrid(
+                    grid_origin[0] + np.arange(grid_shape[2]) * grid_spacing[0],
+                    grid_origin[1] + np.arange(grid_shape[1]) * grid_spacing[1],
+                    grid_origin[2] + np.arange(grid_shape[0]) * grid_spacing[2],
+                    indexing="ij",
+                ),
+                axis=-1,
+            ).reshape(-1, 3)
+            disp = transform.displacement(jnp.asarray(knots, jnp.float32))
+            coefficients = jnp.asarray(disp).reshape(
+                grid_shape[2], grid_shape[1], grid_shape[0], 3
+            ).transpose(2, 1, 0, 3)
+
+        transform = BSplineTransform(coefficients, grid_origin, grid_spacing)
+
+        f_arr = f_level.array
+        ones_m = m_level.with_array(jnp.ones_like(m_level.array))
+        f_mask_level = None
+        if fixed_structure is not False and fixed_structure is not None:
+            f_mask_level = _resample(fixed_structure.astype(jnp.float32), f_level,
+                                     None, interp=INTERP_NEAREST, default_value=0.0)
+
+        def loss_fn(t, _f=f_level, _m=m_level, _fa=f_arr, _ones=ones_m,
+                    _fm=f_mask_level):
+            warped = _resample(_m, _f, t, interp=INTERP_LINEAR, default_value=0.0)
+            valid = _resample(_ones, _f, t, interp=INTERP_NEAREST, default_value=0.0)
+            weight = valid.array
+            if _fm is not None:
+                weight = weight * (_fm.array > 0.5).astype(jnp.float32)
+            return metric_fn(_fa, warped.array, weight)
+
+        transform, final_loss = optimise(
+            loss_fn,
+            transform,
+            optimiser=optimiser,
+            learning_rate=1.0,
+            number_of_iterations=number_of_iterations,
+            scales=None,
+            max_step_physical=float(max(f_level.spacing)),
+        )
+        if verbose:
+            print(f"bspline level {level}: metric = {final_loss:.6f}")
+
+    registered_image = apply_transform(
+        input_image=moving_image32,
+        reference_image=fixed_image_original,
+        transform=transform,
+        default_value=default_value,
+        interpolator=interp_order,
+    )
+    if not jnp.issubdtype(moving_dtype, jnp.floating):
+        registered_image = registered_image.with_array(
+            jnp.rint(registered_image.array).astype(moving_dtype)
+        )
+    else:
+        registered_image = registered_image.astype(moving_dtype)
+
+    return registered_image, transform

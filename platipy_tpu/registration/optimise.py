@@ -32,8 +32,19 @@ def split_trainable(transform):
     """Partition a transform pytree into (trainable params dict, rebuild fn).
 
     Every array field except ``center`` is trainable (ITK keeps the centre
-    fixed during optimisation).
+    fixed during optimisation).  For B-spline FFDs the control-point
+    coefficients are the parameters.
     """
+    if hasattr(transform, "coefficients"):  # BSplineTransform
+        grid_origin = transform.grid_origin
+        grid_spacing = transform.grid_spacing
+        cls = type(transform)
+
+        def rebuild_bspline(params):
+            return cls(params["coefficients"], grid_origin, grid_spacing)
+
+        return {"coefficients": transform.coefficients}, rebuild_bspline
+
     fields = [f.name for f in dataclasses.fields(transform)]
     trainable = {
         name: getattr(transform, name) for name in fields if name != "center"

@@ -1,0 +1,108 @@
+"""Backend service E2E test: REST API + task runner + client SDK.
+
+The reference's backend tests are disabled (SURVEY §4); here the full
+client -> REST -> task -> algorithm -> download path is exercised against a
+live in-process server.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from platipy_tpu.backend.application import ServiceApp
+from platipy_tpu.backend.api import make_server
+from platipy_tpu.client import PlatiPyClient
+from platipy_tpu.core.image import from_array
+from platipy_tpu.nifti.io import read_image, write_image
+
+
+@pytest.fixture()
+def service(tmp_path):
+    app = ServiceApp(database_path=":memory:", max_workers=1)
+    app.data_directory = str(tmp_path / "data")
+
+    @app.register("Test Threshold", default_settings={"threshold": 0.5})
+    def threshold_service(data_objects, working_dir, settings):
+        import os
+
+        out = []
+        for obj in data_objects:
+            img = read_image(obj["path"])
+            mask = img.with_array((np.asarray(img.array) > settings["threshold"]).astype(np.uint8))
+            out_path = os.path.join(working_dir, "Threshold.nii.gz")
+            write_image(mask, out_path)
+            out.append({"path": out_path, "parent_id": obj["id"]})
+        return out
+
+    api_key = app.database.add_api_key("test")
+    server = make_server(app, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield app, api_key, port
+    server.shutdown()
+
+
+def test_backend_end_to_end(service, tmp_path):
+    app, api_key, port = service
+    client = PlatiPyClient("127.0.0.1", port, api_key, "Test Threshold")
+
+    # algorithm discovery
+    settings = client.get_default_settings()
+    assert settings == {"threshold": 0.5}
+
+    # dicom location management
+    loc = client.add_dicom_location("TEST_PACS", "127.0.0.1", 11112, "TESTAE")
+    assert client.get_dicom_location("TEST_PACS")["host"] == "127.0.0.1"
+
+    # dataset + upload
+    dataset = client.add_dataset()
+    rng = np.random.RandomState(0)
+    img = from_array(rng.rand(8, 16, 16).astype(np.float32), spacing=(1, 1, 2))
+    in_path = tmp_path / "input.nii.gz"
+    write_image(img, str(in_path))
+    obj = client.add_data_object(dataset, file_path=str(in_path))
+    assert obj["is_fetched"] == 1
+    assert client.get_dataset_ready(dataset)
+
+    # trigger + poll
+    final_state = None
+    for status in client.run_algorithm(dataset, config={"threshold": 0.25}):
+        final_state = status["state"]
+    assert final_state == "COMPLETE"
+
+    # outputs registered + downloadable
+    ds = client.get_dataset(dataset)
+    assert len(ds["output_data_objects"]) == 1
+    files = client.download_output_objects(dataset, output_path=str(tmp_path / "out"))
+    assert len(files) == 1
+    out_img = read_image(files[0])
+    expected = (np.asarray(img.array) > 0.25).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(out_img.array), expected)
+
+
+def test_backend_auth_rejected(service):
+    app, api_key, port = service
+    import requests
+
+    res = requests.get(f"http://127.0.0.1:{port}/api/algorithm",
+                       headers={"API_KEY": "wrong"})
+    assert res.status_code == 401
+
+
+def test_backend_failure_state(service, tmp_path):
+    app, api_key, port = service
+
+    @app.register("Always Fails", default_settings={})
+    def failing_service(data_objects, working_dir, settings):
+        raise RuntimeError("intentional failure")
+
+    client = PlatiPyClient("127.0.0.1", port, api_key, "Always Fails")
+    dataset = client.add_dataset()
+    final = None
+    for status in client.run_algorithm(dataset):
+        final = status
+    assert final["state"] == "FAILURE"
+    assert "intentional failure" in final["error"]

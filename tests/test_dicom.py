@@ -1,0 +1,121 @@
+"""DICOM I/O tests: series roundtrip, RTSTRUCT roundtrip, crawler, CLI."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from platipy_tpu.core.image import from_array
+from platipy_tpu.generation.image import insert_sphere
+
+
+@pytest.fixture(scope="module")
+def ct_image():
+    arr = insert_sphere(np.zeros((12, 32, 32)), 6, (6, 16, 16)) * 1040 - 1000
+    return from_array(arr.astype(np.float32), origin=(-50, -40, 10), spacing=(1.5, 1.5, 3.0))
+
+
+def test_dicom_series_roundtrip(ct_image, tmp_path):
+    from platipy_tpu.dicom.io.series import read_dicom_series, write_dicom_series
+
+    paths = write_dicom_series(ct_image, tmp_path / "series", patient_id="TestPat")
+    assert len(paths) == 12
+
+    back = read_dicom_series(str(tmp_path / "series"))
+    np.testing.assert_allclose(
+        np.asarray(back.array), np.round(np.asarray(ct_image.array)), atol=0.5
+    )
+    np.testing.assert_allclose(back.origin, ct_image.origin, atol=1e-3)
+    np.testing.assert_allclose(back.spacing, ct_image.spacing, atol=1e-3)
+
+
+def test_rtstruct_roundtrip(ct_image, tmp_path):
+    from platipy_tpu.dicom.io.nifti_to_rtstruct import convert_nifti
+    from platipy_tpu.dicom.io.rtstruct_to_nifti import (
+        read_dicom_struct_file,
+        transform_point_set_from_dicom_struct,
+    )
+    from platipy_tpu.dicom.io.series import read_dicom_series, write_dicom_series
+    from platipy_tpu.label.comparison import compute_metric_dsc
+
+    write_dicom_series(ct_image, tmp_path / "series", patient_id="TestPat")
+
+    mask_arr = (np.asarray(ct_image.array) > -500).astype(np.uint8)
+    mask = ct_image.with_array(__import__("jax.numpy", fromlist=["asarray"]).asarray(mask_arr))
+
+    rt_path = tmp_path / "rtstruct.dcm"
+    convert_nifti(str(tmp_path / "series"), {"HEART": mask}, str(rt_path))
+    assert rt_path.exists()
+
+    image = read_dicom_series(str(tmp_path / "series"))
+    struct = read_dicom_struct_file(str(rt_path))
+    masks, names = transform_point_set_from_dicom_struct(image, struct)
+    assert names == ["HEART"]
+    dsc = compute_metric_dsc(mask, masks[0])
+    assert dsc > 0.85, f"RTSTRUCT roundtrip DSC too low: {dsc}"
+
+
+def test_crawler(ct_image, tmp_path):
+    from platipy_tpu.dicom.io.crawl import process_dicom_directory
+    from platipy_tpu.dicom.io.series import write_dicom_series
+
+    write_dicom_series(ct_image, tmp_path / "dicom", patient_id="CrawlPat")
+    out = process_dicom_directory(
+        str(tmp_path / "dicom"), output_directory=str(tmp_path / "nifti")
+    )
+    assert "CrawlPat" in out
+    written = list(out["CrawlPat"].values())
+    assert len(written) == 1
+    from platipy_tpu.nifti.io import read_image
+
+    img = read_image(written[0])
+    assert img.spatial_shape == ct_image.spatial_shape
+
+
+def test_rtdose_conversion(ct_image, tmp_path):
+    """Write a synthetic RTDOSE file and convert it."""
+    import numpy as np
+
+    from platipy_tpu.dicom.io.dataset import Element, generate_uid, write_file
+    from platipy_tpu.dicom.io.rtdose_to_nifti import convert_rtdose
+
+    dose = (np.random.RandomState(0).rand(6, 16, 16) * 60).astype(np.float64)
+    scaling = 0.001
+    stored = np.round(dose / scaling).astype(np.uint32)
+
+    sop_uid = generate_uid()
+    ds = {
+        (0x0008, 0x0016): Element(b"UI", "1.2.840.10008.5.1.4.1.1.481.2"),
+        (0x0008, 0x0018): Element(b"UI", sop_uid),
+        (0x0008, 0x0060): Element(b"CS", "RTDOSE"),
+        (0x0020, 0x000D): Element(b"UI", generate_uid()),
+        (0x0020, 0x000E): Element(b"UI", generate_uid()),
+        (0x0020, 0x0032): Element(b"DS", [0.0, 0.0, 0.0]),
+        (0x0020, 0x0037): Element(b"DS", [1, 0, 0, 0, 1, 0]),
+        (0x0028, 0x0008): Element(b"IS", 6),
+        (0x0028, 0x0010): Element(b"US", 16),
+        (0x0028, 0x0011): Element(b"US", 16),
+        (0x0028, 0x0030): Element(b"DS", [2.0, 2.0]),
+        (0x0028, 0x0100): Element(b"US", 32),
+        (0x0028, 0x0101): Element(b"US", 32),
+        (0x0028, 0x0103): Element(b"US", 0),
+        (0x3004, 0x000C): Element(b"DS", [0.0, 3.0, 6.0, 9.0, 12.0, 15.0]),
+        (0x3004, 0x000E): Element(b"DS", scaling),
+        (0x7FE0, 0x0010): Element(b"OW", stored.tobytes()),
+    }
+    path = tmp_path / "rtdose.dcm"
+    write_file(str(path), ds, "1.2.840.10008.5.1.4.1.1.481.2", sop_uid)
+
+    img = convert_rtdose(str(path))
+    np.testing.assert_allclose(np.asarray(img.array), dose, atol=scaling)
+    assert img.spacing == (2.0, 2.0, 3.0)
+
+
+def test_cli_help_and_default():
+    result = subprocess.run(
+        [sys.executable, "-m", "platipy_tpu.cli.run"], capture_output=True, text=True
+    )
+    assert "PlatiPy-TPU CLI" in result.stdout
+    assert "segmentation" in result.stdout
