@@ -50,7 +50,8 @@ def _neighbor_max(lab: jnp.ndarray, connectivity: int) -> jnp.ndarray:
     return out
 
 
-def connected_components(mask, connectivity: int = 26, max_iterations: int = 4096):
+def connected_components(mask, connectivity: int = 26, max_iterations: int = 4096,
+                         use_native: bool = True):
     """Label connected components of a binary mask.
 
     Returns int32 labels (0 = background).  Labels are *not* consecutive —
@@ -59,8 +60,18 @@ def connected_components(mask, connectivity: int = 26, max_iterations: int = 409
 
     ITK's ``ConnectedComponent`` uses full (26) connectivity by default
     behaviourally relevant to the reference's use in fusion/bronchus.
+
+    ``use_native``: route through the C++ union-find (single O(N) pass) when
+    available; the on-device label-propagation fixpoint is the fallback and
+    the only path under jit/vmap.
     """
     m, img = _unwrap(mask)
+    if use_native:
+        from platipy_tpu import native
+
+        if native.available():
+            labels = native.cc_label_3d(np.asarray(m), connectivity)
+            return _rewrap_int(jnp.asarray(labels), img)
     n = m.size
     init = jnp.where(
         m, jnp.arange(1, n + 1, dtype=jnp.int32).reshape(m.shape), 0
@@ -72,10 +83,10 @@ def connected_components(mask, connectivity: int = 26, max_iterations: int = 409
 
     def body(state):
         lab, _, it = state
-        # two propagation steps per check to amortise the convergence test
-        new = _neighbor_max(lab, connectivity)
-        new = _neighbor_max(new, connectivity)
-        new = jnp.where(m, new, 0)
+        # two propagation steps per check to amortise the convergence test;
+        # each step MUST be re-masked or labels bleed across 1-voxel gaps
+        new = jnp.where(m, _neighbor_max(lab, connectivity), 0)
+        new = jnp.where(m, _neighbor_max(new, connectivity), 0)
         return new, jnp.any(new != lab), it + 1
 
     lab, _, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True), 0))
@@ -136,6 +147,16 @@ def connected_threshold(image, seeds, lower: float, upper: float, connectivity: 
     """
     arr = image.array if isinstance(image, Image) else jnp.asarray(image)
     img = image if isinstance(image, Image) else None
+
+    from platipy_tpu import native
+
+    if native.available():
+        seeds_zyx = [(int(sz), int(sy), int(sx)) for (sx, sy, sz) in seeds]
+        grown = native.region_grow_3d(
+            np.asarray(arr), seeds_zyx, float(lower), float(upper), connectivity
+        )
+        return _rewrap_int(jnp.asarray(grown), img)
+
     allowed = (arr >= lower) & (arr <= upper)
     seed_mask = jnp.zeros(arr.shape, dtype=bool)
     for (sx, sy, sz) in seeds:

@@ -149,10 +149,19 @@ def _neighbor_or(m: jnp.ndarray, connectivity: int = 6) -> jnp.ndarray:
     return out
 
 
-def binary_fill_holes(mask, fully_connected_background: bool = False):
+def binary_fill_holes(mask, fully_connected_background: bool = False,
+                      use_native: bool = True):
     """``sitk.BinaryFillhole`` analogue: fill background regions not connected
-    to the image border (flood fill from the border, on device)."""
+    to the image border (flood fill from the border)."""
     m, img = _unwrap(mask)
+    if use_native:
+        from platipy_tpu import native
+
+        if native.available():
+            out = native.fill_holes_3d(
+                np.asarray(m), 26 if fully_connected_background else 6
+            )
+            return _rewrap(jnp.asarray(out) > 0, img)
     bg = ~m
     # seed: border background voxels
     seed = jnp.zeros_like(bg)

@@ -194,9 +194,9 @@ class ImageVisualiser:
                 if so.show_colorbar and axis == views[-1]:
                     fig.colorbar(im, ax=ax, label=so.name, shrink=0.7)
 
-            import matplotlib.cm
+            import matplotlib
 
-            cmap = matplotlib.cm.get_cmap(self.__contour_colormap)
+            cmap = matplotlib.colormaps[self.__contour_colormap]
             for idx, vc in enumerate(self.__contours):
                 c_arr = np.asarray(vc.image.array)
                 c_slice = (c_arr.max(axis=axis) if self.__projection else c_arr[sl])
