@@ -47,13 +47,13 @@ from platipy_tpu.parallel.atlas import (
     batched_weight_maps,
     shard_over_atlases,
 )
-from platipy_tpu.registration.linear import linear_registration
+from platipy_tpu.registration.linear import linear_registration, linear_registration_batched
 from platipy_tpu.registration.utils import apply_transform, convert_mask_to_reg_structure
 from platipy_tpu.utils.conduction import (
     geometric_atrioventricularnode,
     geometric_sinoatrialnode,
 )
-from platipy_tpu.utils.crop import crop_to_roi, label_to_roi, paste
+from platipy_tpu.utils.crop import crop_to_roi, label_to_roi, pad_roi_to_multiple, paste
 from platipy_tpu.utils.valve import (
     generate_valve_from_great_vessel,
     generate_valve_using_cylinder,
@@ -385,6 +385,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
 
     if guide_structure:
         crop_box_size, crop_box_index = label_to_roi(guide_structure, expansion_mm=expansion_mm)
+        crop_box_size, crop_box_index = pad_roi_to_multiple(
+            crop_box_size, crop_box_index, img.size, 32
+        )
         img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
         guide_structure = crop_to_roi(guide_structure, crop_box_size, crop_box_index)
         target_reg_structure = convert_mask_to_reg_structure(guide_structure, expansion=2)
@@ -400,16 +403,21 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             "metric": "mean_squares",
             "optimiser": "gradient_descent_line_search",
         }
-        registered_crop_images = []
         logger.info("Running initial similarity transform to crop image volume")
-        for atlas_id in atlas_id_list[: min(8, len(atlas_id_list))]:
-            atlas_image = atlas_set[atlas_id]["Original"]["CT Image"]
-            reg_image, _ = linear_registration(img, atlas_image, **quick_reg_settings)
-            registered_crop_images.append(np.asarray(reg_image.array, dtype=np.float32))
+        crop_ids = atlas_id_list[: min(8, len(atlas_id_list))]
+        crop_movings = [atlas_set[i]["Original"]["CT Image"] for i in crop_ids]
+        reg_images, _ = linear_registration_batched(
+            img, crop_movings,
+            **{k: v for k, v in quick_reg_settings.items() if k != "verbose"},
+        )
+        registered_crop_images = [np.asarray(i.array, dtype=np.float32) for i in reg_images]
 
         combined = sum(registered_crop_images) / len(registered_crop_images)
         combined_image = img.with_array(jnp.asarray((combined > -1000).astype(np.uint8)))
         crop_box_size, crop_box_index = label_to_roi(combined_image, expansion_mm=expansion_mm)
+        crop_box_size, crop_box_index = pad_roi_to_multiple(
+            crop_box_size, crop_box_index, img.size, 32
+        )
         img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
 
     logger.info("Calculated crop box: %s %s", crop_box_index, crop_box_size)

@@ -37,9 +37,12 @@ from platipy_tpu.parallel.atlas import (
     batched_weight_maps,
     shard_over_atlases,
 )
-from platipy_tpu.registration.linear import linear_registration
+from platipy_tpu.registration.linear import (
+    linear_registration,
+    linear_registration_batched,
+)
 from platipy_tpu.registration.utils import apply_transform
-from platipy_tpu.utils.crop import crop_to_roi, label_to_roi, paste
+from platipy_tpu.utils.crop import crop_to_roi, label_to_roi, pad_roi_to_multiple, paste
 
 logger = logging.getLogger(__name__)
 
@@ -167,11 +170,13 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
     }
 
     logger.info("Running initial similarity transform to crop image volume")
-    registered_crop_images = []
-    for atlas_id in atlas_id_list[: min(8, len(atlas_id_list))]:
-        atlas_image = atlas_set[atlas_id]["Original"]["CT Image"]
-        reg_image, _ = linear_registration(img, atlas_image, **quick_reg_settings)
-        registered_crop_images.append(reg_image.astype(jnp.float32))
+    crop_ids = atlas_id_list[: min(8, len(atlas_id_list))]
+    crop_movings = [atlas_set[i]["Original"]["CT Image"] for i in crop_ids]
+    registered_crop_images, _ = linear_registration_batched(
+        img, crop_movings,
+        **{k: v for k, v in quick_reg_settings.items() if k != "verbose"},
+    )
+    registered_crop_images = [i.astype(jnp.float32) for i in registered_crop_images]
 
     combined = sum(
         [np.asarray(i.array) for i in registered_crop_images]
@@ -179,6 +184,10 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
     combined_image = img.with_array(jnp.asarray((combined > -1000).astype(np.uint8)))
 
     crop_box_size, crop_box_index = label_to_roi(combined_image, expansion_mm=expansion_mm)
+    # bucket the crop shape so compiled programs are reused across cases
+    crop_box_size, crop_box_index = pad_roi_to_multiple(
+        crop_box_size, crop_box_index, img.size, 32
+    )
     img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
     logger.info("Calculated crop box: %s %s", crop_box_index, crop_box_size)
 
@@ -189,16 +198,16 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         linear_registration_settings["reg_method"],
     )
 
-    for atlas_id in atlas_id_list:
+    reg_movings = [atlas_set[i]["Original"]["CT Image"] for i in atlas_id_list]
+    _, batched_tfms = linear_registration_batched(
+        img_crop, reg_movings,
+        **{k: v for k, v in linear_registration_settings.items() if k != "verbose"},
+    )
+    for atlas_id, initial_tfm in zip(atlas_id_list, batched_tfms):
         atlas_set[atlas_id]["RIR"] = {}
-        atlas_reg_image = atlas_set[atlas_id]["Original"]["CT Image"]
-
-        _, initial_tfm = linear_registration(
-            img_crop, atlas_reg_image, **linear_registration_settings
-        )
         atlas_set[atlas_id]["RIR"]["Transform"] = initial_tfm
         atlas_set[atlas_id]["RIR"]["CT Image"] = apply_transform(
-            input_image=atlas_reg_image,
+            input_image=atlas_set[atlas_id]["Original"]["CT Image"],
             reference_image=img_crop,
             transform=initial_tfm,
             default_value=-1000,

@@ -37,7 +37,8 @@ from platipy_tpu.registration import metrics as _metrics
 from platipy_tpu.registration.optimise import optimise, physical_shift_scales
 from platipy_tpu.registration.utils import apply_transform, smooth_and_resample
 
-__all__ = ["alignment_registration", "linear_registration"]
+__all__ = ["alignment_registration", "linear_registration",
+           "linear_registration_batched"]
 
 
 def alignment_registration(fixed_image: Image, moving_image: Image, moments: bool = True):
@@ -380,3 +381,155 @@ def linear_registration(
         registered_image = registered_image.astype(moving_dtype)
 
     return registered_image, combined_transform
+
+
+def linear_registration_batched(
+    fixed_image: Image,
+    moving_images,
+    reg_method="similarity",
+    metric: str = "mean_squares",
+    optimiser: str = "gradient_descent",
+    shrink_factors: Sequence[int] = (8, 2, 1),
+    smooth_sigmas: Sequence[float] = (4, 2, 0),
+    sampling_rate: float = 0.25,
+    final_interp=INTERP_LINEAR,
+    number_of_iterations: int = 50,
+    default_value=None,
+    verbose: bool = False,
+):
+    """Register N moving images to one fixed image as ONE batched program.
+
+    The atlas-parallel counterpart of :func:`linear_registration`: all moving
+    images must share a grid (shape/spacing/origin/direction); the per-level
+    optimisation vmaps over the stacked transforms/moving images, so the
+    entire N-atlas linear stage compiles once and runs in one dispatch chain.
+
+    Returns (list of registered Images, list of CompositeTransforms).
+    """
+    moving_images = list(moving_images)
+    n = len(moving_images)
+    ref0 = moving_images[0]
+    if not all(m.same_grid_as(ref0) for m in moving_images[1:]):
+        # fall back to the serial path for heterogeneous grids
+        results = [
+            linear_registration(
+                fixed_image, m, reg_method=reg_method, metric=metric,
+                optimiser=optimiser, shrink_factors=shrink_factors,
+                smooth_sigmas=smooth_sigmas, sampling_rate=sampling_rate,
+                final_interp=final_interp,
+                number_of_iterations=number_of_iterations,
+                default_value=default_value, verbose=verbose,
+            )
+            for m in moving_images
+        ]
+        return [r[0] for r in results], [r[1] for r in results]
+
+    fixed32 = fixed_image.astype(jnp.float32)
+    moving_dtype = ref0.array.dtype
+    movings32 = [m.astype(jnp.float32) for m in moving_images]
+
+    initials = [
+        centered_transform_initializer(fixed32, m, "euler", moments=False)
+        for m in movings32
+    ]
+    initial_stack = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *initials
+    )
+
+    if not isinstance(reg_method, str):
+        raise ValueError("batched registration requires a string reg_method")
+    _metrics.get_metric(metric)  # validate
+
+    opt_transforms = [
+        _make_transform(reg_method, np.asarray(t.center)) for t in initials
+    ]
+    opt_stack = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *opt_transforms
+    )
+
+    from platipy_tpu.core.image import index_to_physical_matrix, physical_to_index_matrix
+
+    for level, (shrink, sigma) in enumerate(zip(shrink_factors, smooth_sigmas)):
+        f_level = smooth_and_resample(
+            fixed32, shrink_factor=shrink if shrink != 1 else None,
+            smoothing_sigma=sigma if sigma else None,
+        )
+        m_levels = [
+            smooth_and_resample(
+                m, shrink_factor=shrink if shrink != 1 else None,
+                smoothing_sigma=sigma if sigma else None,
+            )
+            for m in movings32
+        ]
+        m_stack = jnp.stack([m.array.astype(jnp.float32) for m in m_levels])
+
+        # per-atlas parameter scales (tiny, CPU)
+        pts = _sample_points_for_scales(f_level)
+        scales_list = [physical_shift_scales(t, pts) for t in opt_transforms]
+        scales_stack = {
+            k: jnp.stack([jnp.asarray(s[k], jnp.float32) for s in scales_list])
+            for k in scales_list[0]
+        }
+
+        ref_i2p = jnp.asarray(
+            index_to_physical_matrix(f_level.origin, f_level.spacing, f_level.direction),
+            jnp.float32,
+        )
+        mov_p2i = jnp.asarray(
+            physical_to_index_matrix(
+                m_levels[0].origin, m_levels[0].spacing, m_levels[0].direction
+            ),
+            jnp.float32,
+        )
+        dummy = jnp.zeros((1, 1, 1), jnp.float32)
+
+        run = functools.partial(
+            _register_level,
+            metric_name=metric.lower(),
+            optimiser=optimiser.lower(),
+            iterations=int(number_of_iterations),
+            shape_zyx=f_level.spatial_shape,
+            has_fmask=False,
+            has_mmask=False,
+        )
+        batched = jax.vmap(
+            lambda t, init, m, s: run(
+                t, init, f_level.array.astype(jnp.float32), m, dummy, dummy,
+                ref_i2p, mov_p2i, s,
+                jnp.float32(max(f_level.spacing)), jnp.float32(1.0),
+            )
+        )
+        opt_stack, losses = batched(opt_stack, initial_stack, m_stack, scales_stack)
+        # refresh host-side per-atlas transforms for the next level's scales
+        opt_transforms = [
+            jax.tree_util.tree_map(lambda leaf: leaf[k], opt_stack)
+            for k in range(n)
+        ]
+        if verbose:
+            print(f"batched level {level}: losses = {np.asarray(losses)}")
+
+    combined = [
+        CompositeTransform([initials[k], opt_transforms[k]]) for k in range(n)
+    ]
+
+    if default_value is None:
+        default_value = 0
+        if float(np.asarray(movings32[0].array).min()) <= -1000:
+            default_value = -1000
+
+    registered = []
+    for k in range(n):
+        out = apply_transform(
+            input_image=movings32[k],
+            reference_image=fixed32,
+            transform=combined[k],
+            default_value=default_value,
+            interpolator=final_interp,
+        )
+        if not jnp.issubdtype(moving_dtype, jnp.floating):
+            out = out.with_array(jnp.rint(out.array).astype(moving_dtype))
+        else:
+            out = out.astype(moving_dtype)
+        registered.append(out)
+
+    return registered, combined

@@ -14,7 +14,30 @@ import numpy as np
 
 from platipy_tpu.core.image import Image
 
-__all__ = ["label_to_roi", "crop_to_roi", "crop_to_label_extent", "paste"]
+__all__ = ["label_to_roi", "crop_to_roi", "crop_to_label_extent", "paste",
+           "pad_roi_to_multiple"]
+
+
+def pad_roi_to_multiple(size, index, image_size, multiple: int = 32):
+    """Grow an (x,y,z) crop box so each side is a multiple of ``multiple``,
+    staying inside the image.
+
+    Per-case crop boxes vary by a few voxels, which would force XLA to
+    recompile every program for every case; bucketing the sizes makes the
+    whole pipeline reuse its compiled programs across cases.
+    """
+    size = np.asarray(size, dtype=np.int64)
+    index = np.asarray(index, dtype=np.int64)
+    image_size = np.asarray(image_size, dtype=np.int64)
+
+    target = np.minimum(
+        ((size + multiple - 1) // multiple) * multiple, image_size
+    )
+    grow = target - size
+    # grow symmetrically where possible
+    new_index = np.maximum(index - grow // 2, 0)
+    new_index = np.minimum(new_index, image_size - target)
+    return [int(v) for v in target], [int(v) for v in new_index]
 
 
 def label_to_roi(label, expansion_mm=(0, 0, 0), return_as_list: bool = False):
