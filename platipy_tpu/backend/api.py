@@ -103,10 +103,16 @@ class ApiHandler(BaseHTTPRequestHandler):
 
     # -- routing ------------------------------------------------------------------
     def do_GET(self):
+        path = urlparse(self.path).path.rstrip("/")
+        if path in ("", "/"):
+            from platipy_tpu.backend.views import render_status_page
+
+            page = render_status_page(self.app).encode("utf-8")
+            return self._send(200, raw=page, content_type="text/html")
+
         key = self._auth()
         if key is None:
             return
-        path = urlparse(self.path).path.rstrip("/")
 
         m = re.fullmatch(r"/api/status/([0-9a-f]+)", path)
         if m:

@@ -314,15 +314,26 @@ def _lerp_shift_axis(vol: jnp.ndarray, offset: jnp.ndarray, axis: int, max_disp:
     pad_width[axis] = (max_disp, max_disp + 1)
     p = jnp.pad(vol, pad_width, mode="edge")
 
-    # sequential accumulation keeps the live set O(volume); an unrolled loop
-    # makes XLA hold ~2*max_disp temporaries and OOMs at batch scale
-    def body(k, acc):
-        sh = jax.lax.dynamic_slice_in_dim(p, k, n, axis)
-        kk = k - max_disp
-        w = jnp.where(d == kk, 1.0 - t, 0.0) + jnp.where(d + 1 == kk, t, 0.0)
-        return acc + w * sh
+    # sequential accumulation keeps the live set O(volume) (a fully unrolled
+    # loop makes XLA hold ~2*max_disp temporaries and OOMs at batch scale);
+    # a small unroll factor per fori step recovers scheduling overlap
+    n_taps = 2 * max_disp + 2
+    unroll = 2
+    n_steps = (n_taps + unroll - 1) // unroll
 
-    out = jax.lax.fori_loop(0, 2 * max_disp + 2, body, jnp.zeros(offset.shape, vol.dtype))
+    def body(step, acc):
+        for j in range(unroll):
+            k = step * unroll + j
+            sh = jax.lax.dynamic_slice_in_dim(p, k, n, axis)
+            kk = k - max_disp
+            w = jnp.where(d == kk, 1.0 - t, 0.0) + jnp.where(d + 1 == kk, t, 0.0)
+            acc = acc + w * sh
+        return acc
+
+    out = jax.lax.fori_loop(0, n_steps, body, jnp.zeros(offset.shape, vol.dtype))
+    # taps beyond n_taps (when unroll doesn't divide) contribute zero weight
+    # only if k stays within the padded range; guard by construction:
+    # pad already covers k in [0, n_steps*unroll) because d is clipped
     return out, inside
 
 
@@ -450,3 +461,107 @@ def _resample_separable_jit(array, *, wx_key, wy_key, wz_key, valid_key, default
     if arr.ndim == 4:
         valid = valid[..., None]
     return jnp.where(valid, out, jnp.asarray(default_value, out.dtype))
+
+
+# ---------------------------------------------------------------------------
+# shear-factorised affine resampling (gather-free)
+# ---------------------------------------------------------------------------
+#
+# An affine index->index map factors into three elementary "row" maps
+# M = S_x · S_y · S_z (homogeneous 4x4; S_i modifies only coordinate i).
+# Applying three 1-D per-voxel interpolation passes (x, then y, then z) with
+# the factored offsets reproduces the affine's coordinates EXACTLY; each pass
+# is a shift-and-select sweep (VPU-bound), so no XLA gather is needed.  The
+# interpolation is separable (shear-warp) rather than direct trilinear — ideal
+# for registration losses; final resamples keep the exact gather path.
+
+def _shear_factors(m_h: jnp.ndarray):
+    """Factor homogeneous M into row maps r_x, r_y, r_z (each length 4).
+
+    S_z has row z = r_z; S_y row y = r_y; S_x row x = r_x;
+    M = S_x @ S_y @ S_z.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    eye = jnp.eye(4, dtype=m_h.dtype)
+    r_z = m_h[2, :]
+    s_z = eye.at[2, :].set(r_z)
+    s_z_inv = jnp.linalg.inv(s_z)
+    r_y = jnp.matmul(m_h[1, :], s_z_inv, precision=hp)
+    s_y = eye.at[1, :].set(r_y)
+    s_yz_inv = jnp.linalg.inv(jnp.matmul(s_y, s_z, precision=hp))
+    r_x = jnp.matmul(m_h[0, :], s_yz_inv, precision=hp)
+    return r_x, r_y, r_z
+
+
+def _lerp_map_axis(vol: jnp.ndarray, u: jnp.ndarray, axis: int, out_len: int,
+                   max_shift: int):
+    """1-D linear interp along ``axis`` at absolute coordinates ``u`` (the
+    output length along that axis may differ from the input's).
+
+    Returns (values, inside_mask).  ``u`` has the OUTPUT shape.
+    """
+    in_n = vol.shape[axis]
+    base = jax.lax.broadcasted_iota(jnp.float32, u.shape, axis)
+    inside = (u >= -0.5) & (u <= in_n - 0.5)
+    uc = jnp.clip(u, 0.0, in_n - 1.0)
+    x0 = jnp.floor(uc)
+    t = (uc - x0).astype(vol.dtype)
+    d = (x0 - base).astype(jnp.int32)  # in [-max_shift, max_shift]
+    d = jnp.clip(d, -max_shift, max_shift)
+
+    pad_width = [(0, 0)] * vol.ndim
+    pad_width[axis] = (max_shift, max_shift + 1 + max(out_len - in_n, 0))
+    p = jnp.pad(vol, pad_width, mode="edge")
+
+    def body(k, acc):
+        sh = jax.lax.dynamic_slice_in_dim(p, k, out_len, axis)
+        kk = k - max_shift
+        w = jnp.where(d == kk, 1.0 - t, 0.0) + jnp.where(d + 1 == kk, t, 0.0)
+        return acc + w * sh
+
+    out = jax.lax.fori_loop(0, 2 * max_shift + 2, body,
+                            jnp.zeros(u.shape, vol.dtype))
+    return out, inside
+
+
+def affine_shear_resample(
+    vol: jnp.ndarray,
+    m_h: jnp.ndarray,
+    out_shape_zyx,
+    default_value: float = 0.0,
+):
+    """Resample [z,y,x] through an index->index homogeneous affine ``m_h``
+    (output index -> input index) using three gather-free shear passes."""
+    nz_o, ny_o, nx_o = (int(v) for v in out_shape_zyx)
+    nz_i, ny_i, nx_i = vol.shape
+    r_x, r_y, r_z = _shear_factors(m_h.astype(jnp.float32))
+
+    def coords(shape):
+        ix = jax.lax.broadcasted_iota(jnp.float32, shape, 2)
+        iy = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+        iz = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+        return ix, iy, iz
+
+    # pass 1 (x): intermediate grid (nz_i, ny_i, nx_o)
+    shape1 = (nz_i, ny_i, nx_o)
+    ix, iy, iz = coords(shape1)
+    u_x = r_x[0] * ix + r_x[1] * iy + r_x[2] * iz + r_x[3]
+    out, in_x = _lerp_map_axis(vol, u_x, 2, nx_o, max(nx_i, nx_o))
+
+    # pass 2 (y): grid (nz_i, ny_o, nx_o)
+    shape2 = (nz_i, ny_o, nx_o)
+    ix, iy, iz = coords(shape2)
+    u_y = r_y[0] * ix + r_y[1] * iy + r_y[2] * iz + r_y[3]
+    out, in_y = _lerp_map_axis(out, u_y, 1, ny_o, max(ny_i, ny_o))
+    in_x, _ = _lerp_map_axis(in_x.astype(jnp.float32), u_y, 1, ny_o, max(ny_i, ny_o))
+
+    # pass 3 (z): grid (nz_o, ny_o, nx_o)
+    shape3 = (nz_o, ny_o, nx_o)
+    ix, iy, iz = coords(shape3)
+    u_z = r_z[0] * ix + r_z[1] * iy + r_z[2] * iz + r_z[3]
+    out, in_z = _lerp_map_axis(out, u_z, 0, nz_o, max(nz_i, nz_o))
+    in_x, _ = _lerp_map_axis(in_x, u_z, 0, nz_o, max(nz_i, nz_o))
+    in_y, _ = _lerp_map_axis(in_y.astype(jnp.float32), u_z, 0, nz_o, max(nz_i, nz_o))
+
+    inside = (in_x > 0.999) & (in_y > 0.999) & in_z
+    return jnp.where(inside, out, jnp.asarray(default_value, out.dtype)), inside

@@ -300,7 +300,7 @@ def _demons_level_batched(
     # within a level the incremental field starts at zero (pre-warped moving),
     # so a tight inner bound suffices; between-level warps use the mm bound
     max_disp = tuple(
-        min(12, n - 1) for n in (lvl_shape[2], lvl_shape[1], lvl_shape[0])
+        min(8, n - 1) for n in (lvl_shape[2], lvl_shape[1], lvl_shape[0])
     )
     demons = functools.partial(
         _demons_level_impl,

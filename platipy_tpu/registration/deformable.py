@@ -167,7 +167,7 @@ def demons_level(
     # within a level the incremental field starts at zero (the driver pre-warps
     # by the accumulated total), so a tight voxel bound suffices
     max_disp = tuple(
-        min(12, n - 1)
+        min(8, n - 1)
         for n in (fixed.spatial_shape[2], fixed.spatial_shape[1], fixed.spatial_shape[0])
     )
     out = _demons_level_impl(

@@ -89,30 +89,33 @@ def _sample_points_for_scales(image: Image, n_per_axis: int = 4) -> jnp.ndarray:
 
 def _make_level_loss(metric_name, shape_zyx, has_fmask, has_mmask):
     """Level loss: metric(fixed, warp(moving, initial∘T)) with ITK
-    out-of-buffer exclusion and optional metric masks."""
-    import functools as _ft
+    out-of-buffer exclusion and optional metric masks.
 
-    from platipy_tpu.core.resample import _resample_linear_impl
+    Warping inside the loss uses the gather-free shear-factorised affine
+    resample (XLA gathers run near-scalar on TPU and dominated the
+    optimisation loop); final resamples outside the loss stay exact trilinear.
+    """
+    from platipy_tpu.core.interp import affine_shear_resample
+    from platipy_tpu.core.resample import _linear_hmatrix_jnp
 
     metric_fn = _metrics.get_metric(metric_name)
+    hp = jax.lax.Precision.HIGHEST
 
     def loss(t, initial_transform, f_arr, m_arr, f_mask, m_mask, ref_i2p, mov_p2i):
         total = CompositeTransform([initial_transform, t])
-        warped = _resample_linear_impl(
-            m_arr, total, ref_i2p, mov_p2i, shape_zyx=shape_zyx,
-            interp_code=INTERP_LINEAR, default_value=0.0, out_dtype_name="float32",
+        t_h = _linear_hmatrix_jnp(total).astype(jnp.float32)
+        total_mat = jnp.matmul(
+            jnp.matmul(mov_p2i, t_h, precision=hp), ref_i2p, precision=hp
         )
-        valid = _resample_linear_impl(
-            jnp.ones_like(m_arr), total, ref_i2p, mov_p2i, shape_zyx=shape_zyx,
-            interp_code=INTERP_NEAREST, default_value=0.0, out_dtype_name="float32",
+        warped, inside = affine_shear_resample(
+            m_arr, total_mat, shape_zyx, default_value=0.0
         )
-        weight = valid
+        weight = inside.astype(jnp.float32)
         if has_fmask:
             weight = weight * (f_mask > 0.5).astype(jnp.float32)
         if has_mmask:
-            m_w = _resample_linear_impl(
-                m_mask, total, ref_i2p, mov_p2i, shape_zyx=shape_zyx,
-                interp_code=INTERP_NEAREST, default_value=0.0, out_dtype_name="float32",
+            m_w, _ = affine_shear_resample(
+                m_mask, total_mat, shape_zyx, default_value=0.0
             )
             weight = weight * (m_w > 0.5).astype(jnp.float32)
         return metric_fn(f_arr, warped, weight)
@@ -190,28 +193,31 @@ def _register_level(
         p_opt, _, final = jax.lax.fori_loop(0, iterations, body, (params, lr0, v0))
 
     elif optimiser == "gradient_descent_line_search":
+        # parallel line search: evaluate all candidate step lengths in ONE
+        # batched pass (a sequential backtracking loop is launch-bound on TPU
+        # — ~9 tiny dependent kernels per iteration) and take the best step
+        ls_factors = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125],
+                                 jnp.float32)
+
         def body(_, carry):
             p, v = carry
             _, g = value_and_grad(p)
             g = scaled(g)
 
-            def try_step(lr):
-                cand = jax.tree_util.tree_map(lambda x, gi: x - lr * gi, p, g)
-                return cand, loss_of_params(cand)
+            def cand_loss(factor):
+                cand = jax.tree_util.tree_map(
+                    lambda x, gi: x - (lr0 * factor) * gi, p, g
+                )
+                return loss_of_params(cand)
 
-            def ls_body(state):
-                lr, _, _, it = state
-                cand, vc = try_step(lr)
-                return lr * 0.5, cand, vc, it + 1
-
-            def ls_cond(state):
-                lr, cand, vc, it = state
-                return (vc >= v) & (it < 8)
-
-            cand0, vc0 = try_step(lr0)
-            _, cand, vc, _ = jax.lax.while_loop(ls_cond, ls_body, (lr0 * 0.5, cand0, vc0, 0))
+            losses = jax.vmap(cand_loss)(ls_factors)
+            best = jnp.argmin(losses)
+            vc = losses[best]
+            lr_best = lr0 * ls_factors[best]
             accept = vc < v
-            p_new = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, a, b), cand, p)
+            p_new = jax.tree_util.tree_map(
+                lambda x, gi: jnp.where(accept, x - lr_best * gi, x), p, g
+            )
             return p_new, jnp.where(accept, vc, v)
 
         p_opt, final = jax.lax.fori_loop(0, iterations, body, (params, v0))
@@ -400,12 +406,18 @@ def linear_registration_batched(
     """Register N moving images to one fixed image as ONE batched program.
 
     The atlas-parallel counterpart of :func:`linear_registration`: all moving
-    images must share a grid (shape/spacing/origin/direction); the per-level
-    optimisation vmaps over the stacked transforms/moving images, so the
-    entire N-atlas linear stage compiles once and runs in one dispatch chain.
+    images must share a grid (shape/spacing/origin/direction); pyramids,
+    per-level optimisation and the final resamples all run as single batched
+    dispatches over the stacked atlas axis (remote-dispatch latency is the
+    enemy: the serial path pays ~0.5 s per eager call on tunnelled backends).
 
     Returns (list of registered Images, list of CompositeTransforms).
     """
+    from platipy_tpu.core.image import index_to_physical_matrix, physical_to_index_matrix
+    from platipy_tpu.core import filters as _filters
+    from platipy_tpu.core.interp import resample_separable
+    from platipy_tpu.core.resample import _resample_linear_impl
+
     moving_images = list(moving_images)
     n = len(moving_images)
     ref0 = moving_images[0]
@@ -426,11 +438,11 @@ def linear_registration_batched(
 
     fixed32 = fixed_image.astype(jnp.float32)
     moving_dtype = ref0.array.dtype
-    movings32 = [m.astype(jnp.float32) for m in moving_images]
+    moving_stack = jnp.stack([m.array.astype(jnp.float32) for m in moving_images])
 
     initials = [
         centered_transform_initializer(fixed32, m, "euler", moments=False)
-        for m in movings32
+        for m in moving_images
     ]
     initial_stack = jax.tree_util.tree_map(
         lambda *leaves: jnp.stack(leaves), *initials
@@ -446,29 +458,60 @@ def linear_registration_batched(
     opt_stack = jax.tree_util.tree_map(
         lambda *leaves: jnp.stack(leaves), *opt_transforms
     )
+    template = opt_transforms[0]
 
-    from platipy_tpu.core.image import index_to_physical_matrix, physical_to_index_matrix
+    def level_grid(image, shrink):
+        """(shape, spacing) of a pyramid level (reference resize formulas)."""
+        if not shrink or shrink == 1:
+            return image.spatial_shape, image.spacing
+        size = image.size
+        new_size = [int(sz / float(shrink) + 0.5) for sz in size]
+        new_spacing = [
+            ((so - 1) * sp) / (sn - 1)
+            for so, sp, sn in zip(size, image.spacing, new_size)
+        ]
+        return (new_size[2], new_size[1], new_size[0]), tuple(new_spacing)
+
+    def smooth_kernels(image, sigma):
+        if not sigma:
+            return None
+        var = sigma * sigma
+        max_w = max(int(max(8 * var * sp for sp in image.spacing)), 2)
+        return [
+            _filters.discrete_gaussian_kernel1d(var / image.spacing[2] ** 2, 0.01, max_w),
+            _filters.discrete_gaussian_kernel1d(var / image.spacing[1] ** 2, 0.01, max_w),
+            _filters.discrete_gaussian_kernel1d(var / image.spacing[0] ** 2, 0.01, max_w),
+        ]
 
     for level, (shrink, sigma) in enumerate(zip(shrink_factors, smooth_sigmas)):
         f_level = smooth_and_resample(
             fixed32, shrink_factor=shrink if shrink != 1 else None,
             smoothing_sigma=sigma if sigma else None,
         )
-        m_levels = [
-            smooth_and_resample(
-                m, shrink_factor=shrink if shrink != 1 else None,
-                smoothing_sigma=sigma if sigma else None,
+        # batched moving pyramid: smooth (stacked conv) + one separable regrid
+        m_shape, m_spacing = level_grid(ref0, shrink)
+        kernels = smooth_kernels(ref0, sigma)
+        m_stack_lvl = moving_stack
+        if kernels is not None:
+            m_stack_lvl = _filters.convolve_separable(m_stack_lvl, kernels, axes=(1, 2, 3))
+        if m_shape != ref0.spatial_shape:
+            scale_maps = (
+                (m_spacing[0] / ref0.spacing[0], 0.0),
+                (m_spacing[1] / ref0.spacing[1], 0.0),
+                (m_spacing[2] / ref0.spacing[2], 0.0),
             )
-            for m in movings32
-        ]
-        m_stack = jnp.stack([m.array.astype(jnp.float32) for m in m_levels])
+            m_stack_lvl = jax.vmap(
+                lambda a: resample_separable(a, scale_maps, m_shape, interp=INTERP_LINEAR)
+            )(m_stack_lvl)
 
-        # per-atlas parameter scales (tiny, CPU)
-        pts = _sample_points_for_scales(f_level)
-        scales_list = [physical_shift_scales(t, pts) for t in opt_transforms]
+        # parameter scales: identical for every atlas at init (same centre =
+        # fixed geometric centre, jacobian independent of translation)
+        scales_one = physical_shift_scales(template, _sample_points_for_scales(f_level))
         scales_stack = {
-            k: jnp.stack([jnp.asarray(s[k], jnp.float32) for s in scales_list])
-            for k in scales_list[0]
+            k: jnp.broadcast_to(
+                jnp.asarray(v, jnp.float32), (n,) + np.asarray(v).shape
+            )
+            for k, v in scales_one.items()
         }
 
         ref_i2p = jnp.asarray(
@@ -476,9 +519,7 @@ def linear_registration_batched(
             jnp.float32,
         )
         mov_p2i = jnp.asarray(
-            physical_to_index_matrix(
-                m_levels[0].origin, m_levels[0].spacing, m_levels[0].direction
-            ),
+            physical_to_index_matrix(ref0.origin, m_spacing, ref0.direction),
             jnp.float32,
         )
         dummy = jnp.zeros((1, 1, 1), jnp.float32)
@@ -499,37 +540,52 @@ def linear_registration_batched(
                 jnp.float32(max(f_level.spacing)), jnp.float32(1.0),
             )
         )
-        opt_stack, losses = batched(opt_stack, initial_stack, m_stack, scales_stack)
-        # refresh host-side per-atlas transforms for the next level's scales
-        opt_transforms = [
-            jax.tree_util.tree_map(lambda leaf: leaf[k], opt_stack)
-            for k in range(n)
-        ]
+        opt_stack, losses = batched(opt_stack, initial_stack, m_stack_lvl, scales_stack)
         if verbose:
             print(f"batched level {level}: losses = {np.asarray(losses)}")
 
-    combined = [
-        CompositeTransform([initials[k], opt_transforms[k]]) for k in range(n)
-    ]
-
     if default_value is None:
         default_value = 0
-        if float(np.asarray(movings32[0].array).min()) <= -1000:
+        if float(jnp.min(moving_stack)) <= -1000:
             default_value = -1000
+
+    # final resample of every atlas in one batched dispatch
+    ref_i2p_full = jnp.asarray(
+        index_to_physical_matrix(fixed32.origin, fixed32.spacing, fixed32.direction),
+        jnp.float32,
+    )
+    mov_p2i_full = jnp.asarray(
+        physical_to_index_matrix(ref0.origin, ref0.spacing, ref0.direction),
+        jnp.float32,
+    )
+    interp_code = final_interp if isinstance(final_interp, int) else INTERP_LINEAR
+
+    def warp_one(t, init, m):
+        total = CompositeTransform([init, t])
+        return _resample_linear_impl(
+            m, total, ref_i2p_full, mov_p2i_full,
+            shape_zyx=fixed32.spatial_shape, interp_code=interp_code,
+            default_value=float(default_value), out_dtype_name="float32",
+        )
+
+    registered_stack = jax.jit(jax.vmap(warp_one))(
+        opt_stack, initial_stack, moving_stack
+    )
+
+    opt_list = [
+        jax.tree_util.tree_map(lambda leaf: leaf[k], opt_stack) for k in range(n)
+    ]
+    combined = [CompositeTransform([initials[k], opt_list[k]]) for k in range(n)]
 
     registered = []
     for k in range(n):
-        out = apply_transform(
-            input_image=movings32[k],
-            reference_image=fixed32,
-            transform=combined[k],
-            default_value=default_value,
-            interpolator=final_interp,
-        )
+        arr = registered_stack[k]
         if not jnp.issubdtype(moving_dtype, jnp.floating):
-            out = out.with_array(jnp.rint(out.array).astype(moving_dtype))
+            arr = jnp.rint(arr).astype(moving_dtype)
         else:
-            out = out.astype(moving_dtype)
-        registered.append(out)
+            arr = arr.astype(moving_dtype)
+        registered.append(
+            Image(arr, fixed32.origin, fixed32.spacing, fixed32.direction)
+        )
 
     return registered, combined
