@@ -300,3 +300,32 @@ def _rewrap_int(arr, img: Optional[Image]):
     if img is not None:
         return img.with_array(arr)
     return arr
+
+
+def label_intensity_statistics(labels, image, label: int = 1) -> Dict[str, object]:
+    """Intensity statistics of ``image`` inside one label: mean, median, std
+    (sample, ddof=1 — ITK convention), min, max, sum, variance, count,
+    physical size.
+
+    Mirrors the ``sitk.LabelIntensityStatisticsImageFilter`` quantities used
+    by the reference (bronchus.py:162, comparison.py:99,299).  Host-side.
+    """
+    lab, limg = _unwrap_int(labels)
+    arr = np.asarray(lab) == label
+    vals = np.asarray(image.array if isinstance(image, Image) else image)[arr]
+    count = int(arr.sum())
+    spacing = np.asarray(limg.spacing, np.float64) if limg is not None else np.ones(3)
+    out: Dict[str, object] = {"count": count, "physical_size": count * float(np.prod(spacing))}
+    if count == 0:
+        return out
+    vals = vals.astype(np.float64)
+    out.update(
+        mean=float(vals.mean()),
+        median=float(np.median(vals)),
+        sigma=float(vals.std(ddof=1)) if count > 1 else 0.0,
+        variance=float(vals.var(ddof=1)) if count > 1 else 0.0,
+        minimum=float(vals.min()),
+        maximum=float(vals.max()),
+        sum=float(vals.sum()),
+    )
+    return out

@@ -298,6 +298,10 @@ def sample_image(
 # iteration, so the approximation error is far below the pipeline's tolerance.
 # Exact gather-based sampling remains the default for final resamples.
 
+# shift-select taps at or below this count unroll statically (one XLA fusion)
+_STATIC_TAP_LIMIT = 20
+
+
 def _lerp_shift_axis(vol: jnp.ndarray, offset: jnp.ndarray, axis: int, max_disp: int):
     """1-D linear interpolation along ``axis`` at per-voxel offsets (voxels),
     |offset| clamped to ``max_disp``.  Returns (values, inside_mask)."""
@@ -314,10 +318,22 @@ def _lerp_shift_axis(vol: jnp.ndarray, offset: jnp.ndarray, axis: int, max_disp:
     pad_width[axis] = (max_disp, max_disp + 1)
     p = jnp.pad(vol, pad_width, mode="edge")
 
-    # sequential accumulation keeps the live set O(volume) (a fully unrolled
-    # loop makes XLA hold ~2*max_disp temporaries and OOMs at batch scale);
-    # a small unroll factor per fori step recovers scheduling overlap
     n_taps = 2 * max_disp + 2
+    if n_taps <= _STATIC_TAP_LIMIT:
+        # static slices: XLA fuses all taps into ONE loop fusion — the
+        # accumulator never round-trips HBM (a fori_loop accumulator does,
+        # tripling the traffic of the demons warp)
+        acc = jnp.zeros(offset.shape, vol.dtype)
+        for k in range(n_taps):
+            sh = jax.lax.slice_in_dim(p, k, k + n, axis=axis)
+            kk = k - max_disp
+            w = jnp.where(d == kk, 1.0 - t, 0.0) + jnp.where(d + 1 == kk, t, 0.0)
+            acc = acc + w * sh
+        return acc, inside
+
+    # large-displacement fallback: sequential accumulation keeps the live set
+    # O(volume) (full unrolling at ~34 taps made XLA hold the temporaries and
+    # OOM at batch scale); a small unroll per fori step recovers overlap
     unroll = 2
     n_steps = (n_taps + unroll - 1) // unroll
 
@@ -524,6 +540,32 @@ def _lerp_map_axis(vol: jnp.ndarray, u: jnp.ndarray, axis: int, out_len: int,
     return out, inside
 
 
+def _lerp_map_axis_mm(vol: jnp.ndarray, u: jnp.ndarray, axis: int, out_len: int):
+    """Matmul variant of _lerp_map_axis: builds the banded per-row
+    interpolation weights densely and contracts on the MXU.  2-3 ops per pass
+    instead of ~2n sequential taps — the right trade at level resolutions."""
+    in_n = vol.shape[axis]
+    v = jnp.moveaxis(vol, axis, -1)
+    u_m = jnp.moveaxis(u, axis, -1)
+    inside = (u_m >= -0.5) & (u_m <= in_n - 0.5)
+    uc = jnp.clip(u_m, 0.0, in_n - 1.0)
+    j = jnp.arange(in_n, dtype=uc.dtype)
+    # Floor-based tent weights, NOT clip(1-|uc-j|): the |.| form has zero
+    # derivative at integer coordinates (d|x|/dx = 0 at 0), which starves the
+    # registration optimiser of gradient when the initial transform lands on
+    # the grid.  This form's derivative is v[x0+1]-v[x0] everywhere — identical
+    # to _lerp_map_axis.
+    x0 = jax.lax.stop_gradient(jnp.floor(uc))[..., :, None]
+    t = uc[..., :, None] - x0
+    w = jnp.where(j == x0, 1.0 - t, 0.0) + jnp.where(j == x0 + 1.0, t, 0.0)
+    out = jnp.einsum("...kj,...j->...k", w, v, precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, -1, axis), jnp.moveaxis(inside, -1, axis)
+
+
+# W tensors beyond this many elements fall back to the shift-select sweep
+_SHEAR_MM_BUDGET = 48 * 1024 * 1024
+
+
 def affine_shear_resample(
     vol: jnp.ndarray,
     m_h: jnp.ndarray,
@@ -542,26 +584,35 @@ def affine_shear_resample(
         iz = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
         return ix, iy, iz
 
+    def pick(vol_shape, out_len, axis_in):
+        w_elems = int(np.prod(vol_shape)) // vol_shape[axis_in] * out_len * vol_shape[axis_in]
+        return w_elems <= _SHEAR_MM_BUDGET
+
+    def do_pass(v, u, axis, out_len, in_n):
+        if pick(v.shape, out_len, axis):
+            return _lerp_map_axis_mm(v, u, axis, out_len)
+        return _lerp_map_axis(v, u, axis, out_len, max(in_n, out_len))
+
     # pass 1 (x): intermediate grid (nz_i, ny_i, nx_o)
     shape1 = (nz_i, ny_i, nx_o)
     ix, iy, iz = coords(shape1)
     u_x = r_x[0] * ix + r_x[1] * iy + r_x[2] * iz + r_x[3]
-    out, in_x = _lerp_map_axis(vol, u_x, 2, nx_o, max(nx_i, nx_o))
+    out, in_x = do_pass(vol, u_x, 2, nx_o, nx_i)
 
     # pass 2 (y): grid (nz_i, ny_o, nx_o)
     shape2 = (nz_i, ny_o, nx_o)
     ix, iy, iz = coords(shape2)
     u_y = r_y[0] * ix + r_y[1] * iy + r_y[2] * iz + r_y[3]
-    out, in_y = _lerp_map_axis(out, u_y, 1, ny_o, max(ny_i, ny_o))
-    in_x, _ = _lerp_map_axis(in_x.astype(jnp.float32), u_y, 1, ny_o, max(ny_i, ny_o))
+    out, in_y = do_pass(out, u_y, 1, ny_o, ny_i)
+    in_x, _ = do_pass(in_x.astype(jnp.float32), u_y, 1, ny_o, ny_i)
 
     # pass 3 (z): grid (nz_o, ny_o, nx_o)
     shape3 = (nz_o, ny_o, nx_o)
     ix, iy, iz = coords(shape3)
     u_z = r_z[0] * ix + r_z[1] * iy + r_z[2] * iz + r_z[3]
-    out, in_z = _lerp_map_axis(out, u_z, 0, nz_o, max(nz_i, nz_o))
-    in_x, _ = _lerp_map_axis(in_x, u_z, 0, nz_o, max(nz_i, nz_o))
-    in_y, _ = _lerp_map_axis(in_y.astype(jnp.float32), u_z, 0, nz_o, max(nz_i, nz_o))
+    out, in_z = do_pass(out, u_z, 0, nz_o, nz_i)
+    in_x, _ = do_pass(in_x, u_z, 0, nz_o, nz_i)
+    in_y, _ = do_pass(in_y.astype(jnp.float32), u_z, 0, nz_o, nz_i)
 
     inside = (in_x > 0.999) & (in_y > 0.999) & in_z
     return jnp.where(inside, out, jnp.asarray(default_value, out.dtype)), inside

@@ -264,3 +264,39 @@ def transform_to_displacement_field(transform: Transform, reference: Image) -> I
     points = _grid_physical_points(reference.spatial_shape, ref_i2p)
     moved = transform.apply(points.reshape(-1, 3)).reshape(points.shape)
     return Image(moved - points, reference.origin, reference.spacing, reference.direction)
+
+
+def invert_displacement_field(dvf: Image, iterations: int = 20) -> Image:
+    """Fixed-point inverse of a dense displacement field.
+
+    Finds v with (id + v) ∘ (id + u) ≈ id by iterating
+    v_{k+1}(x) = -u(x + v_k(x)) — i.e. resample u through the current inverse
+    and negate.  Mirrors ``sitk.InvertDisplacementField``
+    (reference visualiser.py:1536).  Out-of-grid samples clamp to the border.
+    """
+    u = dvf.array
+    ref_i2p = jnp.asarray(
+        index_to_physical_matrix(dvf.origin, dvf.spacing, dvf.direction), jnp.float32
+    )
+    ref_p2i = jnp.asarray(
+        physical_to_index_matrix(dvf.origin, dvf.spacing, dvf.direction), jnp.float32
+    )
+    points = _grid_physical_points(dvf.spatial_shape, ref_i2p)
+
+    def sample_u(v):
+        q = points + v
+        a, b = ref_p2i[:3, :3], ref_p2i[:3, 3]
+        idx = jnp.matmul(q, a.T, precision=jax.lax.Precision.HIGHEST) + b
+        nz, ny, nx = u.shape[:3]
+        ix = jnp.clip(idx[..., 0], 0.0, nx - 1.0)
+        iy = jnp.clip(idx[..., 1], 0.0, ny - 1.0)
+        iz = jnp.clip(idx[..., 2], 0.0, nz - 1.0)
+        return _interp.sample_at_continuous_index(
+            u, ix, iy, iz, interp=_interp.INTERP_LINEAR
+        )
+
+    def body(_, v):
+        return -sample_u(v)
+
+    v = jax.lax.fori_loop(0, int(iterations), body, jnp.zeros_like(u))
+    return Image(v, dvf.origin, dvf.spacing, dvf.direction)

@@ -202,3 +202,40 @@ def test_label_shape_statistics():
     assert cy == pytest.approx(9.5)
     assert cz == pytest.approx(9.5)
     assert stats["elongation"] > 1.5  # clearly elongated
+
+
+def test_label_intensity_statistics():
+    from platipy_tpu.core.components import label_intensity_statistics
+    from platipy_tpu.core.image import from_array
+
+    lab = np.zeros((8, 8, 8), np.uint8)
+    lab[2:5, 2:5, 2:5] = 1
+    img_vals = np.arange(8 * 8 * 8, dtype=np.float32).reshape(8, 8, 8)
+    stats = label_intensity_statistics(
+        from_array(lab, spacing=(1.0, 1.0, 2.0)), from_array(img_vals)
+    )
+    sel = img_vals[lab == 1].astype(np.float64)
+    assert stats["count"] == 27
+    assert stats["physical_size"] == 27 * 2.0
+    assert abs(stats["mean"] - sel.mean()) < 1e-9
+    assert abs(stats["sigma"] - sel.std(ddof=1)) < 1e-9
+    assert stats["minimum"] == sel.min() and stats["maximum"] == sel.max()
+
+
+def test_invert_displacement_field():
+    from platipy_tpu.core.image import from_array
+    from platipy_tpu.core.resample import (
+        identity_dvf,
+        invert_displacement_field,
+        warp_image,
+    )
+
+    ref = from_array(np.zeros((16, 16, 16), np.float32), spacing=(2.0, 2.0, 2.0))
+    dvf = identity_dvf(ref)
+    # smooth small displacement: constant shift of (3, -2, 1) mm
+    u = jnp.zeros_like(dvf.array) + jnp.asarray([3.0, -2.0, 1.0])
+    dvf = dvf.with_array(u)
+    inv = invert_displacement_field(dvf)
+    # interior voxels: v == -u exactly for a constant field
+    v = np.asarray(inv.array)[4:-4, 4:-4, 4:-4]
+    assert np.allclose(v, [-3.0, 2.0, -1.0], atol=1e-3)
