@@ -84,13 +84,48 @@ def gaussian_kernel1d(sigma_vox: float, truncate: float = 4.0) -> np.ndarray:
 # separable convolution
 # ---------------------------------------------------------------------------
 
+# Up to this axis length, 1-D convolution runs as a banded matmul on the MXU
+# instead of shift-and-add taps on the VPU.  Shifted slicing is lane/sublane-
+# rotate bound on TPU (~each tap rotates the whole tile); a banded [n,n]
+# matmul does the same contraction at MXU rates.  Edge-replicate padding is
+# folded into the boundary rows of the matrix, so semantics match exactly.
+_CONV_MM_LIMIT = 1024
+
+
 def _conv1d_along_axis(arr: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
     """Convolve [z,y,x(,c)] array along a spatial axis, edge-replicate padding.
 
     Dispatched as one jitted program per (shape, kernel, axis) — on remote
     backends eager op-by-op dispatch is prohibitively slow.
     """
-    return _conv1d_jit(arr, kernel_key=tuple(float(v) for v in kernel), axis=axis)
+    n = arr.shape[axis]
+    kernel_key = tuple(float(v) for v in kernel)
+    if 1 < n <= _CONV_MM_LIMIT and len(kernel_key) > 1:
+        return _conv1d_mm_jit(arr, kernel_key=kernel_key, axis=axis, n=n)
+    return _conv1d_jit(arr, kernel_key=kernel_key, axis=axis)
+
+
+def _conv_matrix(n: int, kernel: np.ndarray) -> np.ndarray:
+    """Banded correlation matrix C[n,n]: row i sums taps at clip(i+k-r, 0, n-1)
+    (edge replication folded into the boundary rows)."""
+    c = np.zeros((n, n), dtype=np.float32)
+    r = len(kernel) // 2  # same origin as _conv1d_jit
+    rows = np.arange(n)
+    for k, w in enumerate(kernel):
+        cols = np.clip(rows + k - r, 0, n - 1)
+        np.add.at(c, (rows, cols), float(w))
+    return c
+
+
+@partial(jax.jit, static_argnames=("kernel_key", "axis", "n"))
+def _conv1d_mm_jit(arr: jnp.ndarray, *, kernel_key, axis: int, n: int) -> jnp.ndarray:
+    c = jnp.asarray(_conv_matrix(n, np.asarray(kernel_key, dtype=np.float64)))
+    dtype = arr.dtype if jnp.issubdtype(arr.dtype, jnp.floating) else jnp.float32
+    out = jnp.tensordot(
+        c, arr.astype(dtype), axes=((1,), (axis,)),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.moveaxis(out, 0, axis)
 
 
 @partial(jax.jit, static_argnames=("kernel_key", "axis"))
