@@ -124,18 +124,22 @@ def relabel_components(labels, sort_by_size: bool = True, minimum_object_size: i
 
 
 def keep_largest_component(mask, connectivity: int = 26):
-    """Binary mask of the largest connected component."""
+    """Binary mask of the largest connected component.
+
+    One host round trip: labels are fetched once and sizes come from a single
+    ``bincount`` (a per-label device comparison would pull the label volume
+    once per component — seconds over a remote-device tunnel).
+    """
     lab = connected_components(mask, connectivity)
     lab_arr = lab.array if isinstance(lab, Image) else lab
-    flat = lab_arr.reshape(-1)
-    uniq = np.unique(np.asarray(flat))
-    uniq = uniq[uniq > 0]
     m, img = _unwrap(mask)
-    if uniq.size == 0:
+    lab_np = np.asarray(lab_arr).reshape(-1)
+    counts = np.bincount(lab_np[lab_np > 0]) if lab_np.any() else np.zeros(1, int)
+    if counts.size == 0 or counts.max() == 0:
         return _rewrap_int(jnp.zeros_like(lab_arr), img)
-    sizes = [(int((np.asarray(flat) == u).sum()), int(u)) for u in uniq]
-    largest = max(sizes)[1]
-    return _rewrap_int((lab_arr == largest).astype(jnp.int32), img)
+    largest = int(counts.argmax())
+    out = (lab_np == largest).astype(np.int32).reshape(np.shape(lab_arr))
+    return _rewrap_int(jnp.asarray(out), img)
 
 
 def connected_threshold(image, seeds, lower: float, upper: float, connectivity: int = 6,

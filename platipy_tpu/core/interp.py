@@ -562,8 +562,48 @@ def _lerp_map_axis_mm(vol: jnp.ndarray, u: jnp.ndarray, axis: int, out_len: int)
     return jnp.moveaxis(out, -1, axis), jnp.moveaxis(inside, -1, axis)
 
 
-# W tensors beyond this many elements fall back to the shift-select sweep
+# W tensors beyond this many elements are built slab-by-slab (lax.map) so the
+# banded weights never materialise whole; beyond ~full-axis shifts the
+# shift-select sweep would need 2n taps and is never competitive
 _SHEAR_MM_BUDGET = 48 * 1024 * 1024
+
+
+def _lerp_map_axis_mm_chunked(vol: jnp.ndarray, u: jnp.ndarray, axis: int,
+                              out_len: int, n_chunks: int):
+    """Chunked variant of _lerp_map_axis_mm: slabs along the leading non-op
+    axis keep the per-slab banded weight tensor under the budget."""
+    lead = 0 if axis != 0 else 1
+    n_lead = vol.shape[lead]
+    chunk = -(-n_lead // n_chunks)
+    pad_n = chunk * n_chunks - n_lead
+
+    def pad_lead(a):
+        pw = [(0, 0)] * a.ndim
+        pw[lead] = (0, pad_n)
+        return jnp.pad(a, pw) if pad_n else a
+
+    v = jnp.moveaxis(pad_lead(vol), lead, 0)
+    uu = jnp.moveaxis(pad_lead(u), lead, 0)
+    # op-axis position in the slab: unchanged when lead==0; z lands at 1 when
+    # the lead (y) axis moved to the front
+    op_v = axis if lead == 0 else 1
+    v = v.reshape((n_chunks, chunk) + v.shape[1:])
+    uu = uu.reshape((n_chunks, chunk) + uu.shape[1:])
+
+    def one(args):
+        vs, us = args
+        return _lerp_map_axis_mm(vs, us, op_v, out_len)
+
+    out, inside = jax.lax.map(one, (v, uu))
+    out = out.reshape((n_chunks * chunk,) + out.shape[2:])
+    inside = inside.reshape((n_chunks * chunk,) + inside.shape[2:])
+    out = jnp.moveaxis(out, 0, lead)
+    inside = jnp.moveaxis(inside, 0, lead)
+    if pad_n:
+        sl = [slice(None)] * out.ndim
+        sl[lead] = slice(0, n_lead)
+        out, inside = out[tuple(sl)], inside[tuple(sl)]
+    return out, inside
 
 
 def affine_shear_resample(
@@ -584,14 +624,14 @@ def affine_shear_resample(
         iz = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
         return ix, iy, iz
 
-    def pick(vol_shape, out_len, axis_in):
-        w_elems = int(np.prod(vol_shape)) // vol_shape[axis_in] * out_len * vol_shape[axis_in]
-        return w_elems <= _SHEAR_MM_BUDGET
-
     def do_pass(v, u, axis, out_len, in_n):
-        if pick(v.shape, out_len, axis):
+        w_elems = int(np.prod(v.shape)) * out_len
+        if w_elems <= _SHEAR_MM_BUDGET:
             return _lerp_map_axis_mm(v, u, axis, out_len)
-        return _lerp_map_axis(v, u, axis, out_len, max(in_n, out_len))
+        n_chunks = -(-w_elems // _SHEAR_MM_BUDGET)
+        lead = 0 if axis != 0 else 1
+        n_chunks = min(n_chunks, v.shape[lead])
+        return _lerp_map_axis_mm_chunked(v, u, axis, out_len, n_chunks)
 
     # pass 1 (x): intermediate grid (nz_i, ny_i, nx_o)
     shape1 = (nz_i, ny_i, nx_o)

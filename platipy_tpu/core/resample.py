@@ -71,6 +71,7 @@ def _resample_linear_impl(array, transform, ref_i2p, mov_p2i, *, shape_zyx, inte
     t_h = _linear_hmatrix_jnp(transform).astype(jnp.float32)
     hp = jax.lax.Precision.HIGHEST
     total_mat = jnp.matmul(jnp.matmul(mov_p2i, t_h, precision=hp), ref_i2p, precision=hp)
+
     a, b = total_mat[:3, :3], total_mat[:3, 3]
     ix, iy, iz = _interp.grid_continuous_indices(shape_zyx)
     ux = a[0, 0] * ix + a[0, 1] * iy + a[0, 2] * iz + b[0]
@@ -300,3 +301,52 @@ def invert_displacement_field(dvf: Image, iterations: int = 20) -> Image:
 
     v = jax.lax.fori_loop(0, int(iterations), body, jnp.zeros_like(u))
     return Image(v, dvf.origin, dvf.spacing, dvf.direction)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape_zyx", "default_value", "out_dtype_name")
+)
+def _resample_linear_shear_impl(array, transform, ref_i2p, mov_p2i, *, shape_zyx,
+                                default_value, out_dtype_name):
+    """Trilinear affine resample via the gather-free shear factorisation.
+
+    ~10x faster than the gather formulation on TPU but cascades three 1-D
+    interpolations (classic shear-warp), so values differ slightly from exact
+    trilinear for rotational maps — used for pipeline-internal warps (inputs
+    to demons, crop-box estimation) where the downstream registration refines
+    the result; the public ``resample`` keeps exact gather semantics.  Falls
+    back to gathers at runtime when the factorisation pivots degenerate
+    (e.g. ~90-degree rotations).
+    """
+    t_h = _linear_hmatrix_jnp(transform).astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    total_mat = jnp.matmul(jnp.matmul(mov_p2i, t_h, precision=hp), ref_i2p, precision=hp)
+
+    def gather_path(_):
+        a, b = total_mat[:3, :3], total_mat[:3, 3]
+        ix, iy, iz = _interp.grid_continuous_indices(shape_zyx)
+        ux = a[0, 0] * ix + a[0, 1] * iy + a[0, 2] * iz + b[0]
+        uy = a[1, 0] * ix + a[1, 1] * iy + a[1, 2] * iz + b[1]
+        uz = a[2, 0] * ix + a[2, 1] * iy + a[2, 2] * iz + b[2]
+        return _interp.sample_at_continuous_index(
+            array, ux, uy, uz, interp=_interp.INTERP_LINEAR,
+            default_value=default_value,
+        )
+
+    def shear_path(_):
+        out, _inside = _interp.affine_shear_resample(
+            array.astype(jnp.float32), total_mat, shape_zyx,
+            default_value=default_value,
+        )
+        return out
+
+    r_x, r_y, _r_z = _interp._shear_factors(total_mat)
+    ok = (
+        (jnp.abs(total_mat[2, 2]) > 0.25)
+        & (jnp.abs(r_y[1]) > 0.25)
+        & (jnp.abs(r_x[0]) > 0.25)
+        & jnp.all(jnp.isfinite(r_x))
+        & jnp.all(jnp.isfinite(r_y))
+    )
+    out = jax.lax.cond(ok, shear_path, gather_path, operand=None)
+    return _cast_out(out, out_dtype_name)

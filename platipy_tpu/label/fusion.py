@@ -319,17 +319,37 @@ def combine_labels_staple(label_list_dict: Dict, threshold: float = 1e-4) -> Dic
 
 
 def process_probability_image(probability_image: Image, threshold: float = 0.5) -> Image:
-    """Probability map -> binary mask post-processing (fusion.py:295-328)."""
+    """Probability map -> binary mask post-processing (fusion.py:295-328).
+
+    Device work reduces to scalars; the binary mask crosses to the host ONCE
+    (uint8) for the native fill-hole + largest-component pass and the result
+    is pushed back once — full-volume f32 fetches over a remote-device link
+    dominate otherwise.
+    """
     arr = probability_image.array.astype(jnp.float32)
-    max_val = float(np.asarray(arr).max())
-    if max_val > 0:
-        arr = arr / max_val
-    binary = arr >= threshold
-    if not bool(np.asarray(binary).any()):
+    max_val = float(jnp.max(arr))  # scalar fetch, not a full-volume pull
+    thresh = threshold * max_val if max_val > 0 else threshold
+    binary = arr >= thresh
+    n_on = int(jnp.sum(binary))  # scalar fetch
+    if n_on == 0:
         return probability_image.with_array(binary.astype(jnp.uint8))
-    filled = binary_fill_holes(binary)
+    binary_np = np.asarray(binary.astype(jnp.uint8))  # the one volume pull
+
+    from platipy_tpu import native
+
+    if native.available():
+        filled = native.fill_holes_3d(binary_np, 6)
+        lab = native.cc_label_3d((filled > 0).astype(np.uint8), 26)
+        flat = lab.reshape(-1)
+        counts = np.bincount(flat[flat > 0]) if flat.any() else np.zeros(1, int)
+        if counts.size and counts.max() > 0:
+            out_np = (lab == int(counts.argmax())).astype(np.uint8)
+        else:
+            out_np = np.zeros_like(binary_np)
+        return probability_image.with_array(jnp.asarray(out_np))
+
+    filled = binary_fill_holes(jnp.asarray(binary_np) > 0)
     largest = keep_largest_component(filled > 0)
-    out = probability_image.with_array(
+    return probability_image.with_array(
         (jnp.asarray(largest) > 0).astype(jnp.uint8)
     )
-    return out

@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from platipy_tpu.core.components import connected_components, relabel_components
+from platipy_tpu.core.components import (
+    connected_components,
+    keep_largest_component,
+    relabel_components,
+)
 from platipy_tpu.core.image import Image
 from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST
 from platipy_tpu.core.morphology import binary_closing
@@ -773,9 +777,8 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             if structure_name not in results.keys():
                 continue
             contour_s = results[structure_name]
-            labelled = relabel_components(connected_components(contour_s))
             largest = contour_s.with_array(
-                (np.asarray(labelled.array) == 1).astype(np.uint8)
+                (keep_largest_component(contour_s).array > 0).astype(jnp.uint8)
             )
             results[structure_name] = binary_closing(largest, binaryfillhole_img)
 

@@ -26,7 +26,11 @@ import numpy as np
 
 from platipy_tpu.core.image import Image
 from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST
-from platipy_tpu.core.components import connected_components, relabel_components
+from platipy_tpu.core.components import (
+    connected_components,
+    keep_largest_component,
+    relabel_components,
+)
 from platipy_tpu.core.morphology import binary_closing
 from platipy_tpu.label.fusion import process_probability_image, weighted_voting_batched
 from platipy_tpu.label.utils import correct_volume_overlap
@@ -38,6 +42,7 @@ from platipy_tpu.parallel.atlas import (
     shard_over_atlases,
 )
 from platipy_tpu.registration.linear import (
+    apply_transforms_batched,
     linear_registration,
     linear_registration_batched,
 )
@@ -176,12 +181,11 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         img, crop_movings,
         **{k: v for k, v in quick_reg_settings.items() if k != "verbose"},
     )
-    registered_crop_images = [i.astype(jnp.float32) for i in registered_crop_images]
-
-    combined = sum(
-        [np.asarray(i.array) for i in registered_crop_images]
-    ) / len(registered_crop_images)
-    combined_image = img.with_array(jnp.asarray((combined > -1000).astype(np.uint8)))
+    # combine on device: N full-volume fetches over a remote-device link cost
+    # ~0.3s each; the union mask crosses once (uint8) inside label_to_roi
+    combined = sum(i.array.astype(jnp.float32) for i in registered_crop_images)
+    combined = combined / len(registered_crop_images)
+    combined_image = img.with_array((combined > -1000).astype(jnp.uint8))
 
     crop_box_size, crop_box_index = label_to_roi(combined_image, expansion_mm=expansion_mm)
     # bucket the crop shape so compiled programs are reused across cases
@@ -199,28 +203,29 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
     )
 
     reg_movings = [atlas_set[i]["Original"]["CT Image"] for i in atlas_id_list]
-    _, batched_tfms = linear_registration_batched(
+    registered_images, batched_tfms = linear_registration_batched(
         img_crop, reg_movings,
         **{k: v for k, v in linear_registration_settings.items() if k != "verbose"},
     )
-    for atlas_id, initial_tfm in zip(atlas_id_list, batched_tfms):
-        atlas_set[atlas_id]["RIR"] = {}
-        atlas_set[atlas_id]["RIR"]["Transform"] = initial_tfm
-        atlas_set[atlas_id]["RIR"]["CT Image"] = apply_transform(
-            input_image=atlas_set[atlas_id]["Original"]["CT Image"],
-            reference_image=img_crop,
-            transform=initial_tfm,
-            default_value=-1000,
-            interpolator=INTERP_LINEAR,
+    # reuse the batched final warps (default -1000 linear, as the reference's
+    # per-atlas sitk.Resample at run.py:283-290) and batch all structure warps
+    # into one dispatch per structure
+    for atlas_id, initial_tfm, reg_img in zip(
+        atlas_id_list, batched_tfms, registered_images
+    ):
+        atlas_set[atlas_id]["RIR"] = {
+            "Transform": initial_tfm,
+            "CT Image": reg_img.astype(jnp.float32),
+        }
+    for struct in atlas_structure_list:
+        warped = apply_transforms_batched(
+            batched_tfms,
+            [atlas_set[i]["Original"][struct] for i in atlas_id_list],
+            img_crop, interpolator=INTERP_NEAREST, default_value=0,
         )
-        for struct in atlas_structure_list:
-            atlas_set[atlas_id]["RIR"][struct] = apply_transform(
-                input_image=atlas_set[atlas_id]["Original"][struct],
-                reference_image=img_crop,
-                transform=initial_tfm,
-                default_value=0,
-                interpolator=INTERP_NEAREST,
-            )
+        for atlas_id, w in zip(atlas_id_list, warped):
+            atlas_set[atlas_id]["RIR"][struct] = w
+    for atlas_id in atlas_id_list:
         atlas_set[atlas_id]["Original"] = None
 
     # --- step 3: batched demons DIR (reference :306-347, parallelised) -------
@@ -337,9 +342,8 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             if structure_name not in results:
                 continue
             contour_s = results[structure_name]
-            labelled = relabel_components(connected_components(contour_s))
             largest = contour_s.with_array(
-                (np.asarray(labelled.array) == 1).astype(np.uint8)
+                (keep_largest_component(contour_s).array > 0).astype(jnp.uint8)
             )
             results[structure_name] = binary_closing(largest, binaryfillhole_img)
 

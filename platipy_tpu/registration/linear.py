@@ -562,6 +562,27 @@ def linear_registration_batched(
 
     def warp_one(t, init, m):
         total = CompositeTransform([init, t])
+        if interp_code == INTERP_LINEAR:
+            # gather-free shear warp: these images feed the demons refinement
+            # (or crop-box estimation), so the shear-warp interpolation cascade
+            # is acceptable; the public serial API keeps exact trilinear.  No
+            # runtime gather fallback here — under vmap a lax.cond becomes a
+            # select that executes BOTH branches, and registration affines are
+            # never near the degenerate (~90-degree) pivots
+            from platipy_tpu.core.interp import affine_shear_resample
+            from platipy_tpu.core.resample import _linear_hmatrix_jnp
+
+            t_h = _linear_hmatrix_jnp(total).astype(jnp.float32)
+            hp = jax.lax.Precision.HIGHEST
+            total_mat = jnp.matmul(
+                jnp.matmul(mov_p2i_full, t_h, precision=hp), ref_i2p_full,
+                precision=hp,
+            )
+            out, _ = affine_shear_resample(
+                m.astype(jnp.float32), total_mat, fixed32.spatial_shape,
+                default_value=float(default_value),
+            )
+            return out
         return _resample_linear_impl(
             m, total, ref_i2p_full, mov_p2i_full,
             shape_zyx=fixed32.spatial_shape, interp_code=interp_code,
@@ -589,3 +610,67 @@ def linear_registration_batched(
         )
 
     return registered, combined
+
+
+def apply_transforms_batched(
+    transforms,
+    moving_images,
+    reference_image: Image,
+    interpolator=INTERP_NEAREST,
+    default_value: float = 0.0,
+):
+    """Warp N same-grid images through N same-structure transforms in ONE
+    batched dispatch (the serial ``apply_transform`` loop pays one remote
+    dispatch per call; reference multiatlas run.py:283-299 loops sitk.Resample).
+
+    Returns a list of Images on the reference grid, cast back to the moving
+    dtype (rounded for integer masks).
+    """
+    from platipy_tpu.core.image import index_to_physical_matrix, physical_to_index_matrix
+    from platipy_tpu.core.resample import _resample_linear_impl
+
+    moving_images = list(moving_images)
+    mov0 = moving_images[0]
+    moving_dtype = mov0.array.dtype
+    stack = jnp.stack([m.array.astype(jnp.float32) for m in moving_images])
+    tfm_stack = jax.tree_util.tree_map(lambda *l: jnp.stack(l), *transforms)
+    ref = reference_image
+    ref_i2p = jnp.asarray(
+        index_to_physical_matrix(ref.origin, ref.spacing, ref.direction), jnp.float32
+    )
+    mov_p2i = jnp.asarray(
+        physical_to_index_matrix(mov0.origin, mov0.spacing, mov0.direction), jnp.float32
+    )
+    interp_code = interpolator if isinstance(interpolator, int) else INTERP_NEAREST
+
+    out = _apply_batched_jit(
+        tfm_stack, stack, ref_i2p, mov_p2i,
+        shape_zyx=ref.spatial_shape, interp_code=interp_code,
+        default_value=float(default_value),
+    )
+    images = []
+    for k in range(len(moving_images)):
+        arr = out[k]
+        if not jnp.issubdtype(moving_dtype, jnp.floating):
+            arr = jnp.rint(arr).astype(moving_dtype)
+        else:
+            arr = arr.astype(moving_dtype)
+        images.append(Image(arr, ref.origin, ref.spacing, ref.direction))
+    return images
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape_zyx", "interp_code", "default_value")
+)
+def _apply_batched_jit(tfm_stack, stack, ref_i2p, mov_p2i, *, shape_zyx,
+                       interp_code, default_value):
+    from platipy_tpu.core.resample import _resample_linear_impl
+
+    def warp_one(t, m):
+        return _resample_linear_impl(
+            m, t, ref_i2p, mov_p2i, shape_zyx=shape_zyx,
+            interp_code=interp_code, default_value=default_value,
+            out_dtype_name="float32",
+        )
+
+    return jax.vmap(warp_one)(tfm_stack, stack)
