@@ -97,6 +97,10 @@ MUTLIATLAS_SETTINGS_DEFAULTS = {
         "structures_for_binaryfillhole": [],
         "structures_for_overlap_correction": [],
     },
+    # optional per-stage checkpointing (the reference restarts failed runs
+    # from scratch): set to a directory path to persist/resume crop box and
+    # DVF-stack stages
+    "checkpoint_directory": None,
 }
 
 # keep the reference's misspelled name as the canonical one (API parity);
@@ -174,74 +178,101 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         "optimiser": "gradient_descent_line_search",
     }
 
-    logger.info("Running initial similarity transform to crop image volume")
-    crop_ids = atlas_id_list[: min(8, len(atlas_id_list))]
-    crop_movings = [atlas_set[i]["Original"]["CT Image"] for i in crop_ids]
-    registered_crop_images, _ = linear_registration_batched(
-        img, crop_movings,
-        **{k: v for k, v in quick_reg_settings.items() if k != "verbose"},
-    )
-    # combine on device: N full-volume fetches over a remote-device link cost
-    # ~0.3s each; the union mask crosses once (uint8) inside label_to_roi
-    combined = sum(i.array.astype(jnp.float32) for i in registered_crop_images)
-    combined = combined / len(registered_crop_images)
-    combined_image = img.with_array((combined > -1000).astype(jnp.uint8))
+    from platipy_tpu.utils.checkpoint import StageCheckpoint
 
-    crop_box_size, crop_box_index = label_to_roi(combined_image, expansion_mm=expansion_mm)
-    # bucket the crop shape so compiled programs are reused across cases
-    crop_box_size, crop_box_index = pad_roi_to_multiple(
-        crop_box_size, crop_box_index, img.size, 32
-    )
+    ckpt = StageCheckpoint(settings.get("checkpoint_directory"))
+
+    if ckpt.has("cropbox"):
+        meta = ckpt.meta("cropbox")
+        crop_box_size = [int(v) for v in meta["size"]]
+        crop_box_index = [int(v) for v in meta["index"]]
+        logger.info("Resumed crop box from checkpoint.")
+    else:
+        logger.info("Running initial similarity transform to crop image volume")
+        crop_ids = atlas_id_list[: min(8, len(atlas_id_list))]
+        crop_movings = [atlas_set[i]["Original"]["CT Image"] for i in crop_ids]
+        registered_crop_images, _ = linear_registration_batched(
+            img, crop_movings,
+            **{k: v for k, v in quick_reg_settings.items() if k != "verbose"},
+        )
+        # combine on device: N full-volume fetches over a remote-device link
+        # cost ~0.3s each; the union mask crosses once inside label_to_roi
+        combined = sum(i.array.astype(jnp.float32) for i in registered_crop_images)
+        combined = combined / len(registered_crop_images)
+        combined_image = img.with_array((combined > -1000).astype(jnp.uint8))
+
+        crop_box_size, crop_box_index = label_to_roi(
+            combined_image, expansion_mm=expansion_mm
+        )
+        # bucket the crop shape so compiled programs are reused across cases
+        crop_box_size, crop_box_index = pad_roi_to_multiple(
+            crop_box_size, crop_box_index, img.size, 32
+        )
+        ckpt.save("cropbox", meta={"size": list(crop_box_size),
+                                   "index": list(crop_box_index)})
     img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
     logger.info("Calculated crop box: %s %s", crop_box_index, crop_box_size)
 
-    # --- step 2: linear registration per atlas (reference :255-300) ----------
-    linear_registration_settings = settings["linear_registration_settings"]
-    logger.info(
-        "Running %s transform to align atlas images",
-        linear_registration_settings["reg_method"],
-    )
-
-    reg_movings = [atlas_set[i]["Original"]["CT Image"] for i in atlas_id_list]
-    registered_images, batched_tfms = linear_registration_batched(
-        img_crop, reg_movings,
-        **{k: v for k, v in linear_registration_settings.items() if k != "verbose"},
-    )
-    # reuse the batched final warps (default -1000 linear, as the reference's
-    # per-atlas sitk.Resample at run.py:283-290) and batch all structure warps
-    # into one dispatch per structure
-    for atlas_id, initial_tfm, reg_img in zip(
-        atlas_id_list, batched_tfms, registered_images
-    ):
-        atlas_set[atlas_id]["RIR"] = {
-            "Transform": initial_tfm,
-            "CT Image": reg_img.astype(jnp.float32),
-        }
-    for struct in atlas_structure_list:
-        warped = apply_transforms_batched(
-            batched_tfms,
-            [atlas_set[i]["Original"][struct] for i in atlas_id_list],
-            img_crop, interpolator=INTERP_NEAREST, default_value=0,
+    # --- steps 2-3 with optional checkpoint/resume --------------------------
+    if ckpt.has("rir"):
+        logger.info("Resumed rigid/affine-registered atlas stacks from checkpoint.")
+        rir = ckpt.load("rir")
+        moving_stack = jnp.asarray(rir["moving_stack"])
+        struct_stacks = {s: jnp.asarray(rir[f"struct__{s}"]) for s in atlas_structure_list}
+    else:
+        # --- step 2: linear registration per atlas (reference :255-300) ----------
+        linear_registration_settings = settings["linear_registration_settings"]
+        logger.info(
+            "Running %s transform to align atlas images",
+            linear_registration_settings["reg_method"],
         )
-        for atlas_id, w in zip(atlas_id_list, warped):
-            atlas_set[atlas_id]["RIR"][struct] = w
-    for atlas_id in atlas_id_list:
-        atlas_set[atlas_id]["Original"] = None
+
+        reg_movings = [atlas_set[i]["Original"]["CT Image"] for i in atlas_id_list]
+        registered_images, batched_tfms = linear_registration_batched(
+            img_crop, reg_movings,
+            **{k: v for k, v in linear_registration_settings.items() if k != "verbose"},
+        )
+        # reuse the batched final warps (default -1000 linear, as the reference's
+        # per-atlas sitk.Resample at run.py:283-290) and batch all structure warps
+        # into one dispatch per structure
+        for atlas_id, initial_tfm, reg_img in zip(
+            atlas_id_list, batched_tfms, registered_images
+        ):
+            atlas_set[atlas_id]["RIR"] = {
+                "Transform": initial_tfm,
+                "CT Image": reg_img.astype(jnp.float32),
+            }
+        for struct in atlas_structure_list:
+            warped = apply_transforms_batched(
+                batched_tfms,
+                [atlas_set[i]["Original"][struct] for i in atlas_id_list],
+                img_crop, interpolator=INTERP_NEAREST, default_value=0,
+            )
+            for atlas_id, w in zip(atlas_id_list, warped):
+                atlas_set[atlas_id]["RIR"][struct] = w
+        for atlas_id in atlas_id_list:
+            atlas_set[atlas_id]["Original"] = None
+
+        moving_stack = jnp.stack(
+            [atlas_set[i]["RIR"]["CT Image"].array.astype(jnp.float32) for i in atlas_id_list]
+        )
+        struct_stacks = {
+            s: jnp.stack(
+                [atlas_set[i]["RIR"][s].array.astype(jnp.float32) for i in atlas_id_list]
+            )
+            for s in atlas_structure_list
+        }
+        if ckpt.enabled:
+            ckpt.save("rir", arrays={
+                "moving_stack": np.asarray(moving_stack),
+                **{f"struct__{s}": np.asarray(v) for s, v in struct_stacks.items()},
+            })
 
     # --- step 3: batched demons DIR (reference :306-347, parallelised) -------
     deformable_settings = settings["deformable_registration_settings"]
     logger.info("Running batched DIR to refine atlas image registration")
 
     target_arr = img_crop.array.astype(jnp.float32)
-    moving_stack = jnp.stack(
-        [atlas_set[i]["RIR"]["CT Image"].array.astype(jnp.float32) for i in atlas_id_list]
-    )
-    struct_stacks = {
-        s: jnp.stack(
-            [atlas_set[i]["RIR"][s].array.astype(jnp.float32) for i in atlas_id_list]
-        )
-        for s in atlas_structure_list
-    }
 
     # shard the atlas axis over the mesh when it divides evenly
     n_dev = len(jax.devices())
@@ -254,16 +285,22 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
     if not smoothing_sigmas:
         smoothing_sigmas = list(deformable_settings["resolution_staging"])
 
-    dvf_stack = batched_multiscale_demons(
-        target_arr,
-        moving_stack,
-        spacing_xyz=img_crop.spacing,
-        resolution_staging=deformable_settings["resolution_staging"],
-        iteration_staging=deformable_settings["iteration_staging"],
-        smoothing_sigmas=smoothing_sigmas,
-        isotropic_resample=deformable_settings["isotropic_resample"],
-        regularisation_kernel_mm=deformable_settings.get("regularisation_kernel_mm", 1.5),
-    )
+    if ckpt.has("dvf"):
+        logger.info("Resumed DVF stack from checkpoint.")
+        dvf_stack = jnp.asarray(ckpt.load("dvf")["dvf_stack"])
+    else:
+        dvf_stack = batched_multiscale_demons(
+            target_arr,
+            moving_stack,
+            spacing_xyz=img_crop.spacing,
+            resolution_staging=deformable_settings["resolution_staging"],
+            iteration_staging=deformable_settings["iteration_staging"],
+            smoothing_sigmas=smoothing_sigmas,
+            isotropic_resample=deformable_settings["isotropic_resample"],
+            regularisation_kernel_mm=deformable_settings.get("regularisation_kernel_mm", 1.5),
+        )
+        if ckpt.enabled:
+            ckpt.save("dvf", arrays={"dvf_stack": np.asarray(dvf_stack)})
 
     dir_images = batched_warp_by_dvf(
         moving_stack, dvf_stack, img_crop.spacing,

@@ -111,3 +111,38 @@ def test_nifti_roundtrip(tmp_path):
     mback = read_image(mpath)
     assert np.asarray(mback.array).dtype == np.uint8
     np.testing.assert_array_equal(np.asarray(mback.array), np.asarray(mask.array))
+
+def test_checkpoint_resume(tmp_path):
+    """A re-run with the same checkpoint directory skips the registration
+    stages and reproduces the same output (reference has no compute
+    checkpointing at all — SURVEY §5.4)."""
+    import copy
+    import logging
+
+    settings = _make_settings(3)
+    img, mask = _pseudo_ct((12, 24, 24), 8)
+    settings["checkpoint_directory"] = str(tmp_path / "ckpt")
+
+    results1, _ = run_segmentation(img, settings)
+    assert (tmp_path / "ckpt" / "cropbox.npz").exists()
+    assert (tmp_path / "ckpt" / "rir.npz").exists()
+    assert (tmp_path / "ckpt" / "dvf.npz").exists()
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Capture()
+    logging.getLogger("platipy_tpu.projects.multiatlas.run").addHandler(handler)
+    logging.getLogger("platipy_tpu.projects.multiatlas.run").setLevel(logging.INFO)
+    try:
+        results2, _ = run_segmentation(img, settings)
+    finally:
+        logging.getLogger("platipy_tpu.projects.multiatlas.run").removeHandler(handler)
+
+    assert any("Resumed DVF stack" in m for m in records)
+    a1 = np.asarray(results1["WHOLEHEART"].array)
+    a2 = np.asarray(results2["WHOLEHEART"].array)
+    assert np.array_equal(a1, a2)
