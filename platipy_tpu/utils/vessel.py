@@ -239,3 +239,29 @@ def vessel_spline_generation(
         splined_vessels[vessel_name] = vessel_delineation
 
     return splined_vessels
+
+
+def tube_from_com_list(com_list, radius_mm: float, reference_image: Image = None):
+    """Drop-in alias for the reference's ``tube_from_com_list``
+    (reference utils/vessel.py:170-214, which builds a vtkParametricSpline +
+    vtkTubeFilter).  Here the spline + tube are rasterised directly:
+    returns the sampled centreline points; pass ``reference_image`` to get the
+    voxelised tube mask instead (covering ``simpleitk_image_from_vtk_tube``,
+    reference :235-296, in one step)."""
+    pts = spline_centreline(np.asarray(com_list, dtype=np.float64))
+    if reference_image is None:
+        return pts
+    return tube_mask_from_points(pts, radius_mm, reference_image)
+
+
+def simpleitk_image_from_vtk_tube(tube, reference_image: Image) -> Image:
+    """Drop-in alias for the reference's ``simpleitk_image_from_vtk_tube``
+    (reference utils/vessel.py:235-296).  ``tube`` is the centreline points
+    array returned by :func:`tube_from_com_list` plus a radius attribute, or a
+    (points, radius_mm) tuple — VTK polydata does not exist in this framework.
+    """
+    if isinstance(tube, tuple):
+        points, radius_mm = tube
+    else:
+        points, radius_mm = tube, 2.0
+    return tube_mask_from_points(np.asarray(points), float(radius_mm), reference_image)

@@ -119,3 +119,41 @@ def test_cli_help_and_default():
     )
     assert "PlatiPy-TPU CLI" in result.stdout
     assert "segmentation" in result.stdout
+
+def test_dimse_networking_self_interop(tmp_path):
+    """The from-scratch Upper Layer + DIMSE stack: our Storage SCP receives
+    what our SCU sends (reference delegates this to pynetdicom,
+    connector.py:43-394)."""
+    import time
+
+    from platipy_tpu.core.image import from_array
+    from platipy_tpu.dicom.communication.connector import DicomConnector
+    from platipy_tpu.dicom.io.dataset import read_file
+    from platipy_tpu.dicom.io.nifti_to_series import convert_nifti_to_dicom_series
+
+    img = from_array((np.random.RandomState(0).rand(3, 16, 16) * 500).astype(np.float32),
+                     spacing=(1.0, 1.0, 2.0))
+    series_dir = tmp_path / "series"
+    series_dir.mkdir()
+    convert_nifti_to_dicom_series(img, output_directory=str(series_dir))
+    files = sorted(str(p) for p in series_dir.iterdir())
+
+    conn = DicomConnector("127.0.0.1", 11997,
+                          output_directory=str(tmp_path / "recv"))
+    scp = conn.listen(block=False)
+    time.sleep(0.2)
+    try:
+        assert conn.verify() is True
+        assert conn.send_dcm(files) is True
+        assert len(scp.received) == len(files)
+        ds = read_file(scp.received[0])
+        assert ds[(0x0028, 0x0010)].value == 16
+    finally:
+        scp.shutdown()
+
+
+def test_dimse_verify_no_server():
+    from platipy_tpu.dicom.communication.connector import DicomConnector
+
+    conn = DicomConnector("127.0.0.1", 1)  # nothing listens there
+    assert conn.verify() is False
