@@ -525,25 +525,15 @@ def linear_registration_batched(
             physical_to_index_matrix(ref0.origin, m_spacing, ref0.direction),
             jnp.float32,
         )
-        dummy = jnp.zeros((1, 1, 1), jnp.float32)
-
-        run = functools.partial(
-            _register_level,
-            metric_name=metric.lower(),
-            optimiser=optimiser.lower(),
-            iterations=int(number_of_iterations),
-            shape_zyx=f_level.spatial_shape,
-            has_fmask=False,
-            has_mmask=False,
+        batched = _cached_batched_level(
+            metric.lower(), optimiser.lower(), int(number_of_iterations),
+            f_level.spatial_shape,
         )
-        batched = jax.vmap(
-            lambda t, init, m, s: run(
-                t, init, f_level.array.astype(jnp.float32), m, dummy, dummy,
-                ref_i2p, mov_p2i, s,
-                jnp.float32(max(f_level.spacing)), jnp.float32(1.0),
-            )
+        opt_stack, losses = batched(
+            opt_stack, initial_stack, f_level.array.astype(jnp.float32),
+            m_stack_lvl, scales_stack, ref_i2p, mov_p2i,
+            jnp.float32(max(f_level.spacing)),
         )
-        opt_stack, losses = batched(opt_stack, initial_stack, m_stack_lvl, scales_stack)
         if verbose:
             print(f"batched level {level}: losses = {np.asarray(losses)}")
 
@@ -563,38 +553,10 @@ def linear_registration_batched(
     )
     interp_code = final_interp if isinstance(final_interp, int) else INTERP_LINEAR
 
-    def warp_one(t, init, m):
-        total = CompositeTransform([init, t])
-        if interp_code == INTERP_LINEAR:
-            # gather-free shear warp: these images feed the demons refinement
-            # (or crop-box estimation), so the shear-warp interpolation cascade
-            # is acceptable; the public serial API keeps exact trilinear.  No
-            # runtime gather fallback here — under vmap a lax.cond becomes a
-            # select that executes BOTH branches, and registration affines are
-            # never near the degenerate (~90-degree) pivots
-            from platipy_tpu.core.interp import affine_shear_resample
-            from platipy_tpu.core.resample import _linear_hmatrix_jnp
+    registered_stack = _cached_batched_final_warp(
+        fixed32.spatial_shape, interp_code, float(default_value)
+    )(opt_stack, initial_stack, moving_stack, ref_i2p_full, mov_p2i_full)
 
-            t_h = _linear_hmatrix_jnp(total).astype(jnp.float32)
-            hp = jax.lax.Precision.HIGHEST
-            total_mat = jnp.matmul(
-                jnp.matmul(mov_p2i_full, t_h, precision=hp), ref_i2p_full,
-                precision=hp,
-            )
-            out, _ = affine_shear_resample(
-                m.astype(jnp.float32), total_mat, fixed32.spatial_shape,
-                default_value=float(default_value),
-            )
-            return out
-        return _resample_linear_impl(
-            m, total, ref_i2p_full, mov_p2i_full,
-            shape_zyx=fixed32.spatial_shape, interp_code=interp_code,
-            default_value=float(default_value), out_dtype_name="float32",
-        )
-
-    registered_stack = jax.jit(jax.vmap(warp_one))(
-        opt_stack, initial_stack, moving_stack
-    )
 
     opt_list = [
         jax.tree_util.tree_map(lambda leaf: leaf[k], opt_stack) for k in range(n)
@@ -677,3 +639,62 @@ def _apply_batched_jit(tfm_stack, stack, ref_i2p, mov_p2i, *, shape_zyx,
         )
 
     return jax.vmap(warp_one)(tfm_stack, stack)
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_batched_level(metric_name, optimiser, iterations, shape_zyx):
+    """Module-cached jit(vmap(register_level)): a fresh jit-of-vmap closure
+    per call re-traces the whole level program (~0.5s of Python) every case;
+    caching by the static config makes steady-state calls pure dispatches."""
+    run = functools.partial(
+        _register_level,
+        metric_name=metric_name, optimiser=optimiser, iterations=iterations,
+        shape_zyx=shape_zyx, has_fmask=False, has_mmask=False,
+    )
+
+    def call(t, init, f_arr, m, scales, ref_i2p, mov_p2i, max_sp):
+        dummy = jnp.zeros((1, 1, 1), jnp.float32)
+        return run(t, init, f_arr, m, dummy, dummy, ref_i2p, mov_p2i, scales,
+                   max_sp, jnp.float32(1.0))
+
+    return jax.jit(
+        jax.vmap(call, in_axes=(0, 0, None, 0, 0, None, None, None))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_batched_final_warp(shape_zyx, interp_code, default_value):
+    """Module-cached jit(vmap) of the batched final warp (see
+    _cached_batched_level for why: closure jits re-trace every call).
+
+    Linear interpolation takes the gather-free shear path — these images feed
+    the demons refinement or crop-box estimation, so the shear-warp
+    interpolation cascade is acceptable (the public serial API keeps exact
+    trilinear).  No runtime gather fallback: under vmap a lax.cond becomes a
+    select executing BOTH branches, and registration affines are never near
+    the degenerate (~90-degree) pivots.
+    """
+    from platipy_tpu.core.interp import affine_shear_resample
+    from platipy_tpu.core.resample import _linear_hmatrix_jnp, _resample_linear_impl
+
+    def warp_one(t, init, m, ref_i2p_full, mov_p2i_full):
+        total = CompositeTransform([init, t])
+        if interp_code == INTERP_LINEAR:
+            t_h = _linear_hmatrix_jnp(total).astype(jnp.float32)
+            hp = jax.lax.Precision.HIGHEST
+            total_mat = jnp.matmul(
+                jnp.matmul(mov_p2i_full, t_h, precision=hp), ref_i2p_full,
+                precision=hp,
+            )
+            out, _ = affine_shear_resample(
+                m.astype(jnp.float32), total_mat, shape_zyx,
+                default_value=default_value,
+            )
+            return out
+        return _resample_linear_impl(
+            m, total, ref_i2p_full, mov_p2i_full,
+            shape_zyx=shape_zyx, interp_code=interp_code,
+            default_value=default_value, out_dtype_name="float32",
+        )
+
+    return jax.jit(jax.vmap(warp_one, in_axes=(0, 0, 0, None, None)))

@@ -62,8 +62,31 @@ def physical_shift_scales(transform, sample_points: jnp.ndarray) -> dict:
     under a unit change of that parameter (ITK ScalesFromPhysicalShift).
 
     Tiny computation (a jacobian at ~64 points) — pinned to the local CPU
-    backend so it never pays remote-dispatch latency.
+    backend so it never pays remote-dispatch latency, and memoised by value
+    (the eager jacfwd trace costs ~100ms and pipelines ask for the same
+    transform/grid combination every case).
     """
+    params0, _ = split_trainable(transform)
+    key = (
+        type(transform).__name__,
+        tuple(sorted((k, np.asarray(v).tobytes()) for k, v in params0.items())),
+        np.asarray(transform.center).tobytes() if hasattr(transform, "center") else b"",
+        np.asarray(sample_points).tobytes(),
+    )
+    cached = _SCALES_CACHE.get(key)
+    if cached is not None:
+        return {k: np.array(v) for k, v in cached.items()}
+    out = _physical_shift_scales_impl(transform, sample_points)
+    out_np = {k: np.asarray(v) for k, v in out.items()}
+    if len(_SCALES_CACHE) < 256:
+        _SCALES_CACHE[key] = out_np
+    return {k: np.array(v) for k, v in out_np.items()}
+
+
+_SCALES_CACHE: dict = {}
+
+
+def _physical_shift_scales_impl(transform, sample_points: jnp.ndarray) -> dict:
     params, rebuild = split_trainable(transform)
     try:
         cpu = jax.devices("cpu")[0]
