@@ -85,12 +85,15 @@ class UNet3D(nn.Module):
             if self.deep_supervision and level > 0:
                 outputs.append(
                     nn.Conv(self.num_classes, (1, 1, 1), dtype=self.compute_dtype,
-                            param_dtype=jnp.float32)(y).astype(jnp.float32)
+                            param_dtype=jnp.float32,
+                            name=f"ds_head_{level}")(y).astype(jnp.float32)
                 )
 
+        # fixed name so checkpoints transfer between deep-supervision and
+        # inference (deep_supervision=False) instantiations
         logits = nn.Conv(
             self.num_classes, (1, 1, 1), dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
+            param_dtype=jnp.float32, name="seg_head",
         )(y).astype(jnp.float32)
 
         if self.deep_supervision:

@@ -129,3 +129,32 @@ def test_sharded_train_step(tiny_model, eight_cpu_devices):
         labels = jax.device_put(labels, NamedSharding(mesh, P("data")))
         params, opt_state, loss = train_step(params, opt_state, images, labels)
         assert np.isfinite(float(loss))
+
+def test_full_training_pipeline_overfits():
+    """The TPU-native nnU-Net recipe (foreground-oversampled patches,
+    on-device augmentation, deep supervision, poly-LR SGD) overfits one
+    synthetic case; deep-supervision checkpoints drive the plain inference
+    model (fixed head names)."""
+    from platipy_tpu.projects.nnunet.inference import sliding_window_inference
+    from platipy_tpu.projects.nnunet.model import UNet3D
+    from platipy_tpu.projects.nnunet.train import fit
+
+    zz, yy, xx = np.mgrid[:24, :48, :48].astype(np.float32)
+    d = np.sqrt((zz - 12) ** 2 + (yy - 24) ** 2 + (xx - 24) ** 2)
+    img = (1000 / (1 + np.exp((d - 9) / 1.5)) - 500).astype(np.float32)
+    lab = (d <= 9).astype(np.int32)
+
+    model = UNet3D(num_classes=2, features=(8, 16, 32),
+                   strides=((1, 1, 1), (2, 2, 2), (2, 2, 2)),
+                   deep_supervision=True)
+    params, losses = fit(model, [(img, lab)], tile_shape=(16, 32, 32),
+                         batch_size=2, steps=60, base_lr=5e-3, log_every=0)
+    assert losses[-1] < losses[0] * 0.5
+
+    eval_model = UNet3D(num_classes=2, features=(8, 16, 32),
+                        strides=((1, 1, 1), (2, 2, 2), (2, 2, 2)))
+    probs = sliding_window_inference(eval_model.apply, params,
+                                     jnp.asarray(img), 2, tile_shape=(16, 32, 32))
+    pred = np.asarray(jnp.argmax(probs, -1))
+    dice = 2 * (pred * lab).sum() / (pred.sum() + lab.sum())
+    assert dice > 0.7, dice
