@@ -26,13 +26,17 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # explicit (1,1) padding: torch (nnU-Net) pads 3x3x3 convs
+        # symmetrically; flax "SAME" pads stride-2 convs (0,1), shifting the
+        # grid by one and breaking converted-weight parity
         x = nn.Conv(
             self.features, kernel_size=(3, 3, 3), strides=self.stride,
-            padding="SAME", dtype=self.compute_dtype, param_dtype=jnp.float32,
+            padding=((1, 1), (1, 1), (1, 1)),
+            dtype=self.compute_dtype, param_dtype=jnp.float32,
         )(x)
         # instance norm in f32 for stability
         x = x.astype(jnp.float32)
-        x = nn.GroupNorm(num_groups=None, group_size=1)(x)
+        x = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5)(x)
         x = nn.leaky_relu(x, negative_slope=0.01)
         return x.astype(self.compute_dtype)
 

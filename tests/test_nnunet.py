@@ -158,3 +158,105 @@ def test_full_training_pipeline_overfits():
     pred = np.asarray(jnp.argmax(probs, -1))
     dice = 2 * (pred * lab).sum() / (pred.sum() + lab.sum())
     assert dice > 0.7, dice
+
+
+def test_nnunet_weight_conversion_matches_torch():
+    """A Generic_UNet (nnU-Net v1 3d_fullres structure, torch) forward must be
+    reproduced by UNet3D with converted weights — the path a user takes to run
+    an nnU-Net-trained model on TPU (reference consumes such models via
+    predict_from_folder, nnunet/run.py:105-195)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    from platipy_tpu.projects.nnunet.convert import convert_nnunet_statedict
+    from platipy_tpu.projects.nnunet.model import UNet3D
+
+    class StackedConv(tnn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv = tnn.Conv3d(cin, cout, 3, stride=stride, padding=1)
+            self.instnorm = tnn.InstanceNorm3d(cout, affine=True, eps=1e-5)
+            self.lrelu = tnn.LeakyReLU(0.01)
+
+        def forward(self, x):
+            return self.lrelu(self.instnorm(self.conv(x)))
+
+    class Blocks(tnn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.blocks = tnn.Sequential(
+                StackedConv(cin, cout, stride), StackedConv(cout, cout, 1)
+            )
+
+        def forward(self, x):
+            return self.blocks(x)
+
+    class OneBlock(tnn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.blocks = tnn.Sequential(StackedConv(cin, cout, stride))
+
+        def forward(self, x):
+            return self.blocks(x)
+
+    features, strides = (4, 8, 16), ((1, 1, 1), (2, 2, 2), (2, 2, 2))
+
+    class GenericUNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            n = len(features)
+            ctx = [Blocks(1 if i == 0 else features[i - 1], features[i], strides[i])
+                   for i in range(n - 1)]
+            bott = tnn.Sequential(
+                OneBlock(features[-2], features[-1], strides[-1]),
+                OneBlock(features[-1], features[-1], 1),
+            )
+            self.conv_blocks_context = tnn.ModuleList(ctx + [bott])
+            self.tu = tnn.ModuleList()
+            self.conv_blocks_localization = tnn.ModuleList()
+            self.seg_outputs = tnn.ModuleList()
+            for k in range(n - 1):
+                level = n - 2 - k
+                up = strides[level + 1]
+                self.tu.append(tnn.ConvTranspose3d(
+                    features[level + 1], features[level], up, stride=up))
+                self.conv_blocks_localization.append(tnn.Sequential(
+                    OneBlock(features[level] * 2, features[level], 1),
+                    OneBlock(features[level], features[level], 1),
+                ))
+                self.seg_outputs.append(tnn.Conv3d(features[level], 2, 1))
+
+        def forward(self, x):
+            skips = []
+            for blk in self.conv_blocks_context:
+                x = blk(x)
+                skips.append(x)
+            y, outs = skips[-1], []
+            n = len(self.conv_blocks_context)
+            for k in range(n - 1):
+                y = self.tu[k](y)
+                y = torch.cat([y, skips[n - 2 - k]], dim=1)
+                y = self.conv_blocks_localization[k](y)
+                outs.append(self.seg_outputs[k](y))
+            return outs[-1], outs[:-1]
+
+    torch.manual_seed(0)
+    net = GenericUNet().eval()
+    x = torch.randn(1, 1, 16, 32, 32)
+    with torch.no_grad():
+        ref_main, ref_aux = net(x)
+
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = convert_nnunet_statedict(sd, n_stages=3)
+    model = UNet3D(num_classes=2, features=features, strides=strides,
+                   deep_supervision=True, compute_dtype=jnp.float32)
+    logits, aux = model.apply(params, jnp.asarray(
+        np.transpose(x.numpy(), (0, 2, 3, 4, 1))))
+    main_diff = np.abs(
+        np.transpose(np.asarray(logits), (0, 4, 1, 2, 3)) - ref_main.numpy()
+    ).max()
+    aux_diff = np.abs(
+        np.transpose(np.asarray(aux[0]), (0, 4, 1, 2, 3)) - ref_aux[0].numpy()
+    ).max()
+    assert main_diff < 1e-4, main_diff
+    assert aux_diff < 1e-4, aux_diff
