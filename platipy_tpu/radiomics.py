@@ -1,0 +1,354 @@
+"""Native radiomics feature extraction.
+
+The reference's radiomics service delegates to pyradiomics
+(reference services/radiomics/service.py:25-45: firstorder, shape, glcm,
+glrlm, glszm, ngtdm, gldm).  pyradiomics is not available here, so the four
+most-used IBSI feature classes are implemented natively on host numpy (ROIs
+are small; this matches pyradiomics' own CPU execution):
+
+* first order  — 19 intensity statistics (IBSI 3.3)
+* shape        — volume/surface/sphericity/axes (IBSI 3.1, voxel-face surface)
+* GLCM         — 16 Haralick co-occurrence features (IBSI 3.6)
+* GLRLM        — 11 run-length features (IBSI 3.7)
+
+Feature names follow pyradiomics' conventions (``original_firstorder_Mean``
+style keys from :func:`extract_features`) so downstream CSVs look familiar.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "extract_first_order",
+    "extract_shape",
+    "extract_glcm",
+    "extract_glrlm",
+    "extract_features",
+]
+
+
+def _roi_values(image, mask) -> np.ndarray:
+    img = np.asarray(image.array if hasattr(image, "array") else image, np.float64)
+    m = np.asarray(mask.array if hasattr(mask, "array") else mask) > 0
+    return img[m]
+
+
+def _quantize(image, mask, bins: int, bin_width: Optional[float]):
+    img = np.asarray(image.array if hasattr(image, "array") else image, np.float64)
+    m = np.asarray(mask.array if hasattr(mask, "array") else mask) > 0
+    vals = img[m]
+    lo = vals.min()
+    if bin_width:
+        q = np.floor((img - lo) / bin_width).astype(np.int64)
+        n_levels = int(q[m].max()) + 1
+    else:
+        hi = vals.max()
+        span = max(hi - lo, 1e-9)
+        q = np.minimum((img - lo) / span * bins, bins - 1).astype(np.int64)
+        n_levels = bins
+    q = q + 1  # gray levels 1..N, 0 = outside
+    q[~m] = 0
+    return q, n_levels
+
+
+# ---------------------------------------------------------------------------
+# first order (IBSI 3.3)
+# ---------------------------------------------------------------------------
+
+def extract_first_order(image, mask, bins: int = 64) -> Dict[str, float]:
+    vals = _roi_values(image, mask)
+    if vals.size == 0:
+        return {}
+    spacing = getattr(mask, "spacing", (1.0, 1.0, 1.0))
+    voxel_volume = float(np.prod(spacing))
+    hist, _ = np.histogram(vals, bins=bins)
+    p = hist / hist.sum()
+    p_nz = p[p > 0]
+    mean = vals.mean()
+    p10, p90 = np.percentile(vals, [10, 90])
+    robust = vals[(vals >= p10) & (vals <= p90)]
+    return {
+        "Energy": float((vals**2).sum()),
+        "TotalEnergy": float((vals**2).sum() * voxel_volume),
+        "Entropy": float(-(p_nz * np.log2(p_nz)).sum()),
+        "Minimum": float(vals.min()),
+        "10Percentile": float(p10),
+        "90Percentile": float(p90),
+        "Maximum": float(vals.max()),
+        "Mean": float(mean),
+        "Median": float(np.median(vals)),
+        "InterquartileRange": float(np.percentile(vals, 75) - np.percentile(vals, 25)),
+        "Range": float(vals.max() - vals.min()),
+        "MeanAbsoluteDeviation": float(np.abs(vals - mean).mean()),
+        "RobustMeanAbsoluteDeviation": float(
+            np.abs(robust - robust.mean()).mean() if robust.size else 0.0
+        ),
+        "RootMeanSquared": float(np.sqrt((vals**2).mean())),
+        "StandardDeviation": float(vals.std()),
+        "Skewness": float(
+            ((vals - mean) ** 3).mean() / max(vals.std() ** 3, 1e-12)
+        ),
+        "Kurtosis": float(
+            ((vals - mean) ** 4).mean() / max(vals.var() ** 2, 1e-12)
+        ),
+        "Variance": float(vals.var()),
+        "Uniformity": float((p**2).sum()),
+    }
+
+
+# ---------------------------------------------------------------------------
+# shape (IBSI 3.1)
+# ---------------------------------------------------------------------------
+
+def extract_shape(mask) -> Dict[str, float]:
+    m = np.asarray(mask.array if hasattr(mask, "array") else mask) > 0
+    if not m.any():
+        return {}
+    spacing = np.asarray(getattr(mask, "spacing", (1.0, 1.0, 1.0)), np.float64)
+    sx, sy, sz = spacing  # (x, y, z)
+    voxel_volume = float(sx * sy * sz)
+    n = int(m.sum())
+    volume = n * voxel_volume
+
+    # surface area: exposed voxel faces (z, y, x face areas)
+    pad = np.pad(m, 1)
+    face_areas = {
+        0: sx * sy,  # z-normal faces
+        1: sx * sz,  # y-normal faces
+        2: sy * sz,  # x-normal faces
+    }
+    surface = 0.0
+    for axis, area in face_areas.items():
+        fwd = np.logical_and(m, ~np.roll(pad, -1, axis)[1:-1, 1:-1, 1:-1])
+        bwd = np.logical_and(m, ~np.roll(pad, 1, axis)[1:-1, 1:-1, 1:-1])
+        surface += (fwd.sum() + bwd.sum()) * area
+
+    # physical coordinates of foreground voxels (z,y,x index -> mm)
+    zz, yy, xx = np.nonzero(m)
+    pts = np.stack([xx * sx, yy * sy, zz * sz], axis=1)
+    centroid = pts.mean(axis=0)
+    centered = pts - centroid
+    cov = centered.T @ centered / n
+    eig = np.sort(np.linalg.eigvalsh(cov))[::-1]  # major, minor, least
+    eig = np.maximum(eig, 0.0)
+    axis_lengths = 4.0 * np.sqrt(eig)
+
+    # max 3D diameter from surface voxels (subsampled for big ROIs)
+    surf_mask = np.logical_and(
+        m, ~np.all([np.roll(pad, s, a)[1:-1, 1:-1, 1:-1]
+                    for a in (0, 1, 2) for s in (1, -1)], axis=0)
+    )
+    szz, syy, sxx = np.nonzero(surf_mask)
+    spts = np.stack([sxx * sx, syy * sy, szz * sz], axis=1)
+    if len(spts) > 2000:
+        idx = np.random.RandomState(0).choice(len(spts), 2000, replace=False)
+        spts = spts[idx]
+    d2 = ((spts[:, None, :] - spts[None, :, :]) ** 2).sum(-1)
+    max_diam = float(np.sqrt(d2.max())) if len(spts) else 0.0
+
+    sphere_surface = (36.0 * np.pi * volume**2) ** (1.0 / 3.0)
+    return {
+        "MeshVolume": volume,
+        "VoxelVolume": volume,
+        "SurfaceArea": float(surface),
+        "SurfaceVolumeRatio": float(surface / volume),
+        "Sphericity": float(sphere_surface / surface),
+        "Compactness1": float(volume / np.sqrt(np.pi * surface**3)),
+        "Compactness2": float(36.0 * np.pi * volume**2 / surface**3),
+        "SphericalDisproportion": float(surface / sphere_surface),
+        "Maximum3DDiameter": max_diam,
+        "MajorAxisLength": float(axis_lengths[0]),
+        "MinorAxisLength": float(axis_lengths[1]),
+        "LeastAxisLength": float(axis_lengths[2]),
+        "Elongation": float(np.sqrt(eig[1] / max(eig[0], 1e-12))),
+        "Flatness": float(np.sqrt(eig[2] / max(eig[0], 1e-12))),
+    }
+
+
+# ---------------------------------------------------------------------------
+# GLCM (IBSI 3.6) — 13 3-D directions, distance 1, symmetric
+# ---------------------------------------------------------------------------
+
+_DIRECTIONS_3D = [
+    (0, 0, 1), (0, 1, 0), (1, 0, 0),
+    (0, 1, 1), (0, 1, -1), (1, 0, 1), (1, 0, -1),
+    (1, 1, 0), (1, -1, 0),
+    (1, 1, 1), (1, 1, -1), (1, -1, 1), (1, -1, -1),
+]
+
+
+def _glcm_matrix(q: np.ndarray, n_levels: int, offset) -> np.ndarray:
+    dz, dy, dx = offset
+    nz, ny, nx = q.shape
+    a = q[max(dz, 0) : nz + min(dz, 0), max(dy, 0) : ny + min(dy, 0),
+          max(dx, 0) : nx + min(dx, 0)]
+    b = q[max(-dz, 0) : nz + min(-dz, 0), max(-dy, 0) : ny + min(-dy, 0),
+          max(-dx, 0) : nx + min(-dx, 0)]
+    valid = (a > 0) & (b > 0)
+    i, j = a[valid] - 1, b[valid] - 1
+    p = np.zeros((n_levels, n_levels), np.float64)
+    np.add.at(p, (i, j), 1.0)
+    return p + p.T  # symmetric
+
+
+def extract_glcm(image, mask, bins: int = 32,
+                 bin_width: Optional[float] = None) -> Dict[str, float]:
+    q, n_levels = _quantize(image, mask, bins, bin_width)
+    mats = [_glcm_matrix(q, n_levels, d) for d in _DIRECTIONS_3D]
+    feats: Dict[str, list] = {}
+    levels = np.arange(1, n_levels + 1, dtype=np.float64)
+    ii, jj = np.meshgrid(levels, levels, indexing="ij")
+    for p in mats:
+        total = p.sum()
+        if total == 0:
+            continue
+        p = p / total
+        px = p.sum(1)
+        mu_x = (levels * px).sum()
+        sd_x = np.sqrt(((levels - mu_x) ** 2 * px).sum())
+        p_nz = p[p > 0]
+        k_sum = np.arange(2, 2 * n_levels + 1, dtype=np.float64)
+        p_sum = np.array([p[ii + jj == k].sum() for k in k_sum])
+        k_diff = np.arange(0, n_levels, dtype=np.float64)
+        p_diff = np.array([p[np.abs(ii - jj) == k].sum() for k in k_diff])
+        mu_sum = (k_sum * p_sum).sum()
+        d_avg = (k_diff * p_diff).sum()
+        vals = {
+            "Autocorrelation": (ii * jj * p).sum(),
+            "JointAverage": (ii * p).sum(),
+            "ClusterProminence": (((ii + jj - 2 * mu_x) ** 4) * p).sum(),
+            "ClusterShade": (((ii + jj - 2 * mu_x) ** 3) * p).sum(),
+            "ClusterTendency": (((ii + jj - 2 * mu_x) ** 2) * p).sum(),
+            "Contrast": (((ii - jj) ** 2) * p).sum(),
+            "Correlation": (
+                ((ii - mu_x) * (jj - mu_x) * p).sum() / max(sd_x**2, 1e-12)
+            ),
+            "DifferenceAverage": d_avg,
+            "DifferenceEntropy": -(p_diff[p_diff > 0]
+                                   * np.log2(p_diff[p_diff > 0])).sum(),
+            "DifferenceVariance": (((k_diff - d_avg) ** 2) * p_diff).sum(),
+            "JointEnergy": (p**2).sum(),
+            "JointEntropy": -(p_nz * np.log2(p_nz)).sum(),
+            "Idm": (p / (1.0 + (ii - jj) ** 2)).sum(),
+            "Id": (p / (1.0 + np.abs(ii - jj))).sum(),
+            "InverseVariance": (
+                p[ii != jj] / ((ii - jj)[ii != jj] ** 2)
+            ).sum(),
+            "MaximumProbability": p.max(),
+            "SumAverage": mu_sum,
+            "SumEntropy": -(p_sum[p_sum > 0] * np.log2(p_sum[p_sum > 0])).sum(),
+        }
+        for k, v in vals.items():
+            feats.setdefault(k, []).append(float(v))
+    return {k: float(np.mean(v)) for k, v in feats.items()}
+
+
+# ---------------------------------------------------------------------------
+# GLRLM (IBSI 3.7)
+# ---------------------------------------------------------------------------
+
+def _run_lengths(line: np.ndarray, n_levels: int, out: np.ndarray) -> None:
+    """Accumulate run lengths of one 1-D gray-level line into out[level-1, len-1]."""
+    n = len(line)
+    i = 0
+    while i < n:
+        g = line[i]
+        j = i + 1
+        while j < n and line[j] == g:
+            j += 1
+        if g > 0:
+            out[g - 1, min(j - i, out.shape[1]) - 1] += 1
+        i = j
+
+
+def extract_glrlm(image, mask, bins: int = 32,
+                  bin_width: Optional[float] = None) -> Dict[str, float]:
+    q, n_levels = _quantize(image, mask, bins, bin_width)
+    max_run = max(q.shape)
+    feats: Dict[str, list] = {}
+    n_voxels = int((q > 0).sum())
+    for d in _DIRECTIONS_3D:
+        r = np.zeros((n_levels, max_run), np.float64)
+        lines = _lines_along(q, d)
+        for line in lines:
+            _run_lengths(line, n_levels, r)
+        n_runs = r.sum()
+        if n_runs == 0:
+            continue
+        lengths = np.arange(1, max_run + 1, dtype=np.float64)
+        levels = np.arange(1, n_levels + 1, dtype=np.float64)
+        rj = r.sum(0)  # per length
+        ri = r.sum(1)  # per level
+        vals = {
+            "ShortRunEmphasis": (rj / lengths**2).sum() / n_runs,
+            "LongRunEmphasis": (rj * lengths**2).sum() / n_runs,
+            "GrayLevelNonUniformity": (ri**2).sum() / n_runs,
+            "GrayLevelNonUniformityNormalized": (ri**2).sum() / n_runs**2,
+            "RunLengthNonUniformity": (rj**2).sum() / n_runs,
+            "RunLengthNonUniformityNormalized": (rj**2).sum() / n_runs**2,
+            "RunPercentage": n_runs / max(n_voxels, 1),
+            "GrayLevelVariance": float(
+                (((levels - (levels * ri / n_runs).sum()) ** 2) * ri / n_runs).sum()
+            ),
+            "RunVariance": float(
+                (((lengths - (lengths * rj / n_runs).sum()) ** 2) * rj / n_runs).sum()
+            ),
+            "LowGrayLevelRunEmphasis": (ri / levels**2).sum() / n_runs,
+            "HighGrayLevelRunEmphasis": (ri * levels**2).sum() / n_runs,
+        }
+        for k, v in vals.items():
+            feats.setdefault(k, []).append(float(v))
+    return {k: float(np.mean(v)) for k, v in feats.items()}
+
+
+def _lines_along(q: np.ndarray, direction) -> Iterable[np.ndarray]:
+    """All maximal 1-D lines of q along a (dz,dy,dx) unit direction."""
+    dz, dy, dx = direction
+    nz, ny, nx = q.shape
+    if (dz, dy, dx) == (0, 0, 1):
+        return list(q.reshape(-1, nx))
+    if (dz, dy, dx) == (0, 1, 0):
+        return list(np.transpose(q, (0, 2, 1)).reshape(-1, ny))
+    if (dz, dy, dx) == (1, 0, 0):
+        return list(np.transpose(q, (1, 2, 0)).reshape(-1, nz))
+    # diagonal directions: walk per start voxel on the entry faces
+    lines = []
+    steps = np.asarray(direction)
+    starts = []
+    for z in range(nz):
+        for y in range(ny):
+            for x in range(nx):
+                prev = (z - dz, y - dy, x - dx)
+                if not (0 <= prev[0] < nz and 0 <= prev[1] < ny and 0 <= prev[2] < nx):
+                    starts.append((z, y, x))
+    for z, y, x in starts:
+        line = []
+        while 0 <= z < nz and 0 <= y < ny and 0 <= x < nx:
+            line.append(q[z, y, x])
+            z, y, x = z + dz, y + dy, x + dx
+        lines.append(np.asarray(line))
+    return lines
+
+
+def extract_features(image, mask,
+                     classes: Sequence[str] = ("firstorder", "shape", "glcm", "glrlm"),
+                     bins: int = 32) -> Dict[str, float]:
+    """pyradiomics-style flat feature dict with ``original_<class>_<Name>``
+    keys (reference services/radiomics/service.py:76-170 output shape)."""
+    out: Dict[str, float] = {}
+    if "firstorder" in classes:
+        for k, v in extract_first_order(image, mask, bins=max(bins, 64)).items():
+            out[f"original_firstorder_{k}"] = v
+    if "shape" in classes:
+        for k, v in extract_shape(mask).items():
+            out[f"original_shape_{k}"] = v
+    if "glcm" in classes:
+        for k, v in extract_glcm(image, mask, bins=bins).items():
+            out[f"original_glcm_{k}"] = v
+    if "glrlm" in classes:
+        for k, v in extract_glrlm(image, mask, bins=bins).items():
+            out[f"original_glrlm_{k}"] = v
+    return out

@@ -1,7 +1,7 @@
 """Radiomics feature extraction service (reference: services/radiomics/service.py:76).
 
-First-order radiomics features are computed natively; shape/texture classes
-gate on pyradiomics when present.
+Feature classes (first order, shape, GLCM, GLRLM) come from the framework's
+native ``platipy_tpu.radiomics`` module — no pyradiomics dependency.
 """
 
 import csv
@@ -12,12 +12,14 @@ import numpy as np
 
 from platipy_tpu.backend.application import app
 from platipy_tpu.nifti.io import read_image
+from platipy_tpu.radiomics import extract_features
 
 logger = logging.getLogger(__name__)
 
 RADIOMICS_SETTINGS_DEFAULTS = {
-    "features": ["mean", "median", "std", "min", "max", "energy", "entropy",
-                 "volume_cc"],
+    # feature classes to extract (reference service's "radiomics" dict keys)
+    "classes": ["firstorder", "shape", "glcm", "glrlm"],
+    "bins": 32,
 }
 
 
@@ -51,7 +53,12 @@ def radiomics_service(data_objects, working_dir, settings):
     rows = []
     for m in masks:
         mask = read_image(m["path"])
-        feats = first_order_features(image, mask)
+        feats = extract_features(
+            image, mask,
+            classes=tuple(settings.get("classes",
+                                       RADIOMICS_SETTINGS_DEFAULTS["classes"])),
+            bins=int(settings.get("bins", 32)),
+        )
         feats["structure"] = os.path.basename(m["path"])
         rows.append(feats)
 

@@ -1,0 +1,93 @@
+"""Native radiomics feature classes (first order, shape, GLCM, GLRLM) —
+analytic sanity on known geometries (the reference service delegates to
+pyradiomics, services/radiomics/service.py:25-45)."""
+
+import numpy as np
+import pytest
+
+from platipy_tpu.core.image import from_array
+from platipy_tpu.radiomics import (
+    extract_features,
+    extract_first_order,
+    extract_glcm,
+    extract_glrlm,
+    extract_shape,
+)
+
+
+@pytest.fixture
+def ball():
+    zz, yy, xx = np.mgrid[:40, :40, :40].astype(np.float64)
+    m = (zz - 20) ** 2 + (yy - 20) ** 2 + (xx - 20) ** 2 <= 15**2
+    return from_array(m.astype(np.uint8), spacing=(1.0, 1.0, 1.0))
+
+
+def test_shape_ball(ball):
+    s = extract_shape(ball)
+    assert abs(s["MeshVolume"] - 4 / 3 * np.pi * 15**3) / (4 / 3 * np.pi * 15**3) < 0.01
+    assert abs(s["Maximum3DDiameter"] - 30.0) < 1.5
+    assert 0.95 < s["Elongation"] <= 1.0 and 0.95 < s["Flatness"] <= 1.0
+    # voxel-face surface overestimates a sphere's area by ~1.5x (known
+    # deviation from pyradiomics' mesh surface) -> sphericity ~0.66
+    assert 0.6 < s["Sphericity"] < 0.75
+
+
+def test_shape_anisotropic_spacing():
+    m = np.zeros((10, 10, 10), np.uint8)
+    m[2:8, 2:8, 2:8] = 1
+    s = extract_shape(from_array(m, spacing=(2.0, 1.0, 1.0)))  # (x,y,z)
+    assert s["MeshVolume"] == 6 * 6 * 6 * 2.0
+    # box surface: 2*(a*b + a*c + b*c) with a=12mm(x) b=6mm(y) c=6mm(z)
+    assert s["SurfaceArea"] == 2 * (12 * 6 + 12 * 6 + 6 * 6)
+
+
+def test_first_order_oracle():
+    rng = np.random.RandomState(0)
+    img = from_array(rng.rand(12, 12, 12).astype(np.float32) * 50)
+    mask = from_array(np.ones((12, 12, 12), np.uint8))
+    f = extract_first_order(img, mask)
+    vals = np.asarray(img.array, np.float64).ravel()
+    assert abs(f["Mean"] - vals.mean()) < 1e-9
+    assert abs(f["StandardDeviation"] - vals.std()) < 1e-9
+    assert abs(f["Energy"] - (vals**2).sum()) < 1e-6
+    assert abs(f["RootMeanSquared"] - np.sqrt((vals**2).mean())) < 1e-9
+
+
+def test_glcm_constant_image():
+    const = from_array(np.full((16, 16, 16), 5.0, np.float32))
+    mask = from_array(np.ones((16, 16, 16), np.uint8))
+    g = extract_glcm(const, mask, bins=8)
+    assert g["JointEnergy"] == 1.0
+    assert g["JointEntropy"] == 0.0
+    assert g["Contrast"] == 0.0
+    assert g["MaximumProbability"] == 1.0
+
+
+def test_glcm_checkerboard_contrast():
+    zz, yy, xx = np.mgrid[:12, :12, :12]
+    img = from_array(((zz + yy + xx) % 2).astype(np.float32) * 10)
+    mask = from_array(np.ones((12, 12, 12), np.uint8))
+    g = extract_glcm(img, mask, bins=2)
+    # along axis directions every neighbour pair differs by the full range
+    assert g["Contrast"] > 0.4
+    assert g["JointEntropy"] > 0.5
+
+
+def test_glrlm_constant_vs_noise():
+    mask = from_array(np.ones((12, 12, 12), np.uint8))
+    const = from_array(np.full((12, 12, 12), 3.0, np.float32))
+    noise = from_array(np.random.RandomState(1).rand(12, 12, 12).astype(np.float32))
+    r_const = extract_glrlm(const, mask, bins=8)
+    r_noise = extract_glrlm(noise, mask, bins=8)
+    assert r_const["LongRunEmphasis"] > r_noise["LongRunEmphasis"] * 5
+    assert r_const["RunPercentage"] < r_noise["RunPercentage"]
+
+
+def test_extract_features_keys(ball):
+    img = from_array(np.random.RandomState(0).rand(40, 40, 40).astype(np.float32))
+    f = extract_features(img, ball)
+    assert any(k.startswith("original_firstorder_") for k in f)
+    assert any(k.startswith("original_shape_") for k in f)
+    assert any(k.startswith("original_glcm_") for k in f)
+    assert any(k.startswith("original_glrlm_") for k in f)
+    assert len(f) >= 55
