@@ -6,7 +6,7 @@ standard library so the service runs dependency-free).
 from __future__ import annotations
 
 import logging
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 from platipy_tpu.backend.models import Database
 from platipy_tpu.backend.tasks import TaskRunner

@@ -12,7 +12,6 @@ import sqlite3
 import threading
 import uuid
 from datetime import datetime
-from pathlib import Path
 from typing import Dict, List, Optional
 
 __all__ = ["Database"]

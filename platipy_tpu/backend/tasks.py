@@ -17,7 +17,6 @@ import traceback
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime
-from pathlib import Path
 from typing import Dict, Optional
 
 logger = logging.getLogger(__name__)

@@ -13,7 +13,7 @@ host round-trip.  Statistics are pure reductions (segment_sum / moments).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

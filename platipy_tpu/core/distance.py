@@ -15,7 +15,7 @@ the sweep for morphology-style queries (dilate-by-r needs only r voxels).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

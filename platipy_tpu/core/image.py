@@ -24,7 +24,7 @@ anyway); helper functions also accept plain arrays.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple, Union
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Interpolator codes follow the reference's convention (utils.py docstring):
 from __future__ import annotations
 
 import functools
-from typing import Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

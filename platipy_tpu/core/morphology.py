@@ -13,7 +13,7 @@ follows by duality with ITK's boundary-to-foreground convention.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

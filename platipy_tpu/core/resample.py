@@ -15,7 +15,7 @@ Fast paths:
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ logger = logging.getLogger(__name__)
 __all__ = ["DicomConnector"]
 
 try:  # optional: only C-GET uses it
-    import pynetdicom  # type: ignore  # noqa: F401
+    import pynetdicom  # noqa: F401
 
     _HAS_PYNETDICOM = True
 except ImportError:

@@ -18,7 +18,6 @@ explicit VR little endian (proposed first) or implicit VR LE.
 from __future__ import annotations
 
 import logging
-import os
 import socket
 import socketserver
 import struct

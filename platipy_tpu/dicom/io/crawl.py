@@ -8,9 +8,8 @@ from __future__ import annotations
 
 import logging
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
-import numpy as np
 
 from platipy_tpu.dicom.io.dataset import Element, read_file
 from platipy_tpu.dicom.io.rtdose_to_nifti import convert_rtdose

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import struct
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Optional, Tuple
 
 __all__ = ["Element", "read_dataset", "read_file", "write_file", "Tag", "generate_uid"]
 

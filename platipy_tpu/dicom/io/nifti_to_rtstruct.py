@@ -8,11 +8,10 @@ written as ContourData point triplets referencing the image series.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 
-from platipy_tpu.core.image import Image
 from platipy_tpu.dicom.io.dataset import Element, generate_uid, read_file, write_file
 from platipy_tpu.dicom.io.series import find_dicom_files, group_dicom_files
 

@@ -8,7 +8,7 @@ an even-odd polygon fill in index space.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np

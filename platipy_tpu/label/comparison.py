@@ -15,7 +15,7 @@ import numpy as np
 
 from platipy_tpu.core.distance import squared_edt
 from platipy_tpu.core.image import Image
-from platipy_tpu.core.morphology import binary_dilate, label_contour
+from platipy_tpu.core.morphology import label_contour
 from platipy_tpu.utils.crop import crop_to_roi, label_to_roi
 
 __all__ = [

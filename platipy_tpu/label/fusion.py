@@ -8,8 +8,7 @@ STAPLE is an EM ``fori_loop`` over the stacked rater axis.
 
 from __future__ import annotations
 
-from functools import reduce
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

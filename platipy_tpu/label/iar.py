@@ -10,7 +10,6 @@ distance maps come from the on-device EDT.
 from __future__ import annotations
 
 import logging
-import sys
 
 import numpy as np
 from scipy import ndimage

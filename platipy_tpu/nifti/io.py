@@ -15,9 +15,8 @@ round-trips back.
 from __future__ import annotations
 
 import gzip
-import os
 import struct
-from typing import Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

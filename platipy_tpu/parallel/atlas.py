@@ -18,15 +18,14 @@ vmap/shard/jit cleanly; the Image-level pipeline wraps them.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from platipy_tpu.core import filters as _filters
-from platipy_tpu.core.image import Image
-from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST, sample_at_continuous_index
+from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST
 from platipy_tpu.registration.deformable import _demons_level_impl
 
 __all__ = [

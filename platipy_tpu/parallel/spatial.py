@@ -22,7 +22,7 @@ slab compute as one program per chip.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -122,7 +122,6 @@ def demons_level_spatial(
     accumulates to a few percent of the peak displacement locally, the same
     sensitivity any recompilation of the unsharded program has.
     """
-    from platipy_tpu.core.interp import warp_multipass
 
     spacing_arr = np.asarray(spacing, dtype=np.float64)
     k_norm = 4.0 * (max_step_vox**2) * float(np.mean(spacing_arr**2))

@@ -15,10 +15,9 @@ Pipeline stages (reference semantics preserved):
 
 from __future__ import annotations
 
-import copy
 import logging
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +45,6 @@ from platipy_tpu.registration.linear import (
     linear_registration,
     linear_registration_batched,
 )
-from platipy_tpu.registration.utils import apply_transform
 from platipy_tpu.utils.crop import crop_to_roi, label_to_roi, pad_roi_to_multiple, paste
 
 logger = logging.getLogger(__name__)

@@ -19,7 +19,7 @@ transposed conv [in,out,kz,ky,kx] -> flax [kz,ky,kx,in,out]; InstanceNorm3d
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 

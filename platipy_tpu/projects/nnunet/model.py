@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 __all__ = ["UNet3D", "default_unet"]

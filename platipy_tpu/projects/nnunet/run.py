@@ -18,15 +18,14 @@ from __future__ import annotations
 import logging
 import os
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from platipy_tpu.core.image import Image
 from platipy_tpu.projects.nnunet.inference import predict_image
-from platipy_tpu.projects.nnunet.model import UNet3D, default_unet
+from platipy_tpu.projects.nnunet.model import default_unet
 
 logger = logging.getLogger(__name__)
 

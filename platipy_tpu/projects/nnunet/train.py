@@ -8,7 +8,7 @@ step is a first-class jit program the driver's multi-chip dryrun exercises.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ Semantics matched to the reference:
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,7 @@ import numpy as np
 
 from platipy_tpu.core import filters as _filters
 from platipy_tpu.core.image import Image
-from platipy_tpu.core.interp import INTERP_LINEAR, interp_name
+from platipy_tpu.core.interp import INTERP_LINEAR
 from platipy_tpu.core.resample import (
     identity_dvf,
     resample,

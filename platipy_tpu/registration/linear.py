@@ -11,7 +11,7 @@ optax/JAX-native optimisers with ITK-style physical-shift parameter scaling.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from platipy_tpu.core.transform import (
     centered_transform_initializer,
 )
 from platipy_tpu.registration import metrics as _metrics
-from platipy_tpu.registration.optimise import optimise, physical_shift_scales
+from platipy_tpu.registration.optimise import physical_shift_scales
 from platipy_tpu.registration.utils import apply_transform, smooth_and_resample
 
 __all__ = ["alignment_registration", "linear_registration",

@@ -14,9 +14,7 @@ return -MI).
 
 from __future__ import annotations
 
-from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["mean_squares", "correlation", "mattes_mi", "joint_hist_mi", "get_metric", "demons_metric"]

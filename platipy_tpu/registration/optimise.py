@@ -14,7 +14,7 @@ sample points.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ platipy/imaging/registration/utils.py (reference lines 22-344).
 from __future__ import annotations
 
 import logging
-from typing import Optional, Union
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -13,7 +13,7 @@ import numpy as np
 from platipy_tpu.core import filters as _filters
 from platipy_tpu.core.distance import signed_maurer_distance_map
 from platipy_tpu.core.image import Image
-from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST, interp_name
+from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST
 from platipy_tpu.core.morphology import binary_dilate
 from platipy_tpu.core.resample import resample
 from platipy_tpu.core.transform import Transform

@@ -7,7 +7,7 @@ are preserved.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple, Union
+from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -3,7 +3,6 @@
 
 from __future__ import annotations
 
-import numpy as np
 
 from platipy_tpu.core.image import Image
 from platipy_tpu.label.comparison import (
@@ -34,7 +33,6 @@ def contour_comparison(
     img_vis_kw=None,
 ):
     """Two contour sets overlaid on an image with DSC/MASD/HD/volume table."""
-    import matplotlib.pyplot as plt
 
     if img_vis_kw is None:
         img_vis_kw = {}

@@ -9,12 +9,10 @@ numpy copies of the device arrays.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 
 from platipy_tpu.core.image import Image
-from platipy_tpu.label.utils import get_com
 from platipy_tpu.visualisation.utils import (
     VisualiseBoundingBox,
     VisualiseComparisonOverlay,

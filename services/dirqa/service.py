@@ -40,12 +40,38 @@ def dirqa_service(data_objects, working_dir, settings):
     )
     dvf_arr = np.asarray(dvf.array)
     mag = np.linalg.norm(dvf_arr, axis=-1)
-    # jacobian determinant of the deformation (folding detection)
-    grads = [np.gradient(dvf_arr[..., c]) for c in range(3)]
+
+    # jacobian determinant of phi = id + u (folding where det <= 0)
+    sx, sy, sz = fixed.spacing  # (x, y, z) mm
+    jac = np.zeros(dvf_arr.shape[:3] + (3, 3), np.float64)
+    spacing_zyx = (sz, sy, sx)
+    for c in range(3):  # displacement component (x, y, z)
+        gz, gy, gx = np.gradient(dvf_arr[..., c], *spacing_zyx)
+        # row = component, column = derivative direction in (x, y, z)
+        jac[..., c, 0] = gx
+        jac[..., c, 1] = gy
+        jac[..., c, 2] = gz
+    jac += np.eye(3)
+    det = np.linalg.det(jac)
+
+    # inverse-consistency error: |u(x + v(x)) + v(x)| with v the fixed-point
+    # inverse (the reference's plastimatch workflow reports landmark TRE; the
+    # field-level equivalents below need no landmark detector)
+    from platipy_tpu.core.resample import invert_displacement_field, warp_image
+
+    inv = invert_displacement_field(dvf)
+    residual = np.asarray(warp_image(dvf, inv).array) + np.asarray(inv.array)
+    ice = np.linalg.norm(residual, axis=-1)
+
     stats = {
         "max_displacement_mm": float(mag.max()),
         "mean_displacement_mm": float(mag.mean()),
         "p99_displacement_mm": float(np.percentile(mag, 99)),
+        "jacobian_det_min": float(det.min()),
+        "jacobian_det_mean": float(det.mean()),
+        "folding_fraction": float((det <= 0).mean()),
+        "inverse_consistency_mean_mm": float(ice.mean()),
+        "inverse_consistency_p95_mm": float(np.percentile(ice, 95)),
     }
 
     dvf_path = os.path.join(working_dir, "dvf.nii.gz")

@@ -5,8 +5,12 @@ client -> REST -> task -> algorithm -> download path is exercised against a
 live in-process server.
 """
 
+import os
 import threading
 import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
 
 import numpy as np
 import pytest
@@ -106,3 +110,36 @@ def test_backend_failure_state(service, tmp_path):
         final = status
     assert final["state"] == "FAILURE"
     assert "intentional failure" in final["error"]
+
+def test_dirqa_service_qa_metrics(tmp_path):
+    """DIR QA service end-to-end: demons DVF + jacobian/inverse-consistency
+    stats (reference delegates to plastimatch SIFT, services/dirqa:65)."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(REPO_ROOT))
+    from services.dirqa.service import DIRQA_SETTINGS_DEFAULTS, dirqa_service
+
+    from platipy_tpu.core.image import from_array
+    from platipy_tpu.nifti.io import write_image
+
+    zz, yy, xx = np.mgrid[:16, :24, :24].astype(np.float32)
+
+    def sph(c, r):
+        d = np.sqrt((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2)
+        return (1000 / (1 + np.exp((d - r) / 1.5)) - 500).astype(np.float32)
+
+    write_image(from_array(sph((8, 12, 12), 6), spacing=(2.0, 2.0, 2.0)),
+                str(tmp_path / "fixed.nii.gz"))
+    write_image(from_array(sph((9, 13, 12), 5), spacing=(2.0, 2.0, 2.0)),
+                str(tmp_path / "moving.nii.gz"))
+    objs = [{"id": "1", "path": str(tmp_path / "fixed.nii.gz")},
+            {"id": "2", "path": str(tmp_path / "moving.nii.gz")}]
+    settings = dict(DIRQA_SETTINGS_DEFAULTS)
+    settings["resolution_staging"] = [8]
+    settings["iteration_staging"] = [10]
+    out = dirqa_service(objs, str(tmp_path), settings)
+    stats = json.load(open(out[1]["path"]))
+    assert stats["jacobian_det_min"] > 0
+    assert stats["folding_fraction"] == 0.0
+    assert "inverse_consistency_mean_mm" in stats
