@@ -2,14 +2,17 @@
 
 The reference's radiomics service delegates to pyradiomics
 (reference services/radiomics/service.py:25-45: firstorder, shape, glcm,
-glrlm, glszm, ngtdm, gldm).  pyradiomics is not available here, so the four
-most-used IBSI feature classes are implemented natively on host numpy (ROIs
-are small; this matches pyradiomics' own CPU execution):
+glrlm, glszm, ngtdm, gldm).  pyradiomics is not available here, so all seven
+feature classes are implemented natively on host numpy (ROIs are small; this
+matches pyradiomics' own CPU execution):
 
 * first order  — 19 intensity statistics (IBSI 3.3)
 * shape        — volume/surface/sphericity/axes (IBSI 3.1, voxel-face surface)
-* GLCM         — 16 Haralick co-occurrence features (IBSI 3.6)
+* GLCM         — 18 Haralick co-occurrence features (IBSI 3.6)
 * GLRLM        — 11 run-length features (IBSI 3.7)
+* GLSZM        — 11 size-zone features (IBSI 3.8)
+* NGTDM        — 5 gray-tone-difference features (IBSI 3.10)
+* GLDM         — 10 dependence features (IBSI 3.11)
 
 Feature names follow pyradiomics' conventions (``original_firstorder_Mean``
 style keys from :func:`extract_features`) so downstream CSVs look familiar.
@@ -26,6 +29,9 @@ __all__ = [
     "extract_shape",
     "extract_glcm",
     "extract_glrlm",
+    "extract_glszm",
+    "extract_ngtdm",
+    "extract_gldm",
     "extract_features",
 ]
 
@@ -334,7 +340,8 @@ def _lines_along(q: np.ndarray, direction) -> Iterable[np.ndarray]:
 
 
 def extract_features(image, mask,
-                     classes: Sequence[str] = ("firstorder", "shape", "glcm", "glrlm"),
+                     classes: Sequence[str] = ("firstorder", "shape", "glcm",
+                                               "glrlm", "glszm", "ngtdm", "gldm"),
                      bins: int = 32) -> Dict[str, float]:
     """pyradiomics-style flat feature dict with ``original_<class>_<Name>``
     keys (reference services/radiomics/service.py:76-170 output shape)."""
@@ -351,4 +358,172 @@ def extract_features(image, mask,
     if "glrlm" in classes:
         for k, v in extract_glrlm(image, mask, bins=bins).items():
             out[f"original_glrlm_{k}"] = v
+    if "glszm" in classes:
+        for k, v in extract_glszm(image, mask, bins=bins).items():
+            out[f"original_glszm_{k}"] = v
+    if "ngtdm" in classes:
+        for k, v in extract_ngtdm(image, mask, bins=bins).items():
+            out[f"original_ngtdm_{k}"] = v
+    if "gldm" in classes:
+        for k, v in extract_gldm(image, mask, bins=bins).items():
+            out[f"original_gldm_{k}"] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# GLSZM (IBSI 3.8) — gray-level size-zone matrix
+# ---------------------------------------------------------------------------
+
+def extract_glszm(image, mask, bins: int = 32,
+                  bin_width: Optional[float] = None) -> Dict[str, float]:
+    from scipy import ndimage as ndi
+
+    q, n_levels = _quantize(image, mask, bins, bin_width)
+    n_voxels = int((q > 0).sum())
+    max_zone = max(n_voxels, 1)
+    structure = np.ones((3, 3, 3), bool)  # 26-connected zones
+    zone_counts: Dict[tuple, int] = {}
+    for level in range(1, n_levels + 1):
+        lab, n = ndi.label(q == level, structure=structure)
+        if n == 0:
+            continue
+        sizes = np.bincount(lab.ravel())[1:]
+        for s in sizes:
+            zone_counts[(level, int(s))] = zone_counts.get((level, int(s)), 0) + 1
+    if not zone_counts:
+        return {}
+    levels = np.array([k[0] for k in zone_counts], np.float64)
+    sizes = np.array([k[1] for k in zone_counts], np.float64)
+    counts = np.array(list(zone_counts.values()), np.float64)
+    n_zones = counts.sum()
+    ri = np.zeros(n_levels + 1)
+    np.add.at(ri, levels.astype(int), counts)
+    return {
+        "SmallAreaEmphasis": float((counts / sizes**2).sum() / n_zones),
+        "LargeAreaEmphasis": float((counts * sizes**2).sum() / n_zones),
+        "GrayLevelNonUniformity": float((ri**2).sum() / n_zones),
+        "GrayLevelNonUniformityNormalized": float((ri**2).sum() / n_zones**2),
+        "SizeZoneNonUniformity": float(
+            sum(counts[sizes == s].sum() ** 2 for s in np.unique(sizes)) / n_zones
+        ),
+        "ZonePercentage": float(n_zones / max_zone),
+        "GrayLevelVariance": float(
+            (((levels - (levels * counts / n_zones).sum()) ** 2)
+             * counts / n_zones).sum()
+        ),
+        "ZoneVariance": float(
+            (((sizes - (sizes * counts / n_zones).sum()) ** 2)
+             * counts / n_zones).sum()
+        ),
+        "ZoneEntropy": float(
+            -(counts / n_zones * np.log2(counts / n_zones)).sum()
+        ),
+        "LowGrayLevelZoneEmphasis": float((counts / levels**2).sum() / n_zones),
+        "HighGrayLevelZoneEmphasis": float((counts * levels**2).sum() / n_zones),
+    }
+
+
+# ---------------------------------------------------------------------------
+# NGTDM (IBSI 3.10) — neighbourhood gray-tone difference
+# ---------------------------------------------------------------------------
+
+def extract_ngtdm(image, mask, bins: int = 32,
+                  bin_width: Optional[float] = None) -> Dict[str, float]:
+    q, n_levels = _quantize(image, mask, bins, bin_width)
+    m = q > 0
+    qf = q.astype(np.float64)
+    # 26-neighbourhood mean of valid neighbours
+    acc = np.zeros_like(qf)
+    cnt = np.zeros_like(qf)
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dz == dy == dx == 0:
+                    continue
+                sh = np.roll(np.roll(np.roll(qf, dz, 0), dy, 1), dx, 2)
+                shm = np.roll(np.roll(np.roll(m, dz, 0), dy, 1), dx, 2)
+                acc += np.where(shm, sh, 0.0)
+                cnt += shm
+    valid = m & (cnt > 0)
+    nbr_mean = np.where(valid, acc / np.maximum(cnt, 1), 0.0)
+    n_v = int(valid.sum())
+    if n_v == 0:
+        return {}
+    s = np.zeros(n_levels + 1)
+    n_i = np.zeros(n_levels + 1)
+    np.add.at(s, q[valid], np.abs(qf[valid] - nbr_mean[valid]))
+    np.add.at(n_i, q[valid], 1.0)
+    p = n_i / n_v
+    present = p > 0
+    levels = np.arange(n_levels + 1, dtype=np.float64)
+    n_g = int(present[1:].sum())
+    ii, jj = np.meshgrid(levels, levels, indexing="ij")
+    pij = np.outer(p, p)
+    both = np.outer(present, present)
+    coarseness = 1.0 / max((p * s).sum(), 1e-12)
+    contrast = 0.0
+    if n_g > 1:
+        contrast = (
+            (pij * (ii - jj) ** 2)[both].sum() / (n_g * (n_g - 1))
+        ) * (s.sum() / n_v)
+    busy_den = np.abs((ii * p[:, None] - jj * p[None, :]))[both].sum()
+    busyness = (p * s).sum() / busy_den if busy_den > 0 else 0.0
+    complexity = (
+        (np.abs(ii - jj) * (p[:, None] * s[:, None] + p[None, :] * s[None, :])
+         / (p[:, None] + p[None, :] + 1e-12))[both].sum() / n_v
+    )
+    strength_den = max(s.sum(), 1e-12)
+    strength = ((p[:, None] + p[None, :]) * (ii - jj) ** 2)[both].sum() / strength_den
+    return {
+        "Coarseness": float(coarseness),
+        "Contrast": float(contrast),
+        "Busyness": float(busyness),
+        "Complexity": float(complexity),
+        "Strength": float(strength),
+    }
+
+
+# ---------------------------------------------------------------------------
+# GLDM (IBSI 3.11) — gray-level dependence
+# ---------------------------------------------------------------------------
+
+def extract_gldm(image, mask, bins: int = 32, alpha: int = 0,
+                 bin_width: Optional[float] = None) -> Dict[str, float]:
+    q, n_levels = _quantize(image, mask, bins, bin_width)
+    m = q > 0
+    dep = np.zeros(q.shape, np.int64)
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dz == dy == dx == 0:
+                    continue
+                sh = np.roll(np.roll(np.roll(q, dz, 0), dy, 1), dx, 2)
+                shm = np.roll(np.roll(np.roll(m, dz, 0), dy, 1), dx, 2)
+                dep += (np.abs(sh - q) <= alpha) & shm & m
+    dep = dep + 1  # pyradiomics counts the centre voxel
+    max_dep = 27
+    mat = np.zeros((n_levels, max_dep), np.float64)
+    np.add.at(mat, (q[m] - 1, np.minimum(dep[m], max_dep) - 1), 1.0)
+    n_z = mat.sum()
+    levels = np.arange(1, n_levels + 1, dtype=np.float64)
+    deps = np.arange(1, max_dep + 1, dtype=np.float64)
+    ri = mat.sum(1)
+    rj = mat.sum(0)
+    return {
+        "SmallDependenceEmphasis": float((rj / deps**2).sum() / n_z),
+        "LargeDependenceEmphasis": float((rj * deps**2).sum() / n_z),
+        "GrayLevelNonUniformity": float((ri**2).sum() / n_z),
+        "DependenceNonUniformity": float((rj**2).sum() / n_z),
+        "DependenceNonUniformityNormalized": float((rj**2).sum() / n_z**2),
+        "GrayLevelVariance": float(
+            (((levels - (levels * ri / n_z).sum()) ** 2) * ri / n_z).sum()
+        ),
+        "DependenceVariance": float(
+            (((deps - (deps * rj / n_z).sum()) ** 2) * rj / n_z).sum()
+        ),
+        "DependenceEntropy": float(
+            -(mat[mat > 0] / n_z * np.log2(mat[mat > 0] / n_z)).sum()
+        ),
+        "LowGrayLevelEmphasis": float((ri / levels**2).sum() / n_z),
+        "HighGrayLevelEmphasis": float((ri * levels**2).sum() / n_z),
+    }

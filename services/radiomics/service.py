@@ -18,7 +18,7 @@ logger = logging.getLogger(__name__)
 
 RADIOMICS_SETTINGS_DEFAULTS = {
     # feature classes to extract (reference service's "radiomics" dict keys)
-    "classes": ["firstorder", "shape", "glcm", "glrlm"],
+    "classes": ["firstorder", "shape", "glcm", "glrlm", "glszm", "ngtdm", "gldm"],
     "bins": 32,
 }
 

@@ -91,3 +91,51 @@ def test_extract_features_keys(ball):
     assert any(k.startswith("original_glcm_") for k in f)
     assert any(k.startswith("original_glrlm_") for k in f)
     assert len(f) >= 55
+
+
+def test_glszm_zones():
+    # two separate uniform zones of one level -> SZN counts them
+    from platipy_tpu.radiomics import extract_glszm
+
+    arr = np.zeros((8, 8, 8), np.float32)
+    arr[1:3, 1:3, 1:3] = 10.0   # zone of 8
+    arr[5:7, 5:7, 5:7] = 10.0   # zone of 8 (disconnected)
+    mask = from_array(np.ones((8, 8, 8), np.uint8))
+    g = extract_glszm(from_array(arr), mask, bins=2)
+    # background zone (1 big zone) + two foreground zones of size 8
+    assert g["ZonePercentage"] == pytest.approx(3 / 512)
+    assert g["LargeAreaEmphasis"] > 1000  # dominated by the background zone
+
+
+def test_ngtdm_constant_vs_checkerboard():
+    from platipy_tpu.radiomics import extract_ngtdm
+
+    mask = from_array(np.ones((10, 10, 10), np.uint8))
+    const = from_array(np.full((10, 10, 10), 3.0, np.float32))
+    zz, yy, xx = np.mgrid[:10, :10, :10]
+    checker = from_array(((zz + yy + xx) % 2).astype(np.float32))
+    n_const = extract_ngtdm(const, mask, bins=4)
+    n_check = extract_ngtdm(checker, mask, bins=4)
+    assert n_const["Coarseness"] > n_check["Coarseness"] * 100
+    assert n_check["Contrast"] > n_const["Contrast"]
+
+
+def test_gldm_dependence():
+    from platipy_tpu.radiomics import extract_gldm
+
+    mask = from_array(np.ones((10, 10, 10), np.uint8))
+    const = from_array(np.full((10, 10, 10), 3.0, np.float32))
+    noise = from_array(np.random.RandomState(2).rand(10, 10, 10).astype(np.float32))
+    d_const = extract_gldm(const, mask, bins=8)
+    d_noise = extract_gldm(noise, mask, bins=8)
+    assert d_const["LargeDependenceEmphasis"] > d_noise["LargeDependenceEmphasis"] * 10
+    assert d_noise["DependenceEntropy"] > d_const["DependenceEntropy"]
+
+
+def test_extract_features_all_seven_classes(ball):
+    img = from_array(np.random.RandomState(0).rand(40, 40, 40).astype(np.float32))
+    f = extract_features(img, ball)
+    prefixes = {k.split("_")[1] for k in f}
+    assert prefixes >= {"firstorder", "shape", "glcm", "glrlm", "glszm",
+                        "ngtdm", "gldm"}
+    assert len(f) >= 85
