@@ -70,16 +70,29 @@ class ServiceApp:
             output_directory=self.data_directory,
         )
 
-        def on_released(directory):
-            # wire received series into waiting data objects by SeriesUID
+        def on_store(path, ds):
+            # wire each received instance into waiting data objects by
+            # SeriesInstanceUID (reference application.py:84-154)
+            series = ds.get((0x0020, 0x000E))
+            if series is None:
+                return
+            series_uid = series.value
             import os
 
-            for series_uid in os.listdir(directory):
-                for ds in []:  # datasets scanned below
-                    pass
-            logger.info("Received DICOM data in %s", directory)
+            rows = self.database._conn.execute(
+                "SELECT id FROM data_object WHERE series_instance_uid = ? "
+                "AND is_fetched = 0",
+                (series_uid,),
+            ).fetchall()
+            for row in rows:
+                self.database.update_data_object(
+                    row["id"], path=os.path.dirname(path), is_fetched=1
+                )
+                logger.info(
+                    "Series %s fetched for data object %s", series_uid, row["id"]
+                )
 
-        connector.listen(on_released)
+        connector.listen(on_store)
 
 
 # module-level app, mirroring `from platipy.backend import app` usage

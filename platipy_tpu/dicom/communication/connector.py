@@ -129,7 +129,18 @@ class DicomConnector:
         server for ``shutdown()``).
         """
         def on_store(path, ds):
-            if on_released_callback:
+            if on_released_callback is None:
+                return
+            # support both 1-arg (path) and 2-arg (path, dataset) callbacks
+            import inspect
+
+            try:
+                n_params = len(inspect.signature(on_released_callback).parameters)
+            except (TypeError, ValueError):
+                n_params = 1
+            if n_params >= 2:
+                on_released_callback(path, ds)
+            else:
                 on_released_callback(path)
 
         self._scp = ul.StorageSCP(
