@@ -146,3 +146,24 @@ def test_checkpoint_resume(tmp_path):
     a1 = np.asarray(results1["WHOLEHEART"].array)
     a2 = np.asarray(results2["WHOLEHEART"].array)
     assert np.array_equal(a1, a2)
+
+
+@pytest.mark.parametrize("variant", ["single_atlas", "crop_atlases", "local_vote"])
+def test_pipeline_edge_paths(variant):
+    """Edge configurations the reference supports: one atlas, atlas
+    crop-to-structures (run.py:156-190), and locally-weighted voting
+    (fusion.py:135-220)."""
+    settings = _make_settings(1 if variant == "single_atlas" else 3)
+    img, mask = _pseudo_ct((12, 24, 24), 8)
+    settings["deformable_registration_settings"]["iteration_staging"] = [5, 5]
+    if variant == "crop_atlases":
+        settings["atlas_settings"]["crop_atlas_to_structures"] = True
+        settings["atlas_settings"]["crop_atlas_expansion_mm"] = (10, 10, 10)
+    if variant == "local_vote":
+        settings["label_fusion_settings"]["vote_type"] = "local"
+        settings["label_fusion_settings"]["vote_params"] = {"sigma": 2.0}
+    results, _ = run_segmentation(img, settings)
+    out = np.asarray(results["WHOLEHEART"].array)
+    gt = np.asarray(mask.array)
+    dsc = 2 * (out * gt).sum() / max(out.sum() + gt.sum(), 1)
+    assert dsc > 0.8, (variant, dsc)
