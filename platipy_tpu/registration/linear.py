@@ -421,8 +421,17 @@ def linear_registration_batched(
     moving_images = list(moving_images)
     n = len(moving_images)
     ref0 = moving_images[0]
-    if not all(m.same_grid_as(ref0) for m in moving_images[1:]):
-        # fall back to the serial path for heterogeneous grids
+    sp0 = np.asarray(ref0.spacing, np.float64)
+    dir0 = np.asarray(ref0.direction, np.float64)
+    compatible = all(
+        np.allclose(np.asarray(m.spacing, np.float64), sp0, atol=1e-5)
+        and np.allclose(np.asarray(m.direction, np.float64), dir0, atol=1e-5)
+        for m in moving_images[1:]
+    )
+    if not compatible:
+        # fall back to the serial path when spacing/direction differ; mere
+        # shape/origin differences (e.g. crop_atlas_to_structures,
+        # reference multiatlas run.py:167-190) stay on the batched path below
         results = [
             linear_registration(
                 fixed_image, m, reg_method=reg_method, metric=metric,
@@ -438,7 +447,27 @@ def linear_registration_batched(
 
     fixed32 = fixed_image.astype(jnp.float32)
     moving_dtype = ref0.array.dtype
-    moving_stack = jnp.stack([m.array.astype(jnp.float32) for m in moving_images])
+    # pad differently-shaped atlases (same spacing/direction) to one common
+    # shape so the whole pipeline stays a single batched program; the pad fill
+    # (given default, else each image's own min — air for CT) matches the
+    # out-of-domain default-value semantics of the final resample
+    shapes = np.array([m.array.shape for m in moving_images])
+    pad_shape = tuple(int(v) for v in shapes.max(axis=0))
+
+    def _pad_to(a, fill):
+        pads = [(0, t - s) for t, s in zip(pad_shape, a.shape)]
+        if not any(p[1] for p in pads):
+            return a
+        return jnp.pad(a, pads, constant_values=fill)
+
+    moving_stack = jnp.stack([
+        _pad_to(
+            m.array.astype(jnp.float32),
+            jnp.min(m.array.astype(jnp.float32)) if default_value is None
+            else jnp.float32(default_value),
+        )
+        for m in moving_images
+    ])
     # dispatch the CT-sniff reduction now; its fetch below overlaps with the
     # level dispatches instead of costing a dedicated ~0.4s tunnel round trip
     stack_min = jnp.min(moving_stack) if default_value is None else None
@@ -463,27 +492,30 @@ def linear_registration_batched(
     )
     template = opt_transforms[0]
 
-    def level_grid(image, shrink):
-        """(shape, spacing) of a pyramid level (reference resize formulas)."""
+    pad_size_xyz = (pad_shape[2], pad_shape[1], pad_shape[0])
+    spacing_xyz = tuple(float(s) for s in ref0.spacing)
+
+    def level_grid(shrink):
+        """(shape, spacing) of a pyramid level (reference resize formulas),
+        on the common padded moving grid."""
         if not shrink or shrink == 1:
-            return image.spatial_shape, image.spacing
-        size = image.size
-        new_size = [int(sz / float(shrink) + 0.5) for sz in size]
+            return pad_shape, spacing_xyz
+        new_size = [int(sz / float(shrink) + 0.5) for sz in pad_size_xyz]
         new_spacing = [
             ((so - 1) * sp) / (sn - 1)
-            for so, sp, sn in zip(size, image.spacing, new_size)
+            for so, sp, sn in zip(pad_size_xyz, spacing_xyz, new_size)
         ]
         return (new_size[2], new_size[1], new_size[0]), tuple(new_spacing)
 
-    def smooth_kernels(image, sigma):
+    def smooth_kernels(sigma):
         if not sigma:
             return None
         var = sigma * sigma
-        max_w = max(int(max(8 * var * sp for sp in image.spacing)), 2)
+        max_w = max(int(max(8 * var * sp for sp in spacing_xyz)), 2)
         return [
-            _filters.discrete_gaussian_kernel1d(var / image.spacing[2] ** 2, 0.01, max_w),
-            _filters.discrete_gaussian_kernel1d(var / image.spacing[1] ** 2, 0.01, max_w),
-            _filters.discrete_gaussian_kernel1d(var / image.spacing[0] ** 2, 0.01, max_w),
+            _filters.discrete_gaussian_kernel1d(var / spacing_xyz[2] ** 2, 0.01, max_w),
+            _filters.discrete_gaussian_kernel1d(var / spacing_xyz[1] ** 2, 0.01, max_w),
+            _filters.discrete_gaussian_kernel1d(var / spacing_xyz[0] ** 2, 0.01, max_w),
         ]
 
     for level, (shrink, sigma) in enumerate(zip(shrink_factors, smooth_sigmas)):
@@ -492,16 +524,16 @@ def linear_registration_batched(
             smoothing_sigma=sigma if sigma else None,
         )
         # batched moving pyramid: smooth (stacked conv) + one separable regrid
-        m_shape, m_spacing = level_grid(ref0, shrink)
-        kernels = smooth_kernels(ref0, sigma)
+        m_shape, m_spacing = level_grid(shrink)
+        kernels = smooth_kernels(sigma)
         m_stack_lvl = moving_stack
         if kernels is not None:
             m_stack_lvl = _filters.convolve_separable(m_stack_lvl, kernels, axes=(1, 2, 3))
-        if m_shape != ref0.spatial_shape:
+        if m_shape != pad_shape:
             scale_maps = (
-                (m_spacing[0] / ref0.spacing[0], 0.0),
-                (m_spacing[1] / ref0.spacing[1], 0.0),
-                (m_spacing[2] / ref0.spacing[2], 0.0),
+                (m_spacing[0] / spacing_xyz[0], 0.0),
+                (m_spacing[1] / spacing_xyz[1], 0.0),
+                (m_spacing[2] / spacing_xyz[2], 0.0),
             )
             m_stack_lvl = jax.vmap(
                 lambda a: resample_separable(a, scale_maps, m_shape, interp=INTERP_LINEAR)
@@ -521,8 +553,13 @@ def linear_registration_batched(
             index_to_physical_matrix(f_level.origin, f_level.spacing, f_level.direction),
             jnp.float32,
         )
+        # per-atlas physical->index matrices (origins may differ after
+        # per-atlas cropping); spacing/direction are shared by construction
         mov_p2i = jnp.asarray(
-            physical_to_index_matrix(ref0.origin, m_spacing, ref0.direction),
+            np.stack([
+                physical_to_index_matrix(m.origin, m_spacing, ref0.direction)
+                for m in moving_images
+            ]),
             jnp.float32,
         )
         batched = _cached_batched_level(
@@ -548,7 +585,10 @@ def linear_registration_batched(
         jnp.float32,
     )
     mov_p2i_full = jnp.asarray(
-        physical_to_index_matrix(ref0.origin, ref0.spacing, ref0.direction),
+        np.stack([
+            physical_to_index_matrix(m.origin, m.spacing, m.direction)
+            for m in moving_images
+        ]),
         jnp.float32,
     )
     interp_code = final_interp if isinstance(final_interp, int) else INTERP_LINEAR
@@ -597,14 +637,30 @@ def apply_transforms_batched(
     moving_images = list(moving_images)
     mov0 = moving_images[0]
     moving_dtype = mov0.array.dtype
-    stack = jnp.stack([m.array.astype(jnp.float32) for m in moving_images])
+    # moving images may live on different grids (per-atlas crops): pad to a
+    # common shape with the resample's default value (out-of-domain points
+    # would return it anyway) and stack per-image physical->index matrices
+    shapes = np.array([m.array.shape for m in moving_images])
+    pad_shape = shapes.max(axis=0)
+
+    def _pad_to(a):
+        pads = [(0, int(t - s)) for t, s in zip(pad_shape, a.shape)]
+        if not any(p[1] for p in pads):
+            return a
+        return jnp.pad(a, pads, constant_values=jnp.float32(default_value))
+
+    stack = jnp.stack([_pad_to(m.array.astype(jnp.float32)) for m in moving_images])
     tfm_stack = jax.tree_util.tree_map(lambda *l: jnp.stack(l), *transforms)
     ref = reference_image
     ref_i2p = jnp.asarray(
         index_to_physical_matrix(ref.origin, ref.spacing, ref.direction), jnp.float32
     )
     mov_p2i = jnp.asarray(
-        physical_to_index_matrix(mov0.origin, mov0.spacing, mov0.direction), jnp.float32
+        np.stack([
+            physical_to_index_matrix(m.origin, m.spacing, m.direction)
+            for m in moving_images
+        ]),
+        jnp.float32,
     )
     interp_code = interpolator if isinstance(interpolator, int) else INTERP_NEAREST
 
@@ -631,14 +687,14 @@ def _apply_batched_jit(tfm_stack, stack, ref_i2p, mov_p2i, *, shape_zyx,
                        interp_code, default_value):
     from platipy_tpu.core.resample import _resample_linear_impl
 
-    def warp_one(t, m):
+    def warp_one(t, m, p2i):
         return _resample_linear_impl(
-            m, t, ref_i2p, mov_p2i, shape_zyx=shape_zyx,
+            m, t, ref_i2p, p2i, shape_zyx=shape_zyx,
             interp_code=interp_code, default_value=default_value,
             out_dtype_name="float32",
         )
 
-    return jax.vmap(warp_one)(tfm_stack, stack)
+    return jax.vmap(warp_one, in_axes=(0, 0, 0))(tfm_stack, stack, mov_p2i)
 
 
 @functools.lru_cache(maxsize=None)
@@ -658,7 +714,7 @@ def _cached_batched_level(metric_name, optimiser, iterations, shape_zyx):
                    max_sp, jnp.float32(1.0))
 
     return jax.jit(
-        jax.vmap(call, in_axes=(0, 0, None, 0, 0, None, None, None))
+        jax.vmap(call, in_axes=(0, 0, None, 0, 0, None, 0, None))
     )
 
 
@@ -697,4 +753,4 @@ def _cached_batched_final_warp(shape_zyx, interp_code, default_value):
             default_value=default_value, out_dtype_name="float32",
         )
 
-    return jax.jit(jax.vmap(warp_one, in_axes=(0, 0, 0, None, None)))
+    return jax.jit(jax.vmap(warp_one, in_axes=(0, 0, 0, None, 0)))
