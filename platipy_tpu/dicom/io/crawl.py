@@ -30,7 +30,15 @@ def process_dicom_series(series_files, parent_sorting_field="PatientName"):
     {image, rtstruct, rtdose, unknown}."""
     first = read_file(series_files[0])
     modality = str(first.get((0x0008, 0x0060), Element(b"CS", "")).value)
-    if modality in ("CT", "MR", "PT"):
+    if modality == "PT":
+        # PT converts to body-weight SUV when possible (reference
+        # crawl.py:440-450); fall back to raw activity otherwise
+        try:
+            return "image", read_dicom_series(series_files, suv=True)
+        except (KeyError, ValueError) as e:
+            logger.warning("SUV scaling unavailable (%s); converting raw PT", e)
+            return "image", read_dicom_series(series_files)
+    if modality in ("CT", "MR"):
         return "image", read_dicom_series(series_files)
     if modality == "RTSTRUCT":
         return "rtstruct", first

@@ -17,9 +17,42 @@ from platipy_tpu.core.image import Image
 from platipy_tpu.dicom.io.dataset import Element, generate_uid, read_file, write_file
 
 __all__ = ["read_dicom_series", "dataset_pixel_array", "write_dicom_series",
-           "find_dicom_files", "group_dicom_files"]
+           "find_dicom_files", "group_dicom_files", "get_suv_bw_scale_factor"]
 
 _PIXEL = (0x7FE0, 0x0010)
+
+
+def get_suv_bw_scale_factor(ds) -> float:
+    """Body-weight SUV scale factor for a PT dataset (QIBA vendor-neutral
+    happy path; reference platipy/dicom/io/crawl.py:44-85).
+
+    Supports BQML units (decay-corrected from radiopharmaceutical start to
+    series time) and the Philips private CNTS factor at (7053,1000).
+    """
+    from datetime import datetime
+
+    units = str(ds.get((0x0054, 0x1001), Element(b"CS", "")).value).strip()
+    if units == "CNTS":
+        return float(ds[(0x7053, 0x1000)].value)
+    if units != "BQML":
+        raise ValueError(f"cannot compute SUV for units {units!r}")
+
+    rphs = ds[(0x0054, 0x0016)].value[0]  # RadiopharmaceuticalInformationSequence
+    half_life = float(rphs[(0x0018, 0x1075)].value)
+    injected_dose = float(rphs[(0x0018, 0x1074)].value)
+    start_time = str(rphs[(0x0018, 0x1072)].value).split(".")[0].strip()
+
+    series_date = str(ds[(0x0008, 0x0021)].value).strip()
+    series_time = str(ds[(0x0008, 0x0031)].value).split(".")[0].strip()
+
+    fmt = "%Y%m%d_%H%M%S"
+    t_series = datetime.strptime(f"{series_date}_{series_time}", fmt)
+    t_start = datetime.strptime(f"{series_date}_{start_time}", fmt)
+    decay_time_s = (t_series - t_start).seconds
+
+    decayed_dose = injected_dose * 2.0 ** (-decay_time_s / half_life)
+    patient_weight = float(ds[(0x0010, 0x1030)].value)
+    return patient_weight * 1000.0 / decayed_dose
 
 
 def find_dicom_files(directory) -> List[str]:
@@ -82,11 +115,13 @@ def dataset_pixel_array(ds) -> np.ndarray:
     return arr.astype(np.float32) * slope + intercept
 
 
-def read_dicom_series(path_or_files) -> Image:
+def read_dicom_series(path_or_files, suv: bool = False) -> Image:
     """Read a DICOM series (directory or file list) into an Image.
 
     Slices are sorted by position along the slice normal (IOP cross product);
     metadata follows the ITK/LPS convention like the rest of the framework.
+    With ``suv=True`` (PT series) each slice is scaled to body-weight SUV
+    (reference crawl.py:440-450 behaviour).
     """
     if isinstance(path_or_files, (str, Path)):
         files = find_dicom_files(path_or_files)
@@ -118,6 +153,9 @@ def read_dicom_series(path_or_files) -> Image:
     datasets.sort(key=position)
 
     slices = [dataset_pixel_array(ds) for ds in datasets]
+    if suv:
+        slices = [s * get_suv_bw_scale_factor(ds)
+                  for s, ds in zip(slices, datasets)]
     volume = np.stack(slices).astype(np.float32)
 
     first = datasets[0]

@@ -304,6 +304,51 @@ def install_open_atlas(atlas_path):
     shutil.rmtree(temp_dir)
 
 
+def install_atlas_from_zipfile(zip_file_path, atlas_path):
+    """Install an atlas from a local zip (reference cardiac/run.py:428-441)."""
+    import shutil
+    import tempfile
+    import zipfile
+
+    atlas_path = Path(atlas_path)
+    with tempfile.TemporaryDirectory() as temp_dir:
+        temp_atlas_path = Path(temp_dir).joinpath("test_atlas")
+        with zipfile.ZipFile(str(zip_file_path), "r") as zip_ref:
+            zip_ref.extractall(temp_atlas_path)
+        if not atlas_path.parent.exists():
+            atlas_path.parent.mkdir(parents=True)
+        shutil.copytree(temp_atlas_path, atlas_path)
+
+
+def display_open_cardiac_zip_url_locations():
+    """Print the zip URLs needed for an offline hybrid-cardiac install
+    (reference cardiac/run.py:443-456)."""
+    from platipy_tpu.projects.nnunet.run import available_nnunet_models
+
+    nnunet_zip_url = available_nnunet_models()["Task400_OPEN_HEART_1FOLD"]["url"]
+    print("Please download the following two zip files:")
+    print(nnunet_zip_url)
+    print(OPEN_ATLAS_URL)
+    print()
+    print(
+        "Once downloaded, pass where these are located on your filesystem to "
+        "the install_hybrid_cardiac_from_zip function."
+    )
+
+
+def install_hybrid_cardiac_from_zip(path_to_nnunet_zip, path_to_atlas_zip):
+    """Offline install of the hybrid pipeline's model + atlas
+    (reference cardiac/run.py:459-470; the nnU-Net zip is converted to
+    native parameters rather than a torch results folder)."""
+    from platipy_tpu.projects.nnunet.run import install_nnunet_model_from_zip
+
+    install_nnunet_model_from_zip(path_to_nnunet_zip, "Task400_OPEN_HEART_1FOLD")
+    install_atlas_from_zipfile(
+        path_to_atlas_zip,
+        Path(OPEN_ATLAS_SETTINGS["atlas_settings"]["atlas_path"]),
+    )
+
+
 def run_hybrid_segmentation(img: Image, settings=HYBRID_SETTINGS_DEFAULTS):
     """CNN whole-heart + atlas substructures (reference run.py:473-504)."""
     from platipy_tpu.projects.nnunet.run import NNUNET_SETTINGS_DEFAULTS

@@ -33,6 +33,8 @@ __all__ = [
     "NNUNET_SETTINGS_DEFAULTS",
     "available_nnunet_models",
     "setup_nnunet_environment",
+    "install_nnunet_model_from_zip",
+    "download_and_install_nnunet_task",
     "run_segmentation",
     "save_checkpoint",
     "load_checkpoint",
@@ -80,6 +82,48 @@ def setup_nnunet_environment():
     Path(MODELS_PATH).mkdir(parents=True, exist_ok=True)
     os.environ["PLATIPY_TPU_MODELS"] = MODELS_PATH
     return MODELS_PATH
+
+
+def install_nnunet_model_from_zip(zip_path, task_name: str):
+    """Install a reference nnU-Net model zip: extract, convert the fold-0
+    torch checkpoint to this framework's parameters, save as an orbax
+    checkpoint under the models directory (reference installs via
+    nnunet install_model_from_zip_file, run.py:74-102)."""
+    import tempfile
+    import zipfile
+
+    from platipy_tpu.projects.nnunet.convert import load_nnunet_checkpoint
+
+    setup_nnunet_environment()
+    info = NNUNET_MODEL_REGISTRY.get(task_name, {})
+    n_stages = len(NNUNET_SETTINGS_DEFAULTS["features"])
+
+    with tempfile.TemporaryDirectory() as temp_dir:
+        with zipfile.ZipFile(str(zip_path), "r") as zf:
+            zf.extractall(temp_dir)
+        candidates = sorted(Path(temp_dir).rglob("model_final_checkpoint.model"))
+        if not candidates:
+            candidates = sorted(Path(temp_dir).rglob("*.model"))
+        if not candidates:
+            raise FileNotFoundError(f"no nnU-Net checkpoint found in {zip_path}")
+        params = load_nnunet_checkpoint(str(candidates[0]), n_stages=n_stages)
+        out = Path(MODELS_PATH) / task_name
+        save_checkpoint(params, out)
+        logger.info("Installed %s -> %s", task_name, out)
+    return str(Path(MODELS_PATH) / task_name), info
+
+
+def download_and_install_nnunet_task(task_name: str, zip_url: str):
+    """Download a model zip and install it (reference run.py:74-102; the
+    torch weights are converted to native parameters instead of installed
+    into an nnU-Net results folder)."""
+    import tempfile
+    import urllib.request
+
+    with tempfile.NamedTemporaryFile(suffix=".zip") as tmp:
+        logger.info("Downloading %s", zip_url)
+        urllib.request.urlretrieve(zip_url, tmp.name)
+        return install_nnunet_model_from_zip(tmp.name, task_name)
 
 
 def save_checkpoint(params, path):

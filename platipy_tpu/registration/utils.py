@@ -30,6 +30,7 @@ __all__ = [
     "control_point_spacing_distance_to_number",
     "registration_command_iteration",
     "deformable_registration_command_iteration",
+    "stage_iteration",
 ]
 
 
@@ -40,6 +41,12 @@ def registration_command_iteration(iteration: int, metric_value: float):
 
 def deformable_registration_command_iteration(iteration: int, metric_value: float):
     print("{0:3} = {1:10.5f}".format(iteration, metric_value))
+
+
+def stage_iteration(n_parameters: int):
+    """Stage-change print (reference utils.py:30-34; takes the parameter
+    count directly instead of an ITK method handle)."""
+    print(f"Number of parameters = {n_parameters}")
 
 
 def control_point_spacing_distance_to_number(image: Image, grid_spacing):

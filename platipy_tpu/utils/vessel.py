@@ -33,6 +33,10 @@ __all__ = [
     "spline_centreline",
     "tube_mask_from_points",
     "vessel_spline_generation",
+    "tube_from_com_list",
+    "simpleitk_image_from_vtk_tube",
+    "write_vtk_tube_to_file",
+    "convert_simpleitk_to_vtk",
 ]
 
 
@@ -265,3 +269,91 @@ def simpleitk_image_from_vtk_tube(tube, reference_image: Image) -> Image:
     else:
         points, radius_mm = tube, 2.0
     return tube_mask_from_points(np.asarray(points), float(radius_mm), reference_image)
+
+
+def write_vtk_tube_to_file(tube, filename, radius_mm: float = 2.0) -> str:
+    """Write a tube as a legacy-VTK ASCII POLYDATA file, loadable by
+    ParaView/Slicer (reference utils/vessel.py:217-232 writes vtkPolyData).
+
+    ``tube`` is the centreline points array from :func:`tube_from_com_list`
+    or a ``(points, radius_mm)`` tuple.  The tube surface is triangulated
+    from scratch: a circle of vertices is swept along the centreline in a
+    rotation-minimising frame and consecutive rings are stitched into quads.
+    """
+    if isinstance(tube, tuple):
+        points, radius_mm = tube
+    points = np.asarray(tube if not isinstance(tube, tuple) else points,
+                        dtype=np.float64)
+    if points.ndim != 2 or points.shape[0] < 2:
+        raise ValueError("tube centreline needs at least two points")
+
+    n_sides = 12
+    # rotation-minimising frames along the polyline
+    tangents = np.diff(points, axis=0)
+    tangents = np.vstack([tangents, tangents[-1:]])
+    tangents /= np.maximum(np.linalg.norm(tangents, axis=1, keepdims=True), 1e-12)
+    normal = np.cross(tangents[0], [0.0, 0.0, 1.0])
+    if np.linalg.norm(normal) < 1e-6:
+        normal = np.cross(tangents[0], [0.0, 1.0, 0.0])
+    normal /= np.linalg.norm(normal)
+
+    rings = []
+    for i, (p, t) in enumerate(zip(points, tangents)):
+        # project previous normal off the new tangent (double-reflection lite)
+        normal = normal - np.dot(normal, t) * t
+        normal /= max(np.linalg.norm(normal), 1e-12)
+        binormal = np.cross(t, normal)
+        ang = np.linspace(0, 2 * np.pi, n_sides, endpoint=False)
+        ring = p + radius_mm * (np.outer(np.cos(ang), normal)
+                                + np.outer(np.sin(ang), binormal))
+        rings.append(ring)
+    verts = np.concatenate(rings)
+
+    polys = []
+    for i in range(len(points) - 1):
+        for j in range(n_sides):
+            a = i * n_sides + j
+            b = i * n_sides + (j + 1) % n_sides
+            c = (i + 1) * n_sides + (j + 1) % n_sides
+            d = (i + 1) * n_sides + j
+            polys.append((a, b, c, d))
+
+    with open(filename, "w") as f:
+        f.write("# vtk DataFile Version 3.0\nplatipy_tpu tube\nASCII\n")
+        f.write("DATASET POLYDATA\n")
+        f.write(f"POINTS {len(verts)} float\n")
+        for v in verts:
+            f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        f.write(f"POLYGONS {len(polys)} {len(polys) * 5}\n")
+        for q in polys:
+            f.write(f"4 {q[0]} {q[1]} {q[2]} {q[3]}\n")
+    return str(filename)
+
+
+def convert_simpleitk_to_vtk(image: Image, filename=None):
+    """Native stand-in for the reference's ``convert_simpleitk_to_vtk``
+    (utils/vessel.py:235-260, which builds a vtkImageData): writes/returns a
+    legacy-VTK STRUCTURED_POINTS representation of the image.  With
+    ``filename`` the ASCII file is written and its path returned; without,
+    the header + flat value array are returned as (header_str, np.ndarray).
+    """
+    arr = np.asarray(image.array, dtype=np.float32)
+    nz, ny, nx = arr.shape
+    ox, oy, oz = (float(v) for v in image.origin)
+    sx, sy, sz = (float(v) for v in image.spacing)
+    header = (
+        "# vtk DataFile Version 3.0\nplatipy_tpu image\nASCII\n"
+        "DATASET STRUCTURED_POINTS\n"
+        f"DIMENSIONS {nx} {ny} {nz}\n"
+        f"ORIGIN {ox} {oy} {oz}\n"
+        f"SPACING {sx} {sy} {sz}\n"
+        f"POINT_DATA {arr.size}\nSCALARS values float 1\nLOOKUP_TABLE default\n"
+    )
+    flat = arr.ravel(order="C")  # z fastest-varying last: VTK x-fastest = C on [z,y,x]
+    if filename is None:
+        return header, flat
+    with open(filename, "w") as f:
+        f.write(header)
+        f.write("\n".join(f"{v:g}" for v in flat))
+        f.write("\n")
+    return str(filename)

@@ -7,7 +7,37 @@ import numpy as np
 
 from platipy_tpu.core.image import Image
 
-__all__ = ["generate_animation_from_image_sequence"]
+__all__ = ["FileWriter", "generate_animation_from_image_sequence"]
+
+
+def _file_writer_cls():
+    from matplotlib.animation import FileMovieWriter
+
+    class FileWriter(FileMovieWriter):
+        """PNG frame-sequence writer: saves each animation frame as
+        ``<outfile-stem><n>.png`` instead of encoding a movie (reference
+        animation.py:38-54 — used when no ffmpeg is available)."""
+
+        supported_formats = ["png"]
+
+        def setup(self, fig, outfile, dpi=None, frame_prefix=None):
+            stem, _, fmt = str(outfile).rpartition(".")
+            super().setup(fig, outfile, dpi=dpi,
+                          frame_prefix=frame_prefix or stem or str(outfile))
+            self.fname_format_str = "%s%%d.%s"
+            self.frame_format = fmt or "png"
+
+        def finish(self):
+            pass  # the numbered frame files ARE the output; nothing to stitch
+
+    return FileWriter
+
+
+def __getattr__(name):
+    # matplotlib import deferred until FileWriter is actually requested
+    if name == "FileWriter":
+        return _file_writer_cls()
+    raise AttributeError(name)
 
 
 def generate_animation_from_image_sequence(

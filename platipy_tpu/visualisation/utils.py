@@ -8,6 +8,7 @@ import numpy as np
 from platipy_tpu.core.image import Image
 
 __all__ = [
+    "VisualiseImage",
     "VisualiseContour",
     "VisualiseScalarOverlay",
     "VisualiseVectorOverlay",
@@ -18,6 +19,7 @@ __all__ = [
     "vector_image_grid",
     "reorientate_vector_field",
     "generate_comparison_colormix",
+    "project_onto_arbitrary_plane",
     "view_axis",
 ]
 
@@ -27,6 +29,19 @@ _VIEW_AXIS = {"z": 0, "ax": 0, "axial": 0, "y": 1, "cor": 1, "coronal": 1,
 
 def view_axis(view: str) -> int:
     return _VIEW_AXIS[view]
+
+
+class VisualiseImage:
+    """Base image display options (reference utils.py:26-35)."""
+
+    def __init__(self, image, aspect=None, interpolation=None, origin=None,
+                 colormap=None, clim=None):
+        self.image = image
+        self.aspect = aspect
+        self.interpolation = interpolation
+        self.origin = origin
+        self.colormap = colormap
+        self.clim = clim
 
 
 class VisualiseContour:
@@ -163,3 +178,44 @@ def generate_comparison_colormix(image_list, arr_slices=None, color_rotation=0.3
     val = np.maximum(a0, a1)
     hsv = np.stack([hue, sat, val], axis=-1)
     return mcolors.hsv_to_rgb(hsv)
+
+
+def project_onto_arbitrary_plane(
+    image: Image,
+    projection_name: str = "mean",
+    projection_axis: int = 0,
+    rotation_axis=(1, 0, 0),
+    rotation_angle: float = 0,
+    default_value: float = -1000,
+    resample_interpolation=None,
+):
+    """Rotate the volume about its physical centre, then project along an
+    axis (reference utils.py:305-368).  Returns the projected 2-D numpy
+    array (the reference returns a 2-D sitk image slice)."""
+    import numpy as _np
+
+    from platipy_tpu.core.interp import INTERP_LINEAR
+    from platipy_tpu.utils.geometry import rotate_image
+
+    size = image.size  # (x, y, z)
+    centre_index = [(s - 1) / 2.0 for s in size]
+    centre_phys = image.physical_point(centre_index)
+
+    interp = resample_interpolation if resample_interpolation is not None else INTERP_LINEAR
+    rotated = rotate_image(
+        image,
+        rotation_centre=centre_phys,
+        rotation_axis=rotation_axis,
+        rotation_angle_radians=rotation_angle,
+        interpolation=interp,
+        default_value=default_value,
+    )
+
+    arr = _np.asarray(rotated.array)
+    # projection_axis follows the reference's sitk x/y/z order: 0=x, 1=y, 2=z
+    np_axis = {0: 2, 1: 1, 2: 0}[int(projection_axis)]
+    reducers = {
+        "sum": _np.sum, "mean": _np.mean, "median": _np.median,
+        "std": _np.std, "min": _np.min, "max": _np.max,
+    }
+    return reducers[projection_name](arr, axis=np_axis)

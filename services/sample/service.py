@@ -26,3 +26,42 @@ def bone_segmentation_service(data_objects, working_dir, settings):
         write_image(mask, out_path)
         output_objects.append({"path": out_path, "parent_id": data_object["id"]})
     return output_objects
+
+
+PRIMITIVE_SETTINGS_DEFAULTS = {
+    "seed": [0, 0, 0],           # (x, y, z) index, reference order
+    "lowerThreshold": -250,
+    "upperThreshold": 1500,
+    "vectorRadius": [1, 1, 1],
+    "outputContourName": "primitive_body",
+}
+
+
+@app.register("Primitive Body Segmentation",
+              default_settings=PRIMITIVE_SETTINGS_DEFAULTS)
+def primitive_body_segmentation(data_objects, working_dir, settings):
+    """Seeded connected-threshold body segmentation (reference
+    platipy/backend/sample/sample.py:36-82): region grow from the seed,
+    morphological closing, then invert."""
+    from platipy_tpu.core.components import connected_threshold
+    from platipy_tpu.core.morphology import binary_closing
+
+    logger.info("Running Primitive Body Segmentation")
+    logger.info("Using settings: %s", settings)
+
+    output_objects = []
+    for data_object in data_objects:
+        img = read_image(data_object["path"])
+        seg = connected_threshold(
+            img, [tuple(int(v) for v in settings["seed"])],
+            lower=settings["lowerThreshold"], upper=settings["upperThreshold"],
+        )
+        seg = binary_closing(seg, radius=tuple(settings["vectorRadius"]))
+        mask = seg.with_array(1 - seg.array)
+
+        out_path = os.path.join(
+            working_dir, "{0}.nii.gz".format(settings["outputContourName"])
+        )
+        write_image(mask, out_path)
+        output_objects.append({"path": out_path, "parent_id": data_object["id"]})
+    return output_objects

@@ -157,3 +157,52 @@ def test_dimse_verify_no_server():
 
     conn = DicomConnector("127.0.0.1", 1)  # nothing listens there
     assert conn.verify() is False
+
+
+def test_pt_suv_scaling(tmp_path):
+    """PT series convert to body-weight SUV (reference crawl.py:44-85):
+    factor = weight*1000 / (dose * 2^(-dt/half_life))."""
+    from platipy_tpu.dicom.io.dataset import Element, read_file, write_file
+    from platipy_tpu.dicom.io.series import (
+        get_suv_bw_scale_factor, read_dicom_series, write_dicom_series,
+    )
+
+    img = from_array(
+        np.full((4, 16, 16), 500.0, np.float32), spacing=(2.0, 2.0, 3.0)
+    )
+    paths = write_dicom_series(img, tmp_path / "pt", modality="PT")
+
+    pt_tags = {
+        (0x0054, 0x1001): Element(b"CS", "BQML"),
+        (0x0008, 0x0021): Element(b"DA", "20260101"),
+        (0x0008, 0x0031): Element(b"TM", "110000"),
+        (0x0010, 0x1030): Element(b"DS", 70.0),
+        (0x0054, 0x0016): Element(b"SQ", [{
+            (0x0018, 0x1072): Element(b"TM", "100000"),
+            (0x0018, 0x1074): Element(b"DS", 3.5e8),
+            (0x0018, 0x1075): Element(b"DS", 6586.2),  # F-18
+        }]),
+    }
+    for p in paths:
+        ds = read_file(p)
+        ds.update(pt_tags)
+        write_file(p, ds, "1.2.840.10008.5.1.4.1.1.128",
+                   str(ds[(0x0008, 0x0018)].value))
+
+    ds = read_file(paths[0])
+    factor = get_suv_bw_scale_factor(ds)
+    expected = 70.0 * 1000 / (3.5e8 * 2 ** (-3600 / 6586.2))
+    np.testing.assert_allclose(factor, expected, rtol=1e-6)
+
+    suv_img = read_dicom_series([str(p) for p in paths], suv=True)
+    np.testing.assert_allclose(
+        np.asarray(suv_img.array), 500.0 * expected, rtol=1e-4
+    )
+
+    # the crawler routes PT through SUV scaling
+    from platipy_tpu.dicom.io.crawl import process_dicom_series
+    kind, data = process_dicom_series([str(p) for p in paths])
+    assert kind == "image"
+    np.testing.assert_allclose(
+        np.asarray(data.array), 500.0 * expected, rtol=1e-4
+    )

@@ -132,3 +132,61 @@ def test_bspline_registration_improves_alignment():
     d0 = compute_metric_dsc(f_mask, m_mask)
     d1 = compute_metric_dsc(f_mask, r_mask)
     assert d1 > d0, f"bspline did not improve: {d0} -> {d1}"
+
+def test_api_parity_symbols(tmp_path):
+    """Reference public symbols that must exist and function
+    (crawl.py:33-41, cardiac/run.py:428-470, nnunet/run.py:74-102,
+    visualisation/utils.py:26-35,305-368, animation.py:38-54)."""
+    import numpy as np
+
+    from platipy_tpu import from_array
+    from platipy_tpu.registration.utils import stage_iteration
+    from platipy_tpu.label.utils import generate_primes
+    from platipy_tpu.projects.cardiac.run import (
+        display_open_cardiac_zip_url_locations,
+        install_atlas_from_zipfile,
+        install_hybrid_cardiac_from_zip,
+    )
+    from platipy_tpu.projects.nnunet.run import (
+        download_and_install_nnunet_task,
+        install_nnunet_model_from_zip,
+    )
+    from platipy_tpu.visualisation.animation import FileWriter
+    from platipy_tpu.visualisation.utils import (
+        VisualiseImage, project_onto_arbitrary_plane,
+    )
+    from platipy_tpu.utils.vessel import (
+        convert_simpleitk_to_vtk, write_vtk_tube_to_file,
+    )
+
+    stage_iteration(6)
+    display_open_cardiac_zip_url_locations()
+    it = generate_primes()
+    assert [next(it) for _ in range(4)] == [2, 3, 5, 7]
+    assert callable(install_atlas_from_zipfile)
+    assert callable(install_hybrid_cardiac_from_zip)
+    assert callable(download_and_install_nnunet_task)
+    assert callable(install_nnunet_model_from_zip)
+    assert FileWriter.supported_formats == ["png"]
+
+    img = from_array(np.random.rand(6, 12, 12).astype(np.float32))
+    v = VisualiseImage(img, colormap="Greys_r")
+    assert v.image is img
+    proj = project_onto_arbitrary_plane(img, "max", 2, rotation_angle=0.1)
+    assert proj.ndim == 2
+
+    # atlas zip install round-trip
+    import zipfile
+    zp = tmp_path / "atlas.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("Case_01/Images/Case_01.nii.gz", b"x")
+    dest = tmp_path / "installed" / "test_atlas"
+    install_atlas_from_zipfile(zp, dest)
+    assert (dest / "Case_01/Images/Case_01.nii.gz").exists()
+
+    p = write_vtk_tube_to_file(
+        np.array([[0.0, 0, 0], [5, 0, 0], [10, 2, 0]]), tmp_path / "t.vtk"
+    )
+    assert "POLYDATA" in open(p).read()
+    p2 = convert_simpleitk_to_vtk(img, tmp_path / "i.vtk")
+    assert "STRUCTURED_POINTS" in open(p2).read()
