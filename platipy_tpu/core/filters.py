@@ -92,16 +92,21 @@ def gaussian_kernel1d(sigma_vox: float, truncate: float = 4.0) -> np.ndarray:
 _CONV_MM_LIMIT = 1024
 
 
-def _conv1d_along_axis(arr: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
+def _conv1d_along_axis(arr: jnp.ndarray, kernel: np.ndarray, axis: int,
+                       precision: str = "highest") -> jnp.ndarray:
     """Convolve [z,y,x(,c)] array along a spatial axis, edge-replicate padding.
 
     Dispatched as one jitted program per (shape, kernel, axis) — on remote
-    backends eager op-by-op dispatch is prohibitively slow.
+    backends eager op-by-op dispatch is prohibitively slow.  ``precision``
+    selects the MXU pass count for the banded-matmul path ("highest" = 6-pass
+    f32-accurate, "default" = single-pass bf16 inputs — iterative smoothing
+    loops tolerate bf16, one-shot public filters keep f32 parity).
     """
     n = arr.shape[axis]
     kernel_key = tuple(float(v) for v in kernel)
     if 1 < n <= _CONV_MM_LIMIT and len(kernel_key) > 1:
-        return _conv1d_mm_jit(arr, kernel_key=kernel_key, axis=axis, n=n)
+        return _conv1d_mm_jit(arr, kernel_key=kernel_key, axis=axis, n=n,
+                              precision=precision)
     return _conv1d_jit(arr, kernel_key=kernel_key, axis=axis)
 
 
@@ -117,14 +122,17 @@ def _conv_matrix(n: int, kernel: np.ndarray) -> np.ndarray:
     return c
 
 
-@partial(jax.jit, static_argnames=("kernel_key", "axis", "n"))
-def _conv1d_mm_jit(arr: jnp.ndarray, *, kernel_key, axis: int, n: int) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("kernel_key", "axis", "n", "precision"))
+def _conv1d_mm_jit(arr: jnp.ndarray, *, kernel_key, axis: int, n: int,
+                   precision: str = "highest") -> jnp.ndarray:
     c = jnp.asarray(_conv_matrix(n, np.asarray(kernel_key, dtype=np.float64)))
     dtype = arr.dtype if jnp.issubdtype(arr.dtype, jnp.floating) else jnp.float32
-    out = jnp.tensordot(
-        c, arr.astype(dtype), axes=((1,), (axis,)),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
+    out = jnp.tensordot(c, arr.astype(dtype), axes=((1,), (axis,)), precision=prec)
     return jnp.moveaxis(out, 0, axis)
 
 
@@ -149,7 +157,8 @@ def _conv1d_jit(arr: jnp.ndarray, *, kernel_key, axis: int) -> jnp.ndarray:
 
 
 def convolve_separable(
-    arr: jnp.ndarray, kernels: Sequence[np.ndarray], axes: Sequence[int] = (0, 1, 2)
+    arr: jnp.ndarray, kernels: Sequence[np.ndarray], axes: Sequence[int] = (0, 1, 2),
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Apply 1-D kernels along the given axes in turn; kernels[i] for axes[i].
 
@@ -160,7 +169,8 @@ def convolve_separable(
     for axis, kern in zip(axes, kernels):
         if kern is None or kern.size == 1:
             continue
-        out = _conv1d_along_axis(out, np.asarray(kern, dtype=np.float64), axis)
+        out = _conv1d_along_axis(out, np.asarray(kern, dtype=np.float64), axis,
+                                 precision=precision)
     return out
 
 

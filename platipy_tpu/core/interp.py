@@ -322,13 +322,18 @@ def _lerp_shift_axis(vol: jnp.ndarray, offset: jnp.ndarray, axis: int, max_disp:
     if n_taps <= _STATIC_TAP_LIMIT:
         # static slices: XLA fuses all taps into ONE loop fusion — the
         # accumulator never round-trips HBM (a fori_loop accumulator does,
-        # tripling the traffic of the demons warp)
+        # tripling the traffic of the demons warp).  Select-chain form: d is
+        # clipped to [-max_disp, max_disp-1], so chain one select per integer
+        # offset over the lerp of adjacent taps — 1 cmp + 1 select + 1 fma
+        # per tap vs the 2-cmp/2-select/1-add weight form (~40% fewer VPU ops
+        # in the demons hot warp), and 2 fewer taps.
         acc = jnp.zeros(offset.shape, vol.dtype)
-        for k in range(n_taps):
-            sh = jax.lax.slice_in_dim(p, k, k + n, axis=axis)
-            kk = k - max_disp
-            w = jnp.where(d == kk, 1.0 - t, 0.0) + jnp.where(d + 1 == kk, t, 0.0)
-            acc = acc + w * sh
+        sh_prev = jax.lax.slice_in_dim(p, 0, n, axis=axis)
+        for k in range(2 * max_disp):
+            sh_next = jax.lax.slice_in_dim(p, k + 1, k + 1 + n, axis=axis)
+            lerp = sh_prev + t * (sh_next - sh_prev)
+            acc = acc + jnp.where(d == k - max_disp, lerp, 0.0)
+            sh_prev = sh_next
         return acc, inside
 
     # large-displacement fallback: sequential accumulation keeps the live set

@@ -149,7 +149,7 @@ def _f(x, n=3):
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class TranslationTransform(Transform):
-    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
+    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
 
     def tree_flatten(self):
         return (self.translation,), None
@@ -176,9 +176,9 @@ class TranslationTransform(Transform):
 class Euler3DTransform(Transform):
     """Rigid: Euler angles (radians) + translation about a centre."""
 
-    angles: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    center: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
+    angles: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    center: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
 
     def tree_flatten(self):
         return (self.angles, self.translation, self.center), None
@@ -205,9 +205,9 @@ class Euler3DTransform(Transform):
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class VersorRigid3DTransform(Transform):
-    versor: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    center: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
+    versor: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    center: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
 
     def tree_flatten(self):
         return (self.versor, self.translation, self.center), None
@@ -240,10 +240,10 @@ class Similarity3DTransform(Transform):
     identity is log_scale=0.
     """
 
-    versor: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    log_scale: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(()))
-    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    center: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
+    versor: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    log_scale: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros((), np.float32))
+    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    center: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
 
     def tree_flatten(self):
         return (self.versor, self.log_scale, self.translation, self.center), None
@@ -270,8 +270,8 @@ class Similarity3DTransform(Transform):
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class ScaleTransform(Transform):
-    log_scale: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    center: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
+    log_scale: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    center: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
 
     def tree_flatten(self):
         return (self.log_scale, self.center), None
@@ -298,10 +298,10 @@ class ScaleTransform(Transform):
 class ScaleVersor3DTransform(Transform):
     """ITK ScaleVersor3D: M = R + diag(s) - I (rotation plus anisotropic scale)."""
 
-    versor: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    log_scale: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    center: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
+    versor: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    log_scale: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    center: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
 
     def tree_flatten(self):
         return (self.versor, self.log_scale, self.translation, self.center), None
@@ -331,11 +331,11 @@ class ScaleVersor3DTransform(Transform):
 class ScaleSkewVersor3DTransform(Transform):
     """ITK ScaleSkewVersor3D: M = R @ (S + K) with S diag scale, K strict-upper skew."""
 
-    versor: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    log_scale: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    skew: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(6))
-    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    center: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
+    versor: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    log_scale: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    skew: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(6, np.float32))
+    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    center: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
 
     def tree_flatten(self):
         return (self.versor, self.log_scale, self.skew, self.translation, self.center), None
@@ -372,9 +372,9 @@ class ScaleSkewVersor3DTransform(Transform):
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class AffineTransform(Transform):
-    matrix_params: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.eye(3))
-    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
-    center: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.zeros(3))
+    matrix_params: jnp.ndarray = dataclasses.field(default_factory=lambda: np.eye(3, dtype=np.float32))
+    translation: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
+    center: jnp.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3, np.float32))
 
     def tree_flatten(self):
         return (self.matrix_params, self.translation, self.center), None
@@ -403,7 +403,7 @@ class AffineTransform(Transform):
 class MatrixTransform(Transform):
     """A raw homogeneous 4x4 transform (host-constructed, e.g. from composition)."""
 
-    hmatrix: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.eye(4))
+    hmatrix: jnp.ndarray = dataclasses.field(default_factory=lambda: np.eye(4, dtype=np.float32))
 
     def tree_flatten(self):
         return (self.hmatrix,), None
@@ -603,15 +603,15 @@ def centered_transform_initializer(
     translation = np.asarray(c_moving) - np.asarray(c_fixed)
     if transform_type in ("euler", "rigid"):
         return Euler3DTransform(
-            angles=jnp.zeros(3),
-            translation=jnp.asarray(translation, dtype=jnp.float32),
-            center=jnp.asarray(center, dtype=jnp.float32),
+            angles=np.zeros(3, np.float32),
+            translation=np.asarray(translation, dtype=np.float32),
+            center=np.asarray(center, dtype=np.float32),
         )
     if transform_type == "versor":
         return VersorRigid3DTransform(
-            versor=jnp.zeros(3),
-            translation=jnp.asarray(translation, dtype=jnp.float32),
-            center=jnp.asarray(center, dtype=jnp.float32),
+            versor=np.zeros(3, np.float32),
+            translation=np.asarray(translation, dtype=np.float32),
+            center=np.asarray(center, dtype=np.float32),
         )
     raise ValueError(transform_type)
 

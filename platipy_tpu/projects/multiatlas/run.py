@@ -134,6 +134,12 @@ def _load_atlas_set(settings) -> Dict:
     return atlas_set
 
 
+@jax.jit
+def _combine_for_crop(arrays):
+    stack = jnp.stack([a.astype(jnp.float32) for a in arrays])
+    return (jnp.mean(stack, axis=0) > -1000).astype(jnp.uint8)
+
+
 def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
     """Run the atlas-based segmentation algorithm (reference run.py:106-441).
 
@@ -193,11 +199,12 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             img, crop_movings,
             **{k: v for k, v in quick_reg_settings.items() if k != "verbose"},
         )
-        # combine on device: N full-volume fetches over a remote-device link
-        # cost ~0.3s each; the union mask crosses once inside label_to_roi
-        combined = sum(i.array.astype(jnp.float32) for i in registered_crop_images)
-        combined = combined / len(registered_crop_images)
-        combined_image = img.with_array((combined > -1000).astype(jnp.uint8))
+        # combine on device in ONE dispatch: N full-volume fetches over a
+        # remote-device link cost ~0.3s each and N eager adds pay per-op
+        # dispatch latency; the union mask crosses host once in label_to_roi
+        combined_image = img.with_array(
+            _combine_for_crop([i.array for i in registered_crop_images])
+        )
 
         crop_box_size, crop_box_index = label_to_roi(
             combined_image, expansion_mm=expansion_mm

@@ -55,10 +55,10 @@ def alignment_registration(fixed_image: Image, moving_image: Image, moments: boo
 
 
 def _make_transform(reg_method: str, center) -> Transform:
-    c = jnp.asarray(center, jnp.float32)
+    c = np.asarray(center, np.float32)  # host constant; device entry via jit args
     name = reg_method.lower()
     if name == "translation":
-        return TranslationTransform(jnp.zeros(3))
+        return TranslationTransform(np.zeros(3, np.float32))
     if name == "similarity":
         return Similarity3DTransform(center=c)
     if name == "affine":
@@ -85,6 +85,37 @@ def _sample_points_for_scales(image: Image, n_per_axis: int = 4) -> jnp.ndarray:
             for ix in np.linspace(0, nx - 1, n_per_axis):
                 pts.append(image.physical_point((ix, iy, iz)))
     return jnp.asarray(np.stack(pts), jnp.float32)
+
+
+def _sampling_strides(sampling_rate, shape_zyx):
+    """TPU-native equivalent of ITK REGULAR metric sampling (reference
+    linear.py:151-153 samples 25% of voxels): stride the fixed evaluation
+    grid in (y, x) so the kept fraction ~= sampling_rate.  Striding is
+    deterministic and static-shaped (XLA-friendly), unlike point lists.
+    Dims too small to stride (< 32 voxels after striding) stay dense —
+    coarse pyramid levels are cheap and need every sample."""
+    if not sampling_rate or sampling_rate >= 0.75:
+        return 1, 1
+    if sampling_rate >= 0.4:
+        sy, sx = 1, 2
+    elif sampling_rate >= 0.2:
+        sy, sx = 2, 2
+    elif sampling_rate >= 0.1:
+        sy, sx = 2, 4
+    else:
+        sy, sx = 4, 4
+    if shape_zyx[1] // sy < 32:
+        sy = 1
+    if shape_zyx[2] // sx < 32:
+        sx = 1
+    return sy, sx
+
+
+def _stride_i2p(ref_i2p, sy, sx):
+    """Index->physical matrix of the (1, sy, sx)-strided grid: scale the x/y
+    index-axis columns (homogeneous 4x4, columns = (x, y, z, 1) index axes)."""
+    scale = np.diag([sx, sy, 1.0, 1.0]).astype(np.float32)
+    return ref_i2p @ jnp.asarray(scale)
 
 
 def _make_level_loss(metric_name, shape_zyx, has_fmask, has_mmask):
@@ -341,14 +372,19 @@ def linear_registration(
             physical_to_index_matrix(m_level.origin, m_level.spacing, m_level.direction),
             jnp.float32,
         )
+        # REGULAR metric sampling as fixed-grid striding (linear.py:151-153)
+        sy, sx = _sampling_strides(sampling_rate, f_level.spatial_shape)
+        f_arr_lvl = f_level.array.astype(jnp.float32)[:, ::sy, ::sx]
+        if (sy, sx) != (1, 1):
+            ref_i2p = _stride_i2p(ref_i2p, sy, sx)
         dummy = jnp.zeros((1, 1, 1), jnp.float32)
 
         opt_transform, final_loss = _register_level(
             opt_transform,
             initial_transform,
-            f_level.array.astype(jnp.float32),
+            f_arr_lvl,
             m_level.array.astype(jnp.float32),
-            f_mask_level.array if f_mask_level is not None else dummy,
+            f_mask_level.array[:, ::sy, ::sx] if f_mask_level is not None else dummy,
             m_mask_level.array if m_mask_level is not None else dummy,
             ref_i2p,
             mov_p2i,
@@ -358,7 +394,7 @@ def linear_registration(
             metric_name=metric.lower(),
             optimiser=optimiser.lower(),
             iterations=int(number_of_iterations),
-            shape_zyx=f_level.spatial_shape,
+            shape_zyx=f_arr_lvl.shape,
             has_fmask=f_mask_level is not None,
             has_mmask=m_mask_level is not None,
         )
@@ -562,12 +598,18 @@ def linear_registration_batched(
             ]),
             jnp.float32,
         )
+        # REGULAR metric sampling as fixed-grid striding (linear.py:151-153)
+        sy, sx = _sampling_strides(sampling_rate, f_level.spatial_shape)
+        f_arr_lvl = f_level.array.astype(jnp.float32)[:, ::sy, ::sx]
+        if (sy, sx) != (1, 1):
+            ref_i2p = _stride_i2p(ref_i2p, sy, sx)
+
         batched = _cached_batched_level(
             metric.lower(), optimiser.lower(), int(number_of_iterations),
-            f_level.spatial_shape,
+            f_arr_lvl.shape,
         )
         opt_stack, losses = batched(
-            opt_stack, initial_stack, f_level.array.astype(jnp.float32),
+            opt_stack, initial_stack, f_arr_lvl,
             m_stack_lvl, scales_stack, ref_i2p, mov_p2i,
             jnp.float32(max(f_level.spacing)),
         )

@@ -143,3 +143,32 @@ def test_dirqa_service_qa_metrics(tmp_path):
     assert stats["jacobian_det_min"] > 0
     assert stats["folding_fraction"] == 0.0
     assert "inverse_consistency_mean_mm" in stats
+
+
+def test_mri_dixon_fraction_maps(tmp_path):
+    """Dixon service computes percentage fraction maps with divide-by-zero
+    guarded to 0 (reference services/mridixon/service.py:75-84)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    from services.mridixon.service import mri_dixon_analysis
+    from platipy_tpu import from_array
+    from platipy_tpu.nifti.io import read_image, write_image
+
+    fat = np.zeros((4, 8, 8), np.float32); fat[1:3, 2:6, 2:6] = 30.0
+    water = np.zeros((4, 8, 8), np.float32); water[1:3, 2:6, 2:6] = 70.0
+    fp, wp = str(tmp_path / "f.nii.gz"), str(tmp_path / "w.nii.gz")
+    write_image(from_array(fat), fp)
+    write_image(from_array(water), wp)
+
+    out = mri_dixon_analysis(
+        [{"path": fp, "id": 1, "meta_data": {"image_type": "fat"}},
+         {"path": wp, "id": 2, "meta_data": {"image_type": "water"}}],
+        str(tmp_path), {},
+    )
+    ff = np.asarray(read_image(out[0]["path"]).array)
+    wf = np.asarray(read_image(out[1]["path"]).array)
+    assert ff[2, 3, 3] == 30.0 and wf[2, 3, 3] == 70.0
+    assert ff[0, 0, 0] == 0.0 and wf[0, 0, 0] == 0.0  # guarded division
