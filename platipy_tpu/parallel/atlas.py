@@ -59,6 +59,27 @@ def shard_over_atlases(stack: jnp.ndarray, mesh) -> jnp.ndarray:
     return jax.device_put(stack, sharding)
 
 
+def pad_atlas_axis(stack: jnp.ndarray, n_devices: int):
+    """Pad a [N, ...] stack along the atlas axis to a multiple of the device
+    count by repeating the last atlas.  Returns (padded_stack, n_valid).
+
+    Atlas lanes are independent through registration, so padded lanes are
+    harmless wasted work; fusion must zero their weights (multiply the weight
+    stack by ``atlas_validity_mask``).  Wall-clock argument: 10 atlases on 8
+    chips unsharded leave 7 chips idle; padded to 16, each chip runs 2 lanes
+    — ~5x faster despite 6 wasted lanes."""
+    n = stack.shape[0]
+    pad = (-n) % n_devices
+    if pad == 0:
+        return stack, n
+    return jnp.concatenate([stack, jnp.repeat(stack[-1:], pad, axis=0)]), n
+
+
+def atlas_validity_mask(n_valid: int, n_total: int) -> jnp.ndarray:
+    """[n_total] float mask: 1 for real atlases, 0 for padded lanes."""
+    return (jnp.arange(n_total) < n_valid).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # grid utilities (same origin/direction, spacing/shape change only)
 # ---------------------------------------------------------------------------

@@ -35,9 +35,11 @@ from platipy_tpu.label.fusion import process_probability_image, weighted_voting_
 from platipy_tpu.label.utils import correct_volume_overlap
 from platipy_tpu.parallel.atlas import (
     atlas_mesh,
+    atlas_validity_mask,
     batched_multiscale_demons,
     batched_warp_by_dvf,
     batched_weight_maps,
+    pad_atlas_axis,
     shard_over_atlases,
 )
 from platipy_tpu.registration.linear import (
@@ -279,12 +281,18 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
 
     target_arr = img_crop.array.astype(jnp.float32)
 
-    # shard the atlas axis over the mesh when it divides evenly
+    # shard the atlas axis over the mesh, padding to a multiple of the
+    # device count (padded lanes are zero-weighted at fusion)
     n_dev = len(jax.devices())
-    if n_dev > 1 and moving_stack.shape[0] % n_dev == 0:
+    n_valid = moving_stack.shape[0]
+    if n_dev > 1:
         mesh = atlas_mesh()
+        moving_stack, n_valid = pad_atlas_axis(moving_stack, n_dev)
         moving_stack = shard_over_atlases(moving_stack, mesh)
-        struct_stacks = {k: shard_over_atlases(v, mesh) for k, v in struct_stacks.items()}
+        struct_stacks = {
+            k: shard_over_atlases(pad_atlas_axis(v, n_dev)[0], mesh)
+            for k, v in struct_stacks.items()
+        }
 
     smoothing_sigmas = deformable_settings.get("smoothing_sigmas")
     if not smoothing_sigmas:
@@ -293,6 +301,11 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
     if ckpt.has("dvf"):
         logger.info("Resumed DVF stack from checkpoint.")
         dvf_stack = jnp.asarray(ckpt.load("dvf")["dvf_stack"])
+        if dvf_stack.shape[0] > moving_stack.shape[0]:
+            # checkpoint written under a different device count: drop pad lanes
+            dvf_stack = dvf_stack[: moving_stack.shape[0]]
+        elif dvf_stack.shape[0] < moving_stack.shape[0]:
+            dvf_stack, _ = pad_atlas_axis(dvf_stack, moving_stack.shape[0])
     else:
         dvf_stack = batched_multiscale_demons(
             target_arr,
@@ -335,6 +348,11 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         target_arr, dir_images, img_crop.spacing,
         vote_type=vote_type, vote_params=vote_params,
     )
+    if weight_stack.shape[0] != n_valid:
+        # zero the padded atlas lanes out of the fusion reduction
+        weight_stack = weight_stack * atlas_validity_mask(
+            n_valid, weight_stack.shape[0]
+        )[:, None, None, None]
     for k, atlas_id in enumerate(atlas_id_list):
         atlas_set[atlas_id]["DIR"]["Weight Map"] = img_crop.with_array(weight_stack[k])
 

@@ -536,7 +536,7 @@ def linear_registration_batched(
         on the common padded moving grid."""
         if not shrink or shrink == 1:
             return pad_shape, spacing_xyz
-        new_size = [int(sz / float(shrink) + 0.5) for sz in pad_size_xyz]
+        new_size = [max(int(sz / float(shrink) + 0.5), 2) for sz in pad_size_xyz]
         new_spacing = [
             ((so - 1) * sp) / (sn - 1)
             for so, sp, sn in zip(pad_size_xyz, spacing_xyz, new_size)

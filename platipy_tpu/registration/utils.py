@@ -161,6 +161,10 @@ def smooth_and_resample(
     else:
         return image
 
+    # reference formula (registration/utils.py:252-255); clamp the new size to
+    # >= 2 so aggressive shrink factors on small (cropped) volumes cannot
+    # produce a 1-voxel axis and a zero denominator
+    new_size = [max(int(s), 2) for s in new_size]
     new_spacing = [
         ((size_o_i - 1) * spacing_o_i) / (size_n_i - 1)
         for size_o_i, spacing_o_i, size_n_i in zip(original_size, original_spacing, new_size)
