@@ -47,6 +47,7 @@ from platipy_tpu.label.utils import binary_encode_structure_list, correct_volume
 from platipy_tpu.parallel.atlas import (
     atlas_mesh,
     batched_multiscale_demons,
+    pad_atlas_axis,
     batched_warp_by_dvf,
     batched_weight_maps,
     shard_over_atlases,
@@ -536,7 +537,11 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     mesh = atlas_mesh() if len(jax.devices()) > 1 else None
 
     def _maybe_shard(stack):
-        if mesh is not None and stack.shape[0] % len(jax.devices()) == 0:
+        # pad the atlas axis to a device-count multiple (fusion and IAR
+        # consume per-atlas dict entries indexed < n_atlases, so padded
+        # lanes never reach a reduction)
+        if mesh is not None:
+            stack, _ = pad_atlas_axis(stack, len(jax.devices()))
             return shard_over_atlases(stack, mesh)
         return stack
 
