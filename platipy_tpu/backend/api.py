@@ -1,15 +1,19 @@
 """REST API — stdlib HTTP server
 (reference: platipy/backend/api.py:44-595, Flask-RESTful there).
 
-Endpoints (same paths and payload shapes as the reference):
-  GET  /api/status/<task_id>
-  POST /api/trigger                 {dataset, config?}
-  GET  /api/algorithm
-  GET/POST /api/dataset[/<id>], GET /api/datasets
-  GET  /api/dataset/ready/<id>
-  GET/POST /api/dataobject[/<id>], GET /api/dataobjects
-  GET  /api/dataobject/download/<id>
-  GET/POST /api/dicomlocation
+The endpoint surface matches the reference: one ``Resource`` class per
+endpoint, registered on the same paths (reference api.py:582-595):
+
+  GET  /api/status/<task_id>                TaskStatus
+  POST /api/trigger                         TriggerEndpoint
+  GET  /api/algorithm                       AlgorithmEndpoint
+  GET  /api/datasets                        DatasetsEndpoint
+  GET/POST /api/dataset[/<id>]              DatasetEndpoint
+  GET  /api/dataset/ready/<id>              DatasetReadyEndpoint
+  GET  /api/dataobjects                     DataObjectsEndpoint
+  GET/POST/DELETE /api/dataobject[/<id>]    DataObjectEndpoint
+  GET  /api/dataobject/download/<id>        DataObjectDownloadEndpoint
+  GET/POST /api/dicomlocation               DicomLocationEndpoint
 
 Auth: the ``API_KEY`` request header, checked against the api_key table
 (reference api.py:44-57).
@@ -20,17 +24,294 @@ from __future__ import annotations
 import json
 import logging
 import re
+from functools import wraps
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import parse_qs, urlparse
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["serve", "make_server"]
+__all__ = [
+    "CustomConfig",
+    "authenticate",
+    "Resource",
+    "TaskStatus",
+    "TriggerEndpoint",
+    "AlgorithmEndpoint",
+    "DatasetsEndpoint",
+    "DatasetEndpoint",
+    "DatasetReadyEndpoint",
+    "DataObjectsEndpoint",
+    "DataObjectEndpoint",
+    "DataObjectDownloadEndpoint",
+    "DicomLocationEndpoint",
+    "API_RESOURCES",
+    "serve",
+    "make_server",
+]
 
 
 def _json_bytes(payload) -> bytes:
     return json.dumps(payload, default=str).encode("utf-8")
+
+
+class CustomConfig:
+    """Per-request algorithm settings holder (reference api.py:40-42)."""
+
+    def __init__(self, name=None, config=None):
+        self.name = name
+        self.config = config
+
+
+def authenticate(func):
+    """Gate a resource method on a valid API_KEY header (reference api.py:44-57).
+
+    The wrapped method runs with ``self.api_key`` set; an invalid or missing
+    key returns 401 without invoking the method.
+    """
+
+    @wraps(func)
+    def wrapper(self, *args, **kwargs):
+        key = self.handler.headers.get("API_KEY") or self.handler.headers.get("Api-Key")
+        if not key or not self.app.database.check_api_key(key):
+            return 401, {"error": "invalid or missing API_KEY header"}
+        self.api_key = key
+        return func(self, *args, **kwargs)
+
+    return wrapper
+
+
+class Resource:
+    """Base endpoint: binds the service app + live request handler.
+
+    Methods return ``(status_code, payload)`` or ``(status_code, payload,
+    extra)`` where extra carries raw-content overrides.
+    """
+
+    def __init__(self, app, handler):
+        self.app = app
+        self.handler = handler
+        self.api_key = None
+
+    # -- request helpers ------------------------------------------------------
+    @property
+    def query(self):
+        return parse_qs(urlparse(self.handler.path).query)
+
+    def query_one(self, name, default=None):
+        return self.query.get(name, [default])[0]
+
+    def body(self):
+        return self.handler.body_json()
+
+
+class TaskStatus(Resource):
+    """GET /api/status/<task_id> (reference api.py:63-100)."""
+
+    @authenticate
+    def get(self, task_id):
+        status = self.app.task_runner.status(task_id)
+        if status is None:
+            return 404, {"error": "unknown task"}
+        return 200, status
+
+
+class AlgorithmEndpoint(Resource):
+    """GET /api/algorithm (reference api.py:508-515)."""
+
+    @authenticate
+    def get(self):
+        return 200, [
+            {"name": a.name, "default_settings": a.default_settings}
+            for a in self.app.algorithms.values()
+        ]
+
+
+class TriggerEndpoint(Resource):
+    """POST /api/trigger {algorithm, dataset, config?} (reference api.py:517-580)."""
+
+    @authenticate
+    def post(self):
+        body = self.body()
+        algorithm_name = body.get("algorithm")
+        dataset_id = body.get("dataset")
+        config = body.get("config")
+        if isinstance(config, str):
+            config = json.loads(config)
+        algorithm = self.app.algorithms.get(algorithm_name)
+        if algorithm is None and len(self.app.algorithms) == 1:
+            algorithm = list(self.app.algorithms.values())[0]
+        if algorithm is None:
+            return 404, {"error": f"unknown algorithm {algorithm_name}"}
+        task_id = self.app.task_runner.submit_run(algorithm, dataset_id, config)
+        return 200, {"poll": f"/api/status/{task_id}", "task_id": task_id}
+
+
+class DatasetsEndpoint(Resource):
+    """GET /api/datasets (reference api.py:419-427)."""
+
+    @authenticate
+    def get(self):
+        return 200, self.app.database.list_datasets(self.api_key)
+
+
+class DatasetEndpoint(Resource):
+    """GET /api/dataset/<id>, POST /api/dataset (reference api.py:429-483)."""
+
+    @authenticate
+    def get(self, dataset_id):
+        ds = self.app.database.get_dataset(dataset_id)
+        if ds is None:
+            return 404, {"error": "unknown dataset"}
+        return 200, ds
+
+    @authenticate
+    def post(self):
+        body = self.body()
+        ds = self.app.database.add_dataset(
+            self.api_key,
+            from_dicom_location_id=body.get("from_dicom_location"),
+            to_dicom_location_id=body.get("to_dicom_location"),
+            timeout=body.get("timeout"),
+        )
+        return 200, ds
+
+
+class DatasetReadyEndpoint(Resource):
+    """GET /api/dataset/ready/<id> (reference api.py:485-506)."""
+
+    @authenticate
+    def get(self, dataset_id):
+        ds = self.app.database.get_dataset(dataset_id)
+        if ds is None:
+            return 404, {"error": "unknown dataset"}
+        ready = all(o["is_fetched"] for o in ds["input_data_objects"])
+        return 200, {"ready": ready}
+
+
+class DataObjectsEndpoint(Resource):
+    """GET /api/dataobjects?dataset=<id> (reference api.py:154-162)."""
+
+    @authenticate
+    def get(self):
+        dataset = self.query_one("dataset")
+        if not dataset:
+            return 400, {"error": "dataset query parameter required"}
+        return 200, self.app.database.get_data_objects(dataset)
+
+
+class DataObjectEndpoint(Resource):
+    """GET/DELETE /api/dataobject/<id>, POST /api/dataobject
+    (reference api.py:164-388)."""
+
+    @authenticate
+    def get(self, dataobject_id):
+        obj = self.app.database.get_data_object(dataobject_id)
+        if obj is None:
+            return 404, {"error": "unknown data object"}
+        return 200, obj
+
+    @authenticate
+    def post(self):
+        body = self.body()
+        dataset_id = body.get("dataset")
+        meta = body.get("meta_data")
+        if isinstance(meta, str):
+            meta = json.loads(meta)
+        series_uid = body.get("seriesUID") or body.get("series_instance_uid")
+        file_field = body.get("file_data")
+        file_name = body.get("file_name")
+        path_out = None
+        fetched = False
+        if isinstance(file_field, dict):
+            data_dir = Path(self.app.data_directory) / (dataset_id or "uploads")
+            data_dir.mkdir(parents=True, exist_ok=True)
+            fname = file_name or file_field["filename"] or "upload.bin"
+            path_out = str(data_dir / fname)
+            Path(path_out).write_bytes(file_field["content"])
+            fetched = True
+        obj = self.app.database.add_data_object(
+            dataset_id,
+            is_input=not body.get("is_output", False),
+            parent_id=body.get("parent"),
+            obj_type=body.get("type", "FILE"),
+            path=path_out,
+            series_instance_uid=series_uid,
+            meta_data=meta,
+            is_fetched=fetched,
+        )
+        return 200, obj
+
+    @authenticate
+    def delete(self, dataobject_id):
+        obj = self.app.database.get_data_object(dataobject_id)
+        if obj is None:
+            return 404, {"error": "unknown data object"}
+        self.app.database._execute(
+            "DELETE FROM data_object WHERE id=?", (dataobject_id,)
+        )
+        return 200, {"deleted": dataobject_id}
+
+
+class DataObjectDownloadEndpoint(Resource):
+    """GET /api/dataobject/download/<id> (reference api.py:390-417)."""
+
+    @authenticate
+    def get(self, dataobject_id):
+        obj = self.app.database.get_data_object(dataobject_id)
+        if obj is None or not obj["path"] or not Path(obj["path"]).exists():
+            return 404, {"error": "object or file not found"}
+        content = Path(obj["path"]).read_bytes()
+        return 200, None, {
+            "raw": content,
+            "content_type": "application/octet-stream",
+            "headers": {
+                "Content-Disposition":
+                    f"attachment; filename={Path(obj['path']).name}"
+            },
+        }
+
+
+class DicomLocationEndpoint(Resource):
+    """GET/POST /api/dicomlocation (reference api.py:101-152)."""
+
+    @authenticate
+    def get(self):
+        name = self.query_one("name")
+        if not name:
+            return 400, {"error": "name query parameter required"}
+        loc = self.app.database.get_dicom_location(self.api_key, name)
+        if loc is None:
+            return 404, {"error": "not found"}
+        return 200, loc
+
+    @authenticate
+    def post(self):
+        body = self.body()
+        loc = self.app.database.add_dicom_location(
+            self.api_key, body.get("name"), body.get("host"),
+            int(body.get("port", 104)), body.get("ae_title"),
+        )
+        return 200, loc
+
+
+# route table mirroring the reference's api.add_resource calls (api.py:582-595);
+# order matters: more specific paths first
+API_RESOURCES = [
+    (r"/api/status/(?P<task_id>[0-9a-f]+)", TaskStatus),
+    (r"/api/trigger", TriggerEndpoint),
+    (r"/api/algorithm", AlgorithmEndpoint),
+    (r"/api/datasets", DatasetsEndpoint),
+    (r"/api/dataset/ready/(?P<dataset_id>[0-9a-f]+)", DatasetReadyEndpoint),
+    (r"/api/dataset/(?P<dataset_id>[0-9a-f]+)", DatasetEndpoint),
+    (r"/api/dataset", DatasetEndpoint),
+    (r"/api/dataobjects", DataObjectsEndpoint),
+    (r"/api/dataobject/download/(?P<dataobject_id>[0-9a-f]+)",
+     DataObjectDownloadEndpoint),
+    (r"/api/dataobject/(?P<dataobject_id>[0-9a-f]+)", DataObjectEndpoint),
+    (r"/api/dataobject", DataObjectEndpoint),
+    (r"/api/dicomlocation", DicomLocationEndpoint),
+]
 
 
 class ApiHandler(BaseHTTPRequestHandler):
@@ -52,14 +333,7 @@ class ApiHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _auth(self):
-        key = self.headers.get("API_KEY") or self.headers.get("Api-Key")
-        if key and self.app.database.check_api_key(key):
-            return key
-        self._send(401, {"error": "invalid or missing API_KEY header"})
-        return None
-
-    def _body_json(self):
+    def body_json(self):
         length = int(self.headers.get("Content-Length", 0) or 0)
         if length == 0:
             return {}
@@ -101,156 +375,42 @@ class ApiHandler(BaseHTTPRequestHandler):
         return fields
 
     # -- routing ------------------------------------------------------------------
-    def do_GET(self):
+    def _dispatch(self, method):
         path = urlparse(self.path).path.rstrip("/")
-        if path in ("", "/"):
+        if method == "get" and path in ("", "/"):
             from platipy_tpu.backend.views import render_status_page
 
             page = render_status_page(self.app).encode("utf-8")
             return self._send(200, raw=page, content_type="text/html")
 
-        key = self._auth()
-        if key is None:
-            return
-
-        m = re.fullmatch(r"/api/status/([0-9a-f]+)", path)
-        if m:
-            status = self.app.task_runner.status(m.group(1))
-            if status is None:
-                return self._send(404, {"error": "unknown task"})
-            return self._send(200, status)
-
-        if path == "/api/algorithm":
-            return self._send(200, [
-                {"name": a.name, "default_settings": a.default_settings}
-                for a in self.app.algorithms.values()
-            ])
-
-        if path == "/api/datasets":
-            return self._send(200, self.app.database.list_datasets(key))
-
-        m = re.fullmatch(r"/api/dataset/ready/([0-9a-f]+)", path)
-        if m:
-            ds = self.app.database.get_dataset(m.group(1))
-            if ds is None:
-                return self._send(404, {"error": "unknown dataset"})
-            ready = all(o["is_fetched"] for o in ds["input_data_objects"])
-            return self._send(200, {"ready": ready})
-
-        m = re.fullmatch(r"/api/dataset/([0-9a-f]+)", path)
-        if m:
-            ds = self.app.database.get_dataset(m.group(1))
-            if ds is None:
-                return self._send(404, {"error": "unknown dataset"})
-            return self._send(200, ds)
-
-        if path == "/api/dataobjects":
-            qs = parse_qs(urlparse(self.path).query)
-            dataset = qs.get("dataset", [None])[0]
-            if dataset:
-                return self._send(200, self.app.database.get_data_objects(dataset))
-            return self._send(400, {"error": "dataset query parameter required"})
-
-        m = re.fullmatch(r"/api/dataobject/download/([0-9a-f]+)", path)
-        if m:
-            obj = self.app.database.get_data_object(m.group(1))
-            if obj is None or not obj["path"] or not Path(obj["path"]).exists():
-                return self._send(404, {"error": "object or file not found"})
-            content = Path(obj["path"]).read_bytes()
+        for pattern, resource_cls in API_RESOURCES:
+            m = re.fullmatch(pattern, path)
+            if not m:
+                continue
+            handler_fn = getattr(resource_cls, method, None)
+            if handler_fn is None:
+                continue
+            resource = resource_cls(self.app, self)
+            result = handler_fn(resource, **m.groupdict())
+            if len(result) == 2:
+                code, payload = result
+                return self._send(code, payload)
+            code, payload, extra = result
             return self._send(
-                200, raw=content, content_type="application/octet-stream",
-                extra_headers={
-                    "Content-Disposition": f"attachment; filename={Path(obj['path']).name}"
-                },
+                code, payload, raw=extra.get("raw"),
+                content_type=extra.get("content_type", "application/json"),
+                extra_headers=extra.get("headers"),
             )
-
-        m = re.fullmatch(r"/api/dataobject/([0-9a-f]+)", path)
-        if m:
-            obj = self.app.database.get_data_object(m.group(1))
-            if obj is None:
-                return self._send(404, {"error": "unknown data object"})
-            return self._send(200, obj)
-
-        if path == "/api/dicomlocation":
-            qs = parse_qs(urlparse(self.path).query)
-            name = qs.get("name", [None])[0]
-            if name:
-                loc = self.app.database.get_dicom_location(key, name)
-                return self._send(200 if loc else 404, loc or {"error": "not found"})
-            return self._send(400, {"error": "name query parameter required"})
-
         return self._send(404, {"error": f"unknown endpoint {path}"})
+
+    def do_GET(self):
+        self._dispatch("get")
 
     def do_POST(self):
-        key = self._auth()
-        if key is None:
-            return
-        path = urlparse(self.path).path.rstrip("/")
-        body = self._body_json()
+        self._dispatch("post")
 
-        if path == "/api/trigger":
-            algorithm_name = body.get("algorithm")
-            dataset_id = body.get("dataset")
-            config = body.get("config")
-            if isinstance(config, str):
-                config = json.loads(config)
-            algorithm = self.app.algorithms.get(algorithm_name)
-            if algorithm is None and len(self.app.algorithms) == 1:
-                algorithm = list(self.app.algorithms.values())[0]
-            if algorithm is None:
-                return self._send(404, {"error": f"unknown algorithm {algorithm_name}"})
-            task_id = self.app.task_runner.submit_run(algorithm, dataset_id, config)
-            return self._send(
-                200, {"poll": f"/api/status/{task_id}", "task_id": task_id}
-            )
-
-        if path == "/api/dataset":
-            ds = self.app.database.add_dataset(
-                key,
-                from_dicom_location_id=body.get("from_dicom_location"),
-                to_dicom_location_id=body.get("to_dicom_location"),
-                timeout=body.get("timeout"),
-            )
-            return self._send(200, ds)
-
-        if path == "/api/dataobject":
-            dataset_id = body.get("dataset")
-            obj_type = body.get("type", "FILE")
-            meta = body.get("meta_data")
-            if isinstance(meta, str):
-                meta = json.loads(meta)
-            series_uid = body.get("seriesUID") or body.get("series_instance_uid")
-            file_field = body.get("file_data")
-            file_name = body.get("file_name")
-            path_out = None
-            fetched = False
-            if isinstance(file_field, dict):
-                data_dir = Path(self.app.data_directory) / (dataset_id or "uploads")
-                data_dir.mkdir(parents=True, exist_ok=True)
-                fname = file_name or file_field["filename"] or "upload.bin"
-                path_out = str(data_dir / fname)
-                Path(path_out).write_bytes(file_field["content"])
-                fetched = True
-            obj = self.app.database.add_data_object(
-                dataset_id,
-                is_input=not body.get("is_output", False),
-                parent_id=body.get("parent"),
-                obj_type=obj_type,
-                path=path_out,
-                series_instance_uid=series_uid,
-                meta_data=meta,
-                is_fetched=fetched,
-            )
-            return self._send(200, obj)
-
-        if path == "/api/dicomlocation":
-            loc = self.app.database.add_dicom_location(
-                key, body.get("name"), body.get("host"),
-                int(body.get("port", 104)), body.get("ae_title"),
-            )
-            return self._send(200, loc)
-
-        return self._send(404, {"error": f"unknown endpoint {path}"})
+    def do_DELETE(self):
+        self._dispatch("delete")
 
 
 def make_server(app, host="0.0.0.0", port=8000) -> ThreadingHTTPServer:

@@ -14,7 +14,80 @@ import uuid
 from datetime import datetime
 from typing import Dict, List, Optional
 
-__all__ = ["Database"]
+__all__ = [
+    "Database",
+    "AlchemyEncoder",
+    "default_timeout",
+    "APIKey",
+    "DicomLocation",
+    "Dataset",
+    "DataObject",
+]
+
+
+def default_timeout() -> datetime:
+    """Default dataset timeout: 24 hours from now (reference models.py:73-76)."""
+    from datetime import timedelta
+
+    return datetime.now() + timedelta(hours=24)
+
+
+class _Record:
+    """Attribute view over a row dict — the reference exposes SQLAlchemy model
+    instances (models.py:78-170); these wrap the same fields over sqlite rows."""
+
+    _fields: tuple = ()
+
+    def __init__(self, row: Optional[Dict] = None, **kwargs):
+        data = dict(row or {})
+        data.update(kwargs)
+        for field in self._fields:
+            setattr(self, field, data.get(field))
+
+    def to_dict(self) -> Dict:
+        return {f: getattr(self, f) for f in self._fields}
+
+    def __repr__(self):
+        inner = ", ".join(f"{f}={getattr(self, f)!r}" for f in self._fields)
+        return f"{type(self).__name__}({inner})"
+
+
+class APIKey(_Record):
+    _fields = ("key", "name", "is_admin")
+
+
+class DicomLocation(_Record):
+    _fields = ("id", "owner_key", "name", "host", "port", "ae_title")
+
+
+class Dataset(_Record):
+    _fields = ("id", "owner_key", "from_dicom_location_id", "to_dicom_location_id",
+               "timeout", "created", "input_data_objects", "output_data_objects")
+
+
+class DataObject(_Record):
+    _fields = ("id", "dataset_id", "is_input", "parent_id", "type", "path",
+               "series_instance_uid", "meta_data", "is_fetched", "is_sent",
+               "status")
+
+    @property
+    def parent(self):
+        return self.parent_id
+
+
+class AlchemyEncoder(json.JSONEncoder):
+    """JSON encoder for model records and datetimes (reference models.py:30-56,
+    which serialises SQLAlchemy instances; here the records above)."""
+
+    def default(self, o):
+        if isinstance(o, _Record):
+            return o.to_dict()
+        if isinstance(o, datetime):
+            return o.isoformat()
+        try:
+            return super().default(o)
+        except TypeError:
+            return str(o)
 
 _SCHEMA = """
 CREATE TABLE IF NOT EXISTS api_key (

@@ -21,7 +21,124 @@ from typing import Dict, Optional
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["TaskRunner"]
+__all__ = [
+    "TaskRunner",
+    "run_task",
+    "retrieve_task",
+    "move_task",
+    "clean_up_task",
+    "run_dicom_listener",
+]
+
+
+def run_dicom_listener(app=None):
+    """Start the service's embedded DICOM listener (reference tasks.py:43-45)."""
+    if app is None:
+        from platipy_tpu.backend.application import app as _app
+
+        app = _app
+    app.run_dicom_listener()
+
+
+def clean_up_task(app=None):
+    """Delete the files of data objects belonging to expired datasets
+    (reference tasks.py:48-93).  Returns the number of objects removed."""
+    import os
+    import shutil
+
+    if app is None:
+        from platipy_tpu.backend.application import app as _app
+
+        app = _app
+    database = app.database
+    removed = 0
+    now = datetime.now()
+    rows = database._conn.execute("SELECT id, timeout FROM dataset").fetchall()
+    for row in rows:
+        timeout = row["timeout"]
+        if not timeout or datetime.fromisoformat(str(timeout)) >= now:
+            continue
+        for obj in database.get_data_objects(row["id"]):
+            path = obj.get("path")
+            if not path:
+                continue
+            try:
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                elif os.path.isfile(path):
+                    os.remove(path)
+                removed += 1
+                database.update_data_object(obj["id"], path=None, is_fetched=0)
+            except Exception:
+                logger.warning("Could not remove data object %s", obj["id"])
+    logger.info("Clean Up Task Complete: Removed %s DataObjects", removed)
+    return removed
+
+
+def retrieve_task(data_object_id, app=None):
+    """C-GET a data object's series from its dataset's from-DICOM-location
+    (reference tasks.py:96-124)."""
+    from platipy_tpu.dicom.communication.connector import DicomConnector
+
+    if app is None:
+        from platipy_tpu.backend.application import app as _app
+
+        app = _app
+    database = app.database
+    obj = database.get_data_object(data_object_id)
+    dataset = database.get_dataset(obj["dataset_id"])
+    location = database.get_dicom_location_by_id(dataset["from_dicom_location_id"])
+    connector = DicomConnector(
+        host=location["host"], port=location["port"], ae_title=location["ae_title"]
+    )
+    if not connector.verify():
+        logger.error("Unable to connect to DICOM location: %s", location)
+        return None
+    dicom_path = connector.download_series(obj["series_instance_uid"])
+    database.update_data_object(data_object_id, is_fetched=1, path=dicom_path)
+    return dicom_path
+
+
+def move_task(endpoint, seriesUIDs, host, port, ae_title, progress=None):
+    """Trigger a DICOM C-MOVE for each series UID (reference tasks.py:127-173).
+
+    ``progress`` is an optional callback(meta_dict) standing in for Celery's
+    ``task.update_state``.
+    """
+    from platipy_tpu.dicom.communication.connector import DicomConnector
+
+    notify = progress or (lambda meta: None)
+    total = len(seriesUIDs)
+    connector = DicomConnector(host=host, port=port, ae_title=ae_title)
+    notify({"current": 0, "total": total, "status": "Verifying dicom location"})
+    if not connector.verify():
+        return {"current": 100, "total": 100,
+                "status": "Unable to connect to dicom location"}
+    for count, suid in enumerate(seriesUIDs):
+        notify({"current": count, "total": total,
+                "status": f"Moving series for UID: {suid}"})
+        connector.move_series(suid)
+    notify({"current": total, "total": total, "status": "Move Complete"})
+    return {"current": total, "total": total, "status": "Move Complete"}
+
+
+def run_task(algorithm_name, config, dataset_id, app=None):
+    """Synchronous equivalent of the reference's Celery run_task
+    (tasks.py:176-263): run the named algorithm on a dataset and block until
+    the task reaches a terminal state; returns the final status dict."""
+    import time
+
+    if app is None:
+        from platipy_tpu.backend.application import app as _app
+
+        app = _app
+    algorithm = app.algorithms[algorithm_name]
+    task_id = app.task_runner.submit_run(algorithm, dataset_id, config)
+    while True:
+        status = app.task_runner.status(task_id)
+        if status and status.get("state") in ("COMPLETE", "FAILURE"):
+            return status
+        time.sleep(0.2)
 
 
 class TaskRunner:

@@ -17,13 +17,44 @@ from platipy_tpu.core.image import Image
 from platipy_tpu.dicom.io.dataset import read_file
 from platipy_tpu.dicom.io.series import read_dicom_series
 
-__all__ = ["read_dicom_struct_file", "transform_point_set_from_dicom_struct",
-           "convert_rtstruct"]
+__all__ = ["read_dicom_image", "read_dicom_struct_file", "fix_missing_data",
+           "transform_point_set_from_dicom_struct", "convert_rtstruct"]
+
+
+def read_dicom_image(dicom_path):
+    """Read a DICOM image (series directory or file list) into an ``Image``
+    (reference rtstruct_to_nifti.py:28-41)."""
+    return read_dicom_series(dicom_path)
 
 
 def read_dicom_struct_file(filename):
     """Read an RTSTRUCT dataset."""
     return read_file(str(filename))
+
+
+def fix_missing_data(contour_data):
+    """Repair a single missing ('') coordinate in a contour triplet stream by
+    linear interpolation of its axis neighbours; a missing z takes the minimum
+    slice value (reference rtstruct_to_nifti.py:54-102 / crawl.py:202-252)."""
+    data = np.array(contour_data, dtype=object)
+    missing = np.where(data == "")[0]
+    if missing.shape[0] == 0:
+        return np.asarray(data, dtype=np.float64)
+    if missing.shape[0] > 1:
+        raise ValueError("more than one missing contour value cannot be repaired")
+    index = int(missing[0])
+    axis = index % 3
+    n = len(data)
+    if axis in (0, 1):
+        # interpolate between the same coordinate of the neighbouring points,
+        # wrapping around the closed contour at either end
+        lower = data[(index - 3) % n]
+        upper = data[(index + 3) % n]
+        data[index] = 0.5 * (float(lower) + float(upper))
+    else:
+        slice_vals = [float(v) for v in data[2::3] if v != ""]
+        data[index] = min(slice_vals)
+    return np.asarray(data, dtype=np.float64)
 
 
 def _polygon_mask_2d(points_yx: np.ndarray, shape) -> np.ndarray:

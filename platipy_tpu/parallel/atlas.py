@@ -42,6 +42,26 @@ __all__ = [
 # mesh helpers
 # ---------------------------------------------------------------------------
 
+def sharding_enabled() -> bool:
+    """Whether the heavy pipelines should shard the atlas axis over devices.
+
+    True on real accelerator platforms (TPU — the deployment target — or
+    anything that is not the host CPU backend).  On the CPU backend the
+    "devices" are host threads (--xla_force_host_platform_device_count) and
+    XLA's in-process collectives can cross-match rendezvous participants when
+    several heavy sharded programs are in flight on an oversubscribed core —
+    observed as an AwaitAndLogIfStuck SIGABRT / futex deadlock in CI.  Small
+    single-program shard tests (tests/test_spatial.py, __graft_entry__'s
+    dryrun) stay safe and keep the multi-chip path covered; set
+    ``PLATIPY_TPU_SHARD_ON_CPU=1`` to force pipeline sharding on CPU.
+    """
+    import os
+
+    if os.environ.get("PLATIPY_TPU_SHARD_ON_CPU") == "1":
+        return True
+    return jax.default_backend() != "cpu"
+
+
 def atlas_mesh(n_devices: Optional[int] = None):
     """1-D device mesh over an 'atlas' axis (data parallelism over atlases)."""
     devices = jax.devices()

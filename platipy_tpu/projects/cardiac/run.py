@@ -534,7 +534,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         atlas_set[atlas_id]["Original"] = None
 
     spacing = img_crop.spacing
-    mesh = atlas_mesh() if len(jax.devices()) > 1 else None
+    from platipy_tpu.parallel.atlas import sharding_enabled
+
+    mesh = atlas_mesh() if (len(jax.devices()) > 1 and sharding_enabled()) else None
 
     def _maybe_shard(stack):
         # pad the atlas axis to a device-count multiple (fusion and IAR

@@ -283,9 +283,11 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
 
     # shard the atlas axis over the mesh, padding to a multiple of the
     # device count (padded lanes are zero-weighted at fusion)
+    from platipy_tpu.parallel.atlas import sharding_enabled
+
     n_dev = len(jax.devices())
     n_valid = moving_stack.shape[0]
-    if n_dev > 1:
+    if n_dev > 1 and sharding_enabled():
         mesh = atlas_mesh()
         moving_stack, n_valid = pad_atlas_axis(moving_stack, n_dev)
         moving_stack = shard_over_atlases(moving_stack, mesh)

@@ -10,9 +10,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in _flags:
+    # 8 virtual devices time-slice this box's CPU cores, so a device can reach
+    # a collective well after the first arrival and trip the in-process
+    # watchdog (xla::internal::AwaitAndLogIfStuck -> SIGABRT).  Heavy
+    # pipelines no longer shard on the CPU backend (parallel/atlas.py
+    # sharding_enabled), so only small dedicated shard tests rendezvous here;
+    # give them generous-but-bounded timeouts.
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

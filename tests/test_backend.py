@@ -111,6 +111,96 @@ def test_backend_failure_state(service, tmp_path):
     assert final["state"] == "FAILURE"
     assert "intentional failure" in final["error"]
 
+def test_backend_reference_parity_surface(service, tmp_path):
+    """Reference backend symbols exist and function: model record classes +
+    AlchemyEncoder (models.py:30-170), task functions (tasks.py:43-263),
+    view functions (views.py:26-112), manage helpers (manage.py:26-45),
+    endpoint Resource classes on the reference's paths (api.py:582-595)."""
+    import json
+
+    from platipy_tpu.backend import api as api_mod
+    from platipy_tpu.backend.manage import add_api_key, create_db
+    from platipy_tpu.backend.models import (
+        AlchemyEncoder, APIKey, DataObject, Dataset, DicomLocation,
+        default_timeout,
+    )
+    from platipy_tpu.backend.tasks import (
+        clean_up_task, move_task, retrieve_task, run_task,
+    )
+    from platipy_tpu.backend.views import (
+        add_endpoint, dashboard, fetch_log, fetch_status, view_endpoint,
+    )
+
+    app, api_key, port = service
+
+    # model records wrap row dicts and serialise via AlchemyEncoder
+    ds_row = app.database.add_dataset(api_key)
+    ds = Dataset(ds_row)
+    assert ds.owner_key == api_key
+    obj = DataObject(app.database.add_data_object(ds.id))
+    assert obj.dataset_id == ds.id and obj.parent is None
+    key_rec = APIKey(name="x", key="y")
+    loc = DicomLocation(name="pacs", host="h", port=104)
+    blob = json.loads(json.dumps(
+        {"ds": ds, "obj": obj, "key": key_rec, "loc": loc,
+         "timeout": default_timeout()},
+        cls=AlchemyEncoder,
+    ))
+    assert blob["ds"]["id"] == ds.id and blob["loc"]["port"] == 104
+
+    # endpoint classes cover the reference's route table
+    names = {cls.__name__ for _, cls in api_mod.API_RESOURCES}
+    assert {"TaskStatus", "TriggerEndpoint", "AlgorithmEndpoint",
+            "DatasetsEndpoint", "DatasetEndpoint", "DatasetReadyEndpoint",
+            "DataObjectsEndpoint", "DataObjectEndpoint",
+            "DataObjectDownloadEndpoint", "DicomLocationEndpoint"} <= names
+    assert callable(api_mod.authenticate) and api_mod.CustomConfig("n").name == "n"
+
+    # synchronous run_task drives a registered algorithm to a terminal state
+    status = run_task("Test Threshold", None, ds.id, app=app)
+    assert status["state"] in ("COMPLETE", "FAILURE")
+
+    # clean-up removes files of expired datasets
+    victim = tmp_path / "expired.bin"
+    victim.write_bytes(b"x")
+    expired = app.database.add_dataset(api_key, timeout="2000-01-01T00:00:00")
+    app.database.add_data_object(expired["id"], path=str(victim), is_fetched=True)
+    assert clean_up_task(app) >= 1
+    assert not victim.exists()
+
+    # move/retrieve fail cleanly against an unreachable PACS
+    result = move_task("ep", ["1.2.3"], "127.0.0.1", 1, "NOPE")
+    assert "Unable to connect" in result["status"]
+    bad_loc = app.database.add_dicom_location(api_key, "down", "127.0.0.1", 1)
+    ds2 = app.database.add_dataset(api_key, from_dicom_location_id=bad_loc["id"])
+    orphan = app.database.add_data_object(ds2["id"], series_instance_uid="1.2.3")
+    assert retrieve_task(orphan["id"], app=app) is None
+
+    # views
+    ctx = fetch_status(app)
+    assert ctx["worker"] and ctx["algorithms"]
+    assert "log" in fetch_log(str(tmp_path / "missing.log"))
+    assert "<html" in dashboard(app).lower()
+    assert "Test Threshold" in add_endpoint(app)["algorithms"]
+    assert view_endpoint(app, "Test Threshold")["name"] == "Test Threshold"
+
+    # manage helpers
+    db_path = tmp_path / "manage.db"
+    create_db(str(db_path))
+    new_key = add_api_key("ci", database=str(db_path))
+    assert len(new_key) == 32
+
+    # DELETE /api/dataobject/<id>
+    import requests
+
+    res = requests.delete(
+        f"http://127.0.0.1:{port}/api/dataobject/{obj.id}",
+        headers={"API_KEY": api_key},
+    )
+    assert res.status_code == 200
+    assert app.database.get_data_object(obj.id) is None
+
+
 def test_dirqa_service_qa_metrics(tmp_path):
     """DIR QA service end-to-end: demons DVF + jacobian/inverse-consistency
     stats (reference delegates to plastimatch SIFT, services/dirqa:65)."""
@@ -172,3 +262,81 @@ def test_mri_dixon_fraction_maps(tmp_path):
     wf = np.asarray(read_image(out[1]["path"]).array)
     assert ff[2, 3, 3] == 30.0 and wf[2, 3, 3] == 70.0
     assert ff[0, 0, 0] == 0.0 and wf[0, 0, 0] == 0.0  # guarded division
+
+
+def _spawn_service(tmp_path, fail=False):
+    """Start an in-process service app on a free port; returns (app, key, port, server)."""
+    import threading
+
+    from platipy_tpu.backend.api import make_server
+    from platipy_tpu.backend.application import ServiceApp
+
+    app = ServiceApp(database_path=":memory:", max_workers=1)
+    app.data_directory = str(tmp_path / "data")
+
+    @app.register("Fleet Threshold", default_settings={"threshold": 0.5})
+    def threshold_service(data_objects, working_dir, settings):
+        import os
+
+        if fail:
+            raise RuntimeError("worker is broken")
+        out = []
+        for obj in data_objects:
+            img = read_image(obj["path"])
+            mask = img.with_array(
+                (np.asarray(img.array) > settings["threshold"]).astype(np.uint8))
+            out_path = os.path.join(working_dir, "Mask.nii.gz")
+            write_image(mask, out_path)
+            out.append({"path": out_path, "parent_id": obj["id"]})
+        return out
+
+    api_key = app.database.add_api_key("fleet")
+    server = make_server(app, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return app, api_key, port, server
+
+
+def test_cluster_worker_pool_dispatch_and_retry(tmp_path):
+    """Multi-host DCN layer (SURVEY §2.10): the WorkerPool dispatches cases
+    over a fleet via REST, load-balances through a shared queue, and retries
+    cases from a failing host on a healthy one."""
+    from platipy_tpu.parallel.cluster import CaseResult, Worker, WorkerPool
+
+    good_app, good_key, good_port, s1 = _spawn_service(tmp_path / "good")
+    bad_app, bad_key, bad_port, s2 = _spawn_service(tmp_path / "bad", fail=True)
+
+    rng = np.random.RandomState(0)
+    cases = []
+    for i in range(4):
+        img = from_array(rng.rand(4, 8, 8).astype(np.float32))
+        path = tmp_path / f"case_{i}.nii.gz"
+        write_image(img, str(path))
+        cases.append(str(path))
+
+    pool = WorkerPool(
+        [Worker("127.0.0.1", good_port, good_key),
+         Worker("127.0.0.1", bad_port, bad_key)],
+        algorithm="Fleet Threshold", max_attempts=2, poll_interval=0.05,
+    )
+    assert len(pool.healthy_workers()) == 2  # both answer the REST ping
+
+    results = pool.map(cases, working_dir=str(tmp_path / "out"))
+    assert all(r.state == "COMPLETE" for r in results.values()), {
+        c: (r.state, r.error) for c, r in results.items()}
+    for r in results.values():
+        assert len(r.outputs) == 1 and Path(r.outputs[0]).exists()
+    # the failing host burned attempts but every case landed on the good one
+    done_counts = {f"127.0.0.1:{good_port}": 0}
+    for r in results.values():
+        assert r.worker == f"127.0.0.1:{good_port}"
+    assert pool.workers[0].cases_done == 4
+
+    # a fleet with no healthy workers fails cleanly
+    s1.shutdown()
+    s2.shutdown()
+    dead_pool = WorkerPool([Worker("127.0.0.1", 1, "nope")],
+                           algorithm="Fleet Threshold", max_attempts=1)
+    dead = dead_pool.map(cases[:1], working_dir=str(tmp_path / "out2"))
+    assert list(dead.values())[0].state == "FAILURE"
+    assert isinstance(list(dead.values())[0], CaseResult)

@@ -74,6 +74,55 @@ def test_crawler(ct_image, tmp_path):
     assert img.spatial_shape == ct_image.spatial_shape
 
 
+def test_crawl_helper_parity(ct_image, tmp_path):
+    """Reference crawl helper symbols (crawl.py:33-393, 719-833): flatten,
+    safe slice sort, file-list grouping, naming hints, nested output writer,
+    contour repair."""
+    import numpy as np
+
+    from platipy_tpu.dicom.io.crawl import (
+        fix_missing_data, flatten, get_dicom_info_from_description,
+        process_dicom_file_list, safe_sort_dicom_image_list,
+        write_output_data_to_disk,
+    )
+    from platipy_tpu.dicom.io.dataset import read_file
+    from platipy_tpu.dicom.io.rtstruct_to_nifti import read_dicom_image
+    from platipy_tpu.dicom.io.series import write_dicom_series
+
+    assert list(flatten([1, [2, [3, "ab"]], 4])) == [1, 2, 3, "ab", 4]
+
+    paths = write_dicom_series(ct_image, tmp_path / "series", patient_id="CrawlHelper")
+    shuffled = [paths[5], paths[0], paths[11], paths[3]]
+    ordered = safe_sort_dicom_image_list(shuffled)
+    zs = [float(read_file(f)[(0x0020, 0x0032)].value[2]) for f in ordered]
+    assert zs == sorted(zs)
+
+    grouped = process_dicom_file_list(paths)
+    assert len(grouped) == 1
+    series = list(grouped.values())[0]
+    assert len(series) == 1 and len(list(series.values())[0]) == 12
+
+    ds = read_file(paths[0])
+    assert get_dicom_info_from_description(ds) == ""  # CT: no extra info
+
+    img = read_dicom_image(str(tmp_path / "series"))
+    assert img.spatial_shape == (12, 32, 32)
+
+    written = write_output_data_to_disk(
+        {"parent_sorting_data": "CrawlHelper",
+         "images": {"CT_0": img, "pair": [img, img]}},
+        output_directory=str(tmp_path / "out"),
+    )
+    assert len(written["images"]) == 3
+    for f in written["images"]:
+        assert Path(f).exists()
+
+    repaired = fix_missing_data([0.0, 0.0, 5.0, "", 2.0, 5.0, 4.0, 2.0, 5.0])
+    assert repaired[3] == pytest.approx(2.0)  # mean of x-neighbours 0 and 4
+    repaired_z = fix_missing_data([0.0, 0.0, "", 1.0, 0.0, 7.0])
+    assert repaired_z[2] == pytest.approx(7.0)  # min of remaining z values
+
+
 def test_rtdose_conversion(ct_image, tmp_path):
     """Write a synthetic RTDOSE file and convert it."""
     import numpy as np
