@@ -157,3 +157,70 @@ def test_cardiac_geometric_outputs(cardiac_data):
     # valve sits between the chamber centres (z in [14, 26])
     zz = np.nonzero(varr)[0]
     assert 12 <= zz.mean() <= 28
+
+def test_hybrid_segmentation_e2e(cardiac_data):
+    """Full hybrid pipeline (reference cardiac/run.py:473-504): a 3-D U-Net
+    trained on the synthetic atlas cases produces the whole-heart guide
+    structure, which drives the structure-guided atlas segmentation."""
+    import jax.numpy as jnp
+
+    from platipy_tpu.core.resample import resample
+    from platipy_tpu.projects.cardiac.run import (
+        HYBRID_SETTINGS_DEFAULTS,
+        run_hybrid_segmentation,
+    )
+    from platipy_tpu.projects.nnunet.inference import preprocess_ct
+    from platipy_tpu.projects.nnunet.model import UNet3D
+    from platipy_tpu.projects.nnunet.train import fit
+
+    cases = list(cardiac_data.keys())
+    structures = ["WHOLEHEART"]
+    infer_case = cases[-1]
+    target_spacing = (2.0, 2.0, 2.5)
+
+    # train a tiny whole-heart U-Net on the atlas cases (same preprocessing
+    # the inference path applies)
+    train_cases = []
+    for c in cases[:-1]:
+        pre = preprocess_ct(cardiac_data[c]["CT"], target_spacing=target_spacing)
+        lab = resample(cardiac_data[c]["WHOLEHEART"], pre, None,
+                       interp="nearest", default_value=0)
+        train_cases.append((np.asarray(pre.array, dtype=np.float32),
+                            np.asarray(lab.array, dtype=np.int32)))
+
+    features = (8, 16, 32)
+    model = UNet3D(num_classes=2, features=features, deep_supervision=True)
+    params, losses = fit(model, train_cases, tile_shape=(16, 32, 32),
+                         batch_size=2, steps=60, base_lr=5e-3, log_every=0)
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+    with tempfile.TemporaryDirectory() as working_dir:
+        working_path = Path(working_dir)
+        _write_atlas(working_path, cardiac_data, structures)
+
+        settings = copy.deepcopy(HYBRID_SETTINGS_DEFAULTS)
+        settings["fetch_open_atlas"] = False
+        settings["cardiac_settings"] = _base_settings(working_path, cases, structures)
+        settings["cardiac_settings"]["structure_guided_registration_settings"][
+            "iteration_staging"] = [5, 5, 5]
+        settings["cardiac_settings"]["structure_guided_registration_settings"][
+            "resolution_staging"] = [6, 3, 1.5]
+        settings["nnunet_settings"] = {
+            "task": "TinyTestHeart",
+            "params": params,
+            "features": features,
+            "num_classes": 2,
+            "target_spacing": target_spacing,
+            "tile_shape": (16, 32, 32),
+        }
+
+        output, _ = run_hybrid_segmentation(
+            cardiac_data[infer_case]["CT"], settings=settings
+        )
+
+    assert "WHOLEHEART" in output
+    dsc = compute_metric_dsc(
+        cardiac_data[infer_case]["WHOLEHEART"], output["WHOLEHEART"]
+    )
+    logger.info("hybrid WH DSC %s", dsc)
+    assert dsc > 0.9
