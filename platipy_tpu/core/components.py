@@ -126,13 +126,27 @@ def relabel_components(labels, sort_by_size: bool = True, minimum_object_size: i
 def keep_largest_component(mask, connectivity: int = 26):
     """Binary mask of the largest connected component.
 
-    One host round trip: labels are fetched once and sizes come from a single
-    ``bincount`` (a per-label device comparison would pull the label volume
-    once per component — seconds over a remote-device tunnel).
+    One host round trip total: with the native C++ labeller the mask is
+    pulled once, labelled + reduced entirely in host memory, and the binary
+    result pushed once (the earlier device-hosted label volume cost two
+    extra full-volume transfers over a remote-device tunnel).
     """
-    lab = connected_components(mask, connectivity)
-    lab_arr = lab.array if isinstance(lab, Image) else lab
     m, img = _unwrap(mask)
+    from platipy_tpu import native
+
+    if native.available():
+        m_np = np.asarray(m)                       # pull (once)
+        labels = native.cc_label_3d(m_np, connectivity)
+        flat = labels.reshape(-1)
+        counts = np.bincount(flat[flat > 0]) if flat.any() else np.zeros(1, int)
+        if counts.size == 0 or counts.max() == 0:
+            out = np.zeros_like(labels, dtype=np.int32)
+        else:
+            out = (labels == int(counts.argmax())).astype(np.int32)
+        return _rewrap_int(jnp.asarray(out), img)  # push (once)
+
+    lab = connected_components(mask, connectivity, use_native=False)
+    lab_arr = lab.array if isinstance(lab, Image) else lab
     lab_np = np.asarray(lab_arr).reshape(-1)
     counts = np.bincount(lab_np[lab_np > 0]) if lab_np.any() else np.zeros(1, int)
     if counts.size == 0 or counts.max() == 0:

@@ -150,6 +150,17 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
     results = {}
     results_prob = {}
 
+    # opt-in stage profiling (PLATIPY_TPU_PROFILE=1): each lap fetches a
+    # scalar to force pending device work, so it removes the cross-stage
+    # dispatch overlap — use for attribution, not for headline timing
+    import os as _os
+
+    timer = None
+    if _os.environ.get("PLATIPY_TPU_PROFILE") == "1":
+        from platipy_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+
     atlas_settings = settings["atlas_settings"]
     atlas_structure_list = atlas_settings["atlas_structure_list"]
     crop_atlas_to_structures = atlas_settings["crop_atlas_to_structures"]
@@ -219,6 +230,8 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
                                    "index": list(crop_box_index)})
     img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
     logger.info("Calculated crop box: %s %s", crop_box_index, crop_box_size)
+    if timer:
+        timer.lap("auto_crop", sync=img_crop)
 
     # --- steps 2-3 with optional checkpoint/resume --------------------------
     if ckpt.has("rir"):
@@ -274,6 +287,9 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
                 "moving_stack": np.asarray(moving_stack),
                 **{f"struct__{s}": np.asarray(v) for s, v in struct_stacks.items()},
             })
+
+    if timer:
+        timer.lap("linear_registration", sync=moving_stack)
 
     # --- step 3: batched demons DIR (reference :306-347, parallelised) -------
     deformable_settings = settings["deformable_registration_settings"]
@@ -342,6 +358,9 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             atlas_set[atlas_id]["DIR"][s] = img_crop.with_array(dir_structs[s][k])
         atlas_set[atlas_id]["RIR"] = None
 
+    if timer:
+        timer.lap("demons_dir", sync=dir_images)
+
     # --- step 4: weight maps + fusion (reference :352-364) -------------------
     vote_type = settings["label_fusion_settings"]["vote_type"]
     vote_params = settings["label_fusion_settings"]["vote_params"]
@@ -371,6 +390,9 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         arr = jnp.where(arr >= 1e-4, arr, 0.0)
         combined_label_dict[s] = img_crop.with_array(arr.astype(jnp.float32))
 
+    if timer:
+        timer.lap("fusion", sync=combined_label_dict[atlas_structure_list[-1]])
+
     # --- step 5: paste into original space (reference :366-404) --------------
     logger.info("Generating binary segmentations.")
     template_img_binary = img.with_array(jnp.zeros(img.spatial_shape, jnp.uint8))
@@ -391,6 +413,9 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             template_img_prob, probability_map,
             probability_map.size, (0, 0, 0), crop_box_index,
         )
+
+    if timer:
+        timer.lap("paste_threshold", sync=results[atlas_structure_list[-1]])
 
     # --- step 6: post-processing (reference :406-437) ------------------------
     postprocessing_settings = settings["postprocessing_settings"]
@@ -417,6 +442,10 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             output_overlap = correct_volume_overlap(input_overlap)
             for s in postprocessing_settings["structures_for_overlap_correction"]:
                 results[s] = output_overlap[s]
+
+    if timer:
+        timer.lap("postprocessing", sync=results[atlas_structure_list[-1]])
+        timer.report()
 
     logger.info("Done!")
     return results, results_prob

@@ -67,6 +67,8 @@ class StageTimer:
 
     def __init__(self):
         self.times: Dict[str, float] = {}
+        self._created = time.time()
+        self._last_lap: Optional[float] = None
 
     @contextlib.contextmanager
     def stage(self, name: str, sync=None):
@@ -79,6 +81,19 @@ class StageTimer:
             if target is not None:
                 _sync(target)
             self.times[name] = self.times.get(name, 0.0) + time.time() - t0
+
+    def lap(self, name: str, sync=None):
+        """Record the time since the previous lap (or construction) as
+        ``name``, synchronising on ``sync`` first.  Lets a pipeline insert
+        one-line stage marks without re-indenting blocks."""
+        if sync is not None:
+            _sync(sync)
+        now = time.time()
+        last = getattr(self, "_last_lap", None)
+        if last is None:
+            last = getattr(self, "_created", now)
+        self.times[name] = self.times.get(name, 0.0) + now - last
+        self._last_lap = now
 
     def report(self, log=True) -> Dict[str, float]:
         for name, secs in sorted(self.times.items(), key=lambda kv: -kv[1]):
