@@ -140,6 +140,10 @@ def _conv1d_mm_jit(arr: jnp.ndarray, *, kernel_key, axis: int, n: int,
 def _conv1d_jit(arr: jnp.ndarray, *, kernel_key, axis: int) -> jnp.ndarray:
     # shift-and-add: k fused multiply-adds on the VPU.  A C=1 conv would pad
     # the channel dimension to the MXU tile and waste ~100x the FLOPs.
+    # Integer inputs upcast to f32 (matching the matmul path) — casting the
+    # fractional weights to an int dtype would zero them.
+    if not jnp.issubdtype(arr.dtype, jnp.floating):
+        arr = arr.astype(jnp.float32)
     kernel = np.asarray(kernel_key, dtype=np.float64)
     k = kernel.size
     if k == 1:

@@ -303,8 +303,16 @@ _STATIC_TAP_LIMIT = 20
 
 
 def _lerp_shift_axis(vol: jnp.ndarray, offset: jnp.ndarray, axis: int, max_disp: int):
-    """1-D linear interpolation along ``axis`` at per-voxel offsets (voxels),
-    |offset| clamped to ``max_disp``.  Returns (values, inside_mask)."""
+    """1-D linear interpolation along ``axis`` at per-voxel offsets (voxels).
+
+    Offsets saturate at the displacement bound ASYMMETRICALLY — clipped to
+    [-max_disp, max_disp - 1] — so the positive side samples up to one voxel
+    short at saturation.  The select-chain needs one comparison per integer
+    offset; covering +max_disp exactly would add a tap (~5% more VPU work in
+    the demons warp) to change values only where the field has already
+    exceeded the caller-chosen bound, i.e. where it is truncated regardless.
+    Callers sizing halos may rely on |sample reach| <= max_disp.
+    Returns (values, inside_mask)."""
     n = vol.shape[axis]
     base = jax.lax.broadcasted_iota(jnp.float32, offset.shape, axis)
     u_raw = base + offset
@@ -369,7 +377,8 @@ def warp_multipass(
     """Warp a [z,y,x] volume by per-voxel index offsets via three 1-D passes.
 
     ``max_disp_vox`` is the static per-axis (x,y,z) displacement bound in
-    voxels.  Out-of-domain voxels get ``default_value``.
+    voxels; offsets saturate to [-bound, bound - 1] per axis (see
+    ``_lerp_shift_axis``).  Out-of-domain voxels get ``default_value``.
     """
     dx, dy, dz = (int(v) for v in max_disp_vox)
     out, in_x = _lerp_shift_axis(vol, off_x, 2, dx)
@@ -514,41 +523,12 @@ def _shear_factors(m_h: jnp.ndarray):
     return r_x, r_y, r_z
 
 
-def _lerp_map_axis(vol: jnp.ndarray, u: jnp.ndarray, axis: int, out_len: int,
-                   max_shift: int):
+def _lerp_map_axis_mm(vol: jnp.ndarray, u: jnp.ndarray, axis: int):
     """1-D linear interp along ``axis`` at absolute coordinates ``u`` (the
-    output length along that axis may differ from the input's).
+    output length along that axis is ``u``'s — it may differ from the
+    input's) as a banded-weight MXU contraction: 2-3 ops per shear pass.
 
-    Returns (values, inside_mask).  ``u`` has the OUTPUT shape.
-    """
-    in_n = vol.shape[axis]
-    base = jax.lax.broadcasted_iota(jnp.float32, u.shape, axis)
-    inside = (u >= -0.5) & (u <= in_n - 0.5)
-    uc = jnp.clip(u, 0.0, in_n - 1.0)
-    x0 = jnp.floor(uc)
-    t = (uc - x0).astype(vol.dtype)
-    d = (x0 - base).astype(jnp.int32)  # in [-max_shift, max_shift]
-    d = jnp.clip(d, -max_shift, max_shift)
-
-    pad_width = [(0, 0)] * vol.ndim
-    pad_width[axis] = (max_shift, max_shift + 1 + max(out_len - in_n, 0))
-    p = jnp.pad(vol, pad_width, mode="edge")
-
-    def body(k, acc):
-        sh = jax.lax.dynamic_slice_in_dim(p, k, out_len, axis)
-        kk = k - max_shift
-        w = jnp.where(d == kk, 1.0 - t, 0.0) + jnp.where(d + 1 == kk, t, 0.0)
-        return acc + w * sh
-
-    out = jax.lax.fori_loop(0, 2 * max_shift + 2, body,
-                            jnp.zeros(u.shape, vol.dtype))
-    return out, inside
-
-
-def _lerp_map_axis_mm(vol: jnp.ndarray, u: jnp.ndarray, axis: int, out_len: int):
-    """Matmul variant of _lerp_map_axis: builds the banded per-row
-    interpolation weights densely and contracts on the MXU.  2-3 ops per pass
-    instead of ~2n sequential taps — the right trade at level resolutions."""
+    Returns (values, inside_mask).  ``u`` has the OUTPUT shape."""
     in_n = vol.shape[axis]
     v = jnp.moveaxis(vol, axis, -1)
     u_m = jnp.moveaxis(u, axis, -1)
@@ -558,8 +538,8 @@ def _lerp_map_axis_mm(vol: jnp.ndarray, u: jnp.ndarray, axis: int, out_len: int)
     # Floor-based tent weights, NOT clip(1-|uc-j|): the |.| form has zero
     # derivative at integer coordinates (d|x|/dx = 0 at 0), which starves the
     # registration optimiser of gradient when the initial transform lands on
-    # the grid.  This form's derivative is v[x0+1]-v[x0] everywhere — identical
-    # to _lerp_map_axis.
+    # the grid.  This form's derivative is v[x0+1]-v[x0] everywhere — the
+    # exact lerp derivative.
     x0 = jax.lax.stop_gradient(jnp.floor(uc))[..., :, None]
     t = uc[..., :, None] - x0
     w = jnp.where(j == x0, 1.0 - t, 0.0) + jnp.where(j == x0 + 1.0, t, 0.0)
@@ -574,7 +554,7 @@ _SHEAR_MM_BUDGET = 48 * 1024 * 1024
 
 
 def _lerp_map_axis_mm_chunked(vol: jnp.ndarray, u: jnp.ndarray, axis: int,
-                              out_len: int, n_chunks: int):
+                              n_chunks: int):
     """Chunked variant of _lerp_map_axis_mm: slabs along the leading non-op
     axis keep the per-slab banded weight tensor under the budget."""
     lead = 0 if axis != 0 else 1
@@ -597,7 +577,7 @@ def _lerp_map_axis_mm_chunked(vol: jnp.ndarray, u: jnp.ndarray, axis: int,
 
     def one(args):
         vs, us = args
-        return _lerp_map_axis_mm(vs, us, op_v, out_len)
+        return _lerp_map_axis_mm(vs, us, op_v)
 
     out, inside = jax.lax.map(one, (v, uu))
     out = out.reshape((n_chunks * chunk,) + out.shape[2:])
@@ -632,11 +612,11 @@ def affine_shear_resample(
     def do_pass(v, u, axis, out_len, in_n):
         w_elems = int(np.prod(v.shape)) * out_len
         if w_elems <= _SHEAR_MM_BUDGET:
-            return _lerp_map_axis_mm(v, u, axis, out_len)
+            return _lerp_map_axis_mm(v, u, axis)
         n_chunks = -(-w_elems // _SHEAR_MM_BUDGET)
         lead = 0 if axis != 0 else 1
         n_chunks = min(n_chunks, v.shape[lead])
-        return _lerp_map_axis_mm_chunked(v, u, axis, out_len, n_chunks)
+        return _lerp_map_axis_mm_chunked(v, u, axis, n_chunks)
 
     # pass 1 (x): intermediate grid (nz_i, ny_i, nx_o)
     shape1 = (nz_i, ny_i, nx_o)

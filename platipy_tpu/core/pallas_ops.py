@@ -7,10 +7,14 @@ volume from HBM; expressed as a Pallas kernel the block (with its full op
 axis resident in VMEM) is read ONCE and all taps are VPU register/VMEM
 traffic.  That takes a pass from ~(n_taps+1) volume-reads to ~2.
 
-Kernels here are used on the non-differentiated paths only (demons, pyramid
-builds); the differentiable registration loss keeps its XLA formulation so
-autodiff stays exact.  On CPU (tests) the same kernels run under
-``interpret=True`` for bit-accurate parity with the TPU path.
+STATUS — benchmarked, NOT wired into the pipelines: on v5e these
+element-indexed overlapping-slab kernels measured ~3x SLOWER than the
+banded-matmul formulation that ships in core/filters.py (the [z,y,x,3]
+field's lane dim also forces a padded T(8,128) layout at the pallas
+boundary).  They are kept, with tests, as the reference implementation for
+revisiting on hardware where the trade flips (larger VMEM, narrower MXU);
+wire them via ``_conv1d_along_axis`` if that happens.  On CPU (tests) they
+run under ``interpret=True`` for bit-accurate parity with the TPU path.
 
 Mirrors (functionally): ITK's ``WarpImageFilter`` taps inside
 FastSymmetricForcesDemonsRegistrationFilter (reference deformable.py:244) and

@@ -50,7 +50,10 @@ def _linear_hmatrix_jnp(transform: Transform) -> jnp.ndarray:
     t = jnp.asarray(transform.translation)
     m = jnp.eye(4, dtype=a.dtype)
     m = m.at[:3, :3].set(a)
-    m = m.at[:3, 3].set(c + t - a @ c)
+    # A@c carries the physical centre (|c| can be hundreds of mm): pin to f32
+    # — the TPU default would round both operands to bf16 (~mm-scale error)
+    ac = jnp.matmul(a, c, precision=jax.lax.Precision.HIGHEST)
+    m = m.at[:3, 3].set(c + t - ac)
     return m
 
 

@@ -94,9 +94,9 @@ def euler_to_matrix(angles: jnp.ndarray, order: str = "zxy") -> jnp.ndarray:
         [cz, -sz, zero, sz, cz, zero, zero, zero, one]
     ).reshape(3, 3)
     if order == "zxy":
-        return rz @ rx @ ry
+        return _mm_hi(rz, _mm_hi(rx, ry))
     if order == "zyx":
-        return rz @ ry @ rx
+        return _mm_hi(rz, _mm_hi(ry, rx))
     raise ValueError(order)
 
 
@@ -118,6 +118,13 @@ def versor_to_matrix(versor: jnp.ndarray) -> jnp.ndarray:
             [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
         ]
     )
+
+
+def _mm_hi(a, b):
+    """3x3/4x4 coordinate matmul pinned to f32 (TPU default rounds to bf16 —
+    ~4e-3 absolute error per entry, mm-scale once a physical centre rides in
+    the homogeneous column)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def _apply_linear(points, matrix, center, translation):
@@ -355,7 +362,7 @@ class ScaleSkewVersor3DTransform(Transform):
                 [k[4], k[5], s[2]],
             ]
         )
-        return r @ sk
+        return _mm_hi(r, sk)
 
     def apply(self, points):
         return _apply_linear(points, self.matrix(), self.center, self.translation)

@@ -113,9 +113,13 @@ def _sampling_strides(sampling_rate, shape_zyx):
 
 def _stride_i2p(ref_i2p, sy, sx):
     """Index->physical matrix of the (1, sy, sx)-strided grid: scale the x/y
-    index-axis columns (homogeneous 4x4, columns = (x, y, z, 1) index axes)."""
-    scale = np.diag([sx, sy, 1.0, 1.0]).astype(np.float32)
-    return ref_i2p @ jnp.asarray(scale)
+    index-axis columns (homogeneous 4x4, columns = (x, y, z, 1) index axes).
+
+    Computed in numpy — a default-precision jnp matmul runs bf16 on TPU and
+    corrupts the physical grid the metric is optimised against."""
+    scale = np.diag([sx, sy, 1.0, 1.0])
+    return jnp.asarray(np.asarray(ref_i2p, dtype=np.float64) @ scale,
+                       jnp.float32)
 
 
 def _make_level_loss(metric_name, shape_zyx, has_fmask, has_mmask):
@@ -185,6 +189,13 @@ def _register_level(
     Compiled once per (transform type, metric, optimiser, level shape) and
     reused across every atlas registration in a pipeline — the compile-count
     killer for the N-atlas outer loop.
+
+    The optimiser bodies intentionally re-state the accept/reject loops of
+    ``optimise.optimise`` in jit-compatible form (fori_loop carries, no
+    Python-side convergence breaks) — and 'gradient_descent_line_search'
+    here evaluates its 8 backtracking candidates as one vmapped batch where
+    the eager path backtracks sequentially: same accepted step, different
+    wall-clock shape.  Keep both in sync when touching either.
     """
     from platipy_tpu.registration.optimise import split_trainable
 
@@ -307,9 +318,12 @@ def linear_registration(
 ):
     """Multi-resolution linear registration (reference linear.py:50-260).
 
-    ``sampling_rate`` is accepted for API parity; the TPU metric is computed
-    densely (the full-volume reduction is cheaper on the MXU/VPU than ITK's
-    25% CPU sampling, and noise-free).
+    ``sampling_rate`` maps ITK's REGULAR 25% sampling onto a strided metric
+    grid: the y/x axes of the fixed level are subsampled by deterministic
+    strides chosen so the kept fraction approximates the rate (see
+    ``_sampling_strides``; axes shorter than 32 voxels stay dense).  The
+    metric is deterministic — no RNG — so results are reproducible like the
+    reference's fixed seed=42.
     Returns (registered_image, CompositeTransform([initial, optimised])).
     """
     fixed_image32 = fixed_image.astype(jnp.float32)
@@ -452,7 +466,6 @@ def linear_registration_batched(
     from platipy_tpu.core.image import index_to_physical_matrix, physical_to_index_matrix
     from platipy_tpu.core import filters as _filters
     from platipy_tpu.core.interp import resample_separable
-    from platipy_tpu.core.resample import _resample_linear_impl
 
     moving_images = list(moving_images)
     n = len(moving_images)
@@ -633,7 +646,11 @@ def linear_registration_batched(
         ]),
         jnp.float32,
     )
-    interp_code = final_interp if isinstance(final_interp, int) else INTERP_LINEAR
+    # resolve string names through the shared table ("nearest" silently
+    # becoming linear here corrupted label atlases)
+    from platipy_tpu.core.interp import interp_name
+
+    interp_code = final_interp if isinstance(final_interp, int) else interp_name(final_interp)
 
     registered_stack = _cached_batched_final_warp(
         fixed32.spatial_shape, interp_code, float(default_value)
@@ -674,7 +691,6 @@ def apply_transforms_batched(
     dtype (rounded for integer masks).
     """
     from platipy_tpu.core.image import index_to_physical_matrix, physical_to_index_matrix
-    from platipy_tpu.core.resample import _resample_linear_impl
 
     moving_images = list(moving_images)
     mov0 = moving_images[0]
@@ -704,7 +720,9 @@ def apply_transforms_batched(
         ]),
         jnp.float32,
     )
-    interp_code = interpolator if isinstance(interpolator, int) else INTERP_NEAREST
+    from platipy_tpu.core.interp import interp_name
+
+    interp_code = interpolator if isinstance(interpolator, int) else interp_name(interpolator)
 
     out = _apply_batched_jit(
         tfm_stack, stack, ref_i2p, mov_p2i,
