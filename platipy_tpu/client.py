@@ -23,12 +23,17 @@ API_DOWNLOAD_OBJECT = "{0}/api/dataobject/download"
 class PlatiPyClient:
     """Client for a platipy_tpu segmentation service."""
 
-    def __init__(self, host, port, api_key, algorithm_name, verify=None):
+    def __init__(self, host, port, api_key, algorithm_name, verify=None,
+                 timeout=None):
+        """``timeout``: per-request (connect, read) timeout in seconds passed
+        to every HTTP call; None keeps requests' no-timeout default (a hung
+        server then blocks the caller — fleet dispatchers should set one)."""
         protocol = "http" if verify is None else "https"
         self.base_url = f"{protocol}://{host}:{port}"
         self.api_key = api_key
         self.algorithm_name = algorithm_name
         self.verify = verify
+        self.timeout = timeout
 
     def _headers(self):
         return {"API_KEY": self.api_key}
@@ -36,6 +41,7 @@ class PlatiPyClient:
     def _get(self, url, **kwargs):
         import requests
 
+        kwargs.setdefault("timeout", self.timeout)
         res = requests.get(url, headers=self._headers(), verify=self.verify, **kwargs)
         res.raise_for_status()
         return res
@@ -43,6 +49,7 @@ class PlatiPyClient:
     def _post(self, url, **kwargs):
         import requests
 
+        kwargs.setdefault("timeout", self.timeout)
         res = requests.post(url, headers=self._headers(), verify=self.verify, **kwargs)
         res.raise_for_status()
         return res
@@ -54,6 +61,10 @@ class PlatiPyClient:
             if alg["name"] == self.algorithm_name:
                 return alg["default_settings"]
         return None
+
+    def list_algorithms(self):
+        """All algorithms the server offers (name + default settings)."""
+        return self._get(API_ALGORITHM.format(self.base_url)).json()
 
     # -- dicom locations ------------------------------------------------------------
     def get_dicom_location(self, name):
@@ -113,6 +124,7 @@ class PlatiPyClient:
                     data=data,
                     files={"file_data": f},
                     verify=self.verify,
+                    timeout=self.timeout,
                 )
         else:
             res = self._post(API_DATA_OBJECT.format(self.base_url), json=data)

@@ -50,18 +50,30 @@ class Worker:
     healthy: bool = True
     cases_done: int = 0
     cases_failed: int = 0
+    request_timeout: float = 30.0   # per-HTTP-request (hung hosts must fail)
 
     def client(self, algorithm: str):
         from platipy_tpu.client import PlatiPyClient
 
         return PlatiPyClient(self.host, self.port, self.api_key,
-                             self.algorithm or algorithm)
+                             self.algorithm or algorithm,
+                             timeout=self.request_timeout)
 
     def ping(self, algorithm: str, timeout: float = 5.0) -> bool:
-        """Health check: the algorithm list endpoint must answer."""
+        """Health check: the algorithm endpoint must answer within ``timeout``
+        AND offer the requested algorithm (a live host deployed with a
+        different algorithm set would otherwise burn a retry per case)."""
+        from platipy_tpu.client import PlatiPyClient
+
+        name = self.algorithm or algorithm
         try:
-            self.client(algorithm).get_default_settings()
-            self.healthy = True
+            client = PlatiPyClient(self.host, self.port, self.api_key, name,
+                                   timeout=timeout)
+            offered = {a.get("name") for a in client.list_algorithms()}
+            self.healthy = name in offered
+            if not self.healthy:
+                logger.warning("Worker %s:%s does not offer %r (has %s)",
+                               self.host, self.port, name, sorted(offered))
         except Exception as err:
             logger.warning("Worker %s:%s unhealthy: %s", self.host, self.port, err)
             self.healthy = False
@@ -120,7 +132,14 @@ class WorkerPool:
                 result.error = (final or {}).get("error", "no terminal state")
                 worker.cases_failed += 1
                 return False
-            case_out = Path(output_dir) / Path(case_path).name.split(".")[0]
+            # strip only known imaging suffixes — DICOM-UID-style names are
+            # full of dots and name.split('.')[0] would collapse every
+            # '1.2.840...' case into the same output directory
+            stem = Path(case_path).name
+            for suffix in (".gz", ".nii", ".nrrd", ".mha"):
+                if stem.endswith(suffix):
+                    stem = stem[: -len(suffix)]
+            case_out = Path(output_dir) / stem
             files = client.download_output_objects(dataset,
                                                    output_path=str(case_out))
             result.outputs = [str(f) for f in files]
@@ -147,19 +166,18 @@ class WorkerPool:
         todo: "queue.Queue[str]" = queue.Queue()
         for c in case_paths:
             todo.put(c)
-        alive: Dict[str, bool] = {f"{w.host}:{w.port}": True for w in self.workers}
+        # liveness keyed by worker INDEX — the same endpoint may be listed
+        # twice for concurrency, so host:port is not an identity
+        alive: Dict[int, bool] = {i: True for i in range(len(self.workers))}
         alive_lock = threading.Lock()
-
-        def others_alive(addr: str) -> bool:
-            with alive_lock:
-                return any(v for a, v in alive.items() if a != addr)
 
         def all_done() -> bool:
             return all(r.state in ("COMPLETE", "FAILURE")
                        for r in results.values())
 
-        def worker_loop(worker: Worker):
+        def worker_loop(index: int, worker: Worker):
             addr = f"{worker.host}:{worker.port}"
+            ping_failures = 0
             try:
                 # exit only when every case is terminal (a momentarily empty
                 # queue may still receive a retry from another worker)
@@ -175,26 +193,30 @@ class WorkerPool:
                     # than bounce it between exhausted workers forever)
                     with alive_lock:
                         untried_alive = any(
-                            up for a, up in alive.items() if a not in result.tried
+                            up for i, up in alive.items()
+                            if up and i not in result.tried
                         )
-                    if addr in result.tried and untried_alive:
+                    if index in result.tried and untried_alive:
                         todo.put(case)
                         time.sleep(0.05)
                         continue
+                    if not worker.ping(self.algorithm):
+                        # transient blips recover on the next pull; a host
+                        # that fails three consecutive probes retires
+                        ping_failures += 1
+                        todo.put(case)
+                        if ping_failures >= 3:
+                            logger.error(
+                                "Worker %s retired after %d failed health "
+                                "checks", addr, ping_failures)
+                            return
+                        time.sleep(1.0)
+                        continue
+                    ping_failures = 0
                     result.attempts += 1
-                    result.tried.add(addr)
+                    result.tried.add(index)
                     result.worker = addr
                     result.state = "RUNNING"
-                    if not worker.ping(self.algorithm):
-                        # dead host: hand the case back and stop pulling
-                        result.attempts -= 1   # not a real attempt
-                        result.state = "PENDING"
-                        if others_alive(addr):
-                            todo.put(case)
-                        else:
-                            result.state = "FAILURE"
-                            result.error = result.error or "no healthy workers"
-                        return
                     ok = self._run_case(worker, case, working_dir, result)
                     if ok:
                         result.state = "COMPLETE"
@@ -202,26 +224,22 @@ class WorkerPool:
                         self._requeue_or_fail(todo, result, case)
             finally:
                 with alive_lock:
-                    alive[addr] = False
+                    alive[index] = False
 
         threads = [
-            threading.Thread(target=worker_loop, args=(w,), daemon=True)
-            for w in self.workers
+            threading.Thread(target=worker_loop, args=(i, w), daemon=True)
+            for i, w in enumerate(self.workers)
         ]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
 
-        # cases still queued when every worker died
-        while True:
-            try:
-                case = todo.get_nowait()
-            except queue.Empty:
-                break
-            if results[case].state != "COMPLETE":
-                results[case].state = "FAILURE"
-                results[case].error = results[case].error or "no healthy workers"
+        # cases left non-terminal when every worker retired
+        for result in results.values():
+            if result.state not in ("COMPLETE", "FAILURE"):
+                result.state = "FAILURE"
+                result.error = result.error or "no healthy workers"
         return results
 
     def _requeue_or_fail(self, todo: "queue.Queue[str]", result: CaseResult,

@@ -306,7 +306,12 @@ def install_open_atlas(atlas_path):
 
 
 def install_atlas_from_zipfile(zip_file_path, atlas_path):
-    """Install an atlas from a local zip (reference cardiac/run.py:428-441)."""
+    """Install an atlas from a local zip (reference cardiac/run.py:428-441).
+
+    Handles both zip layouts: cases at the archive root AND cases inside a
+    single wrapper directory (the Zenodo open-atlas zip wraps everything in
+    ``test_atlas/`` — blindly copying the extract root would double-nest the
+    install so ``_load_atlas_set`` finds no cases)."""
     import shutil
     import tempfile
     import zipfile
@@ -316,6 +321,12 @@ def install_atlas_from_zipfile(zip_file_path, atlas_path):
         temp_atlas_path = Path(temp_dir).joinpath("test_atlas")
         with zipfile.ZipFile(str(zip_file_path), "r") as zip_ref:
             zip_ref.extractall(temp_atlas_path)
+        entries = list(temp_atlas_path.iterdir())
+        if len(entries) == 1 and entries[0].is_dir():
+            sole = entries[0]
+            is_case = any((sole / sub).exists() for sub in ("Images", "Structures"))
+            if not is_case:
+                temp_atlas_path = sole  # descend into the wrapper directory
         if not atlas_path.parent.exists():
             atlas_path.parent.mkdir(parents=True)
         shutil.copytree(temp_atlas_path, atlas_path)
@@ -460,10 +471,13 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             img, crop_movings,
             **{k: v for k, v in quick_reg_settings.items() if k != "verbose"},
         )
-        registered_crop_images = [np.asarray(i.array, dtype=np.float32) for i in reg_images]
+        # combine on device: one program + one uint8 fetch inside label_to_roi
+        # instead of eight full float32 volume pulls over the device link
+        from platipy_tpu.parallel.atlas import combine_for_crop
 
-        combined = sum(registered_crop_images) / len(registered_crop_images)
-        combined_image = img.with_array(jnp.asarray((combined > -1000).astype(np.uint8)))
+        combined_image = img.with_array(
+            combine_for_crop([i.array for i in reg_images])
+        )
         crop_box_size, crop_box_index = label_to_roi(combined_image, expansion_mm=expansion_mm)
         crop_box_size, crop_box_index = pad_roi_to_multiple(
             crop_box_size, crop_box_index, img.size, 32

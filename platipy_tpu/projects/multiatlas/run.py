@@ -136,10 +136,7 @@ def _load_atlas_set(settings) -> Dict:
     return atlas_set
 
 
-@jax.jit
-def _combine_for_crop(arrays):
-    stack = jnp.stack([a.astype(jnp.float32) for a in arrays])
-    return (jnp.mean(stack, axis=0) > -1000).astype(jnp.uint8)
+from platipy_tpu.parallel.atlas import combine_for_crop as _combine_for_crop
 
 
 def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
@@ -167,6 +164,8 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
     crop_atlas_expansion_mm = atlas_settings["crop_atlas_expansion_mm"]
 
     atlas_set = _load_atlas_set(settings)
+    if timer:
+        timer.lap("load_atlas")
     atlas_id_list = list(atlas_set.keys())
 
     if crop_atlas_to_structures:
@@ -323,7 +322,12 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             # checkpoint written under a different device count: drop pad lanes
             dvf_stack = dvf_stack[: moving_stack.shape[0]]
         elif dvf_stack.shape[0] < moving_stack.shape[0]:
-            dvf_stack, _ = pad_atlas_axis(dvf_stack, moving_stack.shape[0])
+            # pad directly to the current stack length (pad_atlas_axis expects
+            # a device count, not a target length)
+            extra = moving_stack.shape[0] - dvf_stack.shape[0]
+            dvf_stack = jnp.concatenate(
+                [dvf_stack, jnp.repeat(dvf_stack[-1:], extra, axis=0)]
+            )
     else:
         dvf_stack = batched_multiscale_demons(
             target_arr,
