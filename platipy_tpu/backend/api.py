@@ -227,6 +227,9 @@ class DataObjectEndpoint(Resource):
             data_dir = Path(self.app.data_directory) / (dataset_id or "uploads")
             data_dir.mkdir(parents=True, exist_ok=True)
             fname = file_name or file_field["filename"] or "upload.bin"
+            # client-controlled name: keep only the basename so '../' (or an
+            # absolute path) cannot escape the data directory
+            fname = Path(fname).name or "upload.bin"
             path_out = str(data_dir / fname)
             Path(path_out).write_bytes(file_field["content"])
             fetched = True
@@ -361,7 +364,12 @@ class ApiHandler(BaseHTTPRequestHandler):
             if b"\r\n\r\n" not in part:
                 continue
             header_blob, content = part.split(b"\r\n\r\n", 1)
-            content = content.rstrip(b"\r\n-")
+            # part content is followed by exactly CRLF before the next
+            # boundary delimiter; rstrip of a byte CLASS would also delete
+            # genuine trailing '-'/CR/LF payload bytes (e.g. a DICOM file
+            # ending in 0x0A)
+            if content.endswith(b"\r\n"):
+                content = content[:-2]
             headers = header_blob.decode("latin-1", errors="replace")
             name_m = re.search(r'name="([^"]+)"', headers)
             file_m = re.search(r'filename="([^"]*)"', headers)
@@ -391,7 +399,17 @@ class ApiHandler(BaseHTTPRequestHandler):
             if handler_fn is None:
                 continue
             resource = resource_cls(self.app, self)
-            result = handler_fn(resource, **m.groupdict())
+            try:
+                result = handler_fn(resource, **m.groupdict())
+            except TypeError as err:
+                # path/handler arity mismatch (e.g. GET /api/dataset with no
+                # id) — answer rather than dropping the connection
+                return self._send(400, {"error": f"bad request: {err}"})
+            except json.JSONDecodeError as err:
+                return self._send(400, {"error": f"invalid JSON body: {err}"})
+            except Exception as err:
+                logger.exception("Unhandled error serving %s %s", method, path)
+                return self._send(500, {"error": str(err)})
             if len(result) == 2:
                 code, payload = result
                 return self._send(code, payload)

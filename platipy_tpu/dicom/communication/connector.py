@@ -32,10 +32,16 @@ class DicomConnector:
     """DIMSE SCU/SCP connector (C-ECHO, C-FIND, C-MOVE, C-GET, C-STORE)."""
 
     def __init__(self, host="127.0.0.1", port=11112, ae_title="PLATIPYTPU",
-                 output_directory=None):
+                 output_directory=None, local_ae="PLATIPYTPU"):
+        """``ae_title`` is the PEER's AE title (the CALLED AE on outgoing
+        associations — matching pynetdicom's ``associate(ae_title=...)``
+        semantics the reference relies on); ``local_ae`` is this node's
+        (calling) AE.  ``listen`` uses ``ae_title`` as the local SCP title,
+        mirroring the reference's listener construction."""
         self.host = host
         self.port = port
         self.ae_title = ae_title or "PLATIPYTPU"
+        self.local_ae = local_ae or "PLATIPYTPU"
         self.output_directory = output_directory or "./dicom_output"
         self.current_dir = None
         self.recieved_callback = None
@@ -44,7 +50,8 @@ class DicomConnector:
     def verify(self) -> bool:
         """C-ECHO to the configured peer (reference connector.py:60-84)."""
         try:
-            return ul.c_echo(self.host, self.port, calling=self.ae_title)
+            return ul.c_echo(self.host, self.port, calling=self.local_ae,
+                             called=self.ae_title)
         except (ConnectionError, OSError) as exc:
             logger.warning("C-ECHO to %s:%s failed: %s", self.host, self.port, exc)
             return False
@@ -56,7 +63,7 @@ class DicomConnector:
         Returns the matching identifier datasets.
         """
         return ul.c_find(self.host, self.port, dataset, query_model=query_model,
-                         calling=self.ae_title)
+                         calling=self.local_ae, called=self.ae_title)
 
     def move_series(self, seriesInstanceUID, move_aet=None, query_model="S"):
         """C-MOVE a series to an AE title (reference connector.py:134-165);
@@ -68,8 +75,8 @@ class DicomConnector:
             (0x0020, 0x000E): Element(b"UI", seriesInstanceUID),
         }
         return ul.c_move(self.host, self.port, identifier,
-                         move_aet or self.ae_title, query_model=query_model,
-                         calling=self.ae_title)
+                         move_aet or self.local_ae, query_model=query_model,
+                         calling=self.local_ae, called=self.ae_title)
 
     def download_series(self, seriesInstanceUID, recursive=True):
         """C-GET a series into the output directory (reference connector.py:166-308)."""
@@ -94,7 +101,7 @@ class DicomConnector:
                        write_like_original=False)
             return 0x0000
 
-        ae = AE(ae_title=self.ae_title)
+        ae = AE(ae_title=self.local_ae)
         ae.add_requested_context(StudyRootQueryRetrieveInformationModelGet)
         for cx in StoragePresentationContexts:
             ae.add_requested_context(cx.abstract_syntax)
@@ -102,7 +109,8 @@ class DicomConnector:
         query.QueryRetrieveLevel = "SERIES"
         query.SeriesInstanceUID = seriesInstanceUID
         assoc = ae.associate(
-            self.host, self.port, evt_handlers=[(evt.EVT_C_STORE, handle_store)]
+            self.host, self.port, ae_title=self.ae_title,
+            evt_handlers=[(evt.EVT_C_STORE, handle_store)],
         )
         if assoc.is_established:
             for _ in assoc.send_c_get(query, StudyRootQueryRetrieveInformationModelGet):
@@ -115,7 +123,8 @@ class DicomConnector:
         files = ([dcm_file] if isinstance(dcm_file, (str, Path))
                  else list(dcm_file))
         try:
-            stored = ul.c_store(self.host, self.port, files, calling=self.ae_title)
+            stored = ul.c_store(self.host, self.port, files, calling=self.local_ae,
+                                called=self.ae_title)
         except (ConnectionError, OSError) as exc:
             logger.warning("C-STORE to %s:%s failed: %s", self.host, self.port, exc)
             return False

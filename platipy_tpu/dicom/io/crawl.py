@@ -112,6 +112,28 @@ def safe_sort_dicom_image_list(dicom_image_list):
     return sorted(dicom_image_list, key=lambda f: locations[f])
 
 
+def _rtstruct_referenced_series_uid(struct_ds):
+    """SeriesInstanceUID of the image series an RTSTRUCT's contours reference
+    (ReferencedFrameOfReference -> RTReferencedStudy -> RTReferencedSeries),
+    or None when the chain is absent."""
+    frame_seq = struct_ds.get((0x3006, 0x0010))
+    if frame_seq is None:
+        return None
+    for frame_item in frame_seq.value:
+        study_seq = frame_item.get((0x3006, 0x0012))
+        if study_seq is None:
+            continue
+        for study_item in study_seq.value:
+            series_seq = study_item.get((0x3006, 0x0014))
+            if series_seq is None:
+                continue
+            for series_item in series_seq.value:
+                uid = series_item.get((0x0020, 0x000E))
+                if uid is not None:
+                    return str(uid.value)
+    return None
+
+
 def process_dicom_file_list(dicom_file_list, parent_sorting_field="PatientName",
                             verbose=False):
     """Group DICOM files as {parent: {series_uid: [files]}}
@@ -272,7 +294,14 @@ def process_dicom_directory(
         study_idx = study_uids[parent][study]
         out = output.setdefault(parent, {})
         if kind == "rtstruct":
-            ref_image = images_by_frame.get(f"study:{study}")
+            # prefer the series the RTSTRUCT actually references (a study can
+            # hold e.g. both PT and CT — rasterising on the wrong grid would
+            # silently misalign every mask); fall back to the study's first
+            # image series, then any image
+            ref_uid = _rtstruct_referenced_series_uid(data)
+            ref_image = images_by_frame.get(ref_uid) if ref_uid else None
+            if ref_image is None:
+                ref_image = images_by_frame.get(f"study:{study}")
             if ref_image is None and images_by_frame:
                 ref_image = list(images_by_frame.values())[0]
             if ref_image is None:

@@ -99,12 +99,19 @@ def _decode_value(vr: bytes, raw: bytes):
     if vr in _STRING_VRS:
         text = raw.decode("latin-1").rstrip("\x00 ").strip()
         if vr in (b"DS",):
-            parts = [p for p in text.split("\\") if p != ""]
-            vals = [float(p) for p in parts] if parts else []
+            if text == "":
+                return []
+            # keep empty components as "" — dropping them would SHIFT every
+            # later value (ContourData triplets become misaligned garbage);
+            # rtstruct_to_nifti.fix_missing_data repairs them downstream
+            vals = [float(p.strip()) if p.strip() != "" else ""
+                    for p in text.split("\\")]
             return vals[0] if len(vals) == 1 else vals
         if vr in (b"IS",):
-            parts = [p for p in text.split("\\") if p != ""]
-            vals = [int(float(p)) for p in parts] if parts else []
+            if text == "":
+                return []
+            vals = [int(float(p.strip())) if p.strip() != "" else ""
+                    for p in text.split("\\")]
             return vals[0] if len(vals) == 1 else vals
         if "\\" in text:
             return text.split("\\")

@@ -44,12 +44,16 @@ def convert_rtdose(dcm_dose, force: bool = False, dose_output_path=None) -> Imag
     gfov = ds.get((0x3004, 0x000C))
     if gfov is not None and np.iterable(gfov.value) and len(np.atleast_1d(gfov.value)) > 1:
         offsets = np.atleast_1d(gfov.value).astype(float)
-        z_spacing = float(abs(offsets[1] - offsets[0]))
+        z_step = float(offsets[1] - offsets[0])   # signed: frames may advance
+        z_spacing = abs(z_step)                   # along -normal (legal DICOM)
+        z_start = float(offsets[0])               # may be non-zero
     else:
-        z_spacing = 1.0
+        z_step, z_spacing, z_start = 1.0, 1.0, 0.0
 
     ipp = ds.get((0x0020, 0x0032))
-    origin = tuple(float(v) for v in ipp.value) if ipp else (0.0, 0.0, 0.0)
+    origin = np.asarray(
+        [float(v) for v in ipp.value] if ipp else (0.0, 0.0, 0.0), dtype=np.float64
+    )
     iop = ds.get((0x0020, 0x0037))
     if iop is not None:
         row_dir = np.asarray(iop.value[:3], dtype=np.float64)
@@ -57,11 +61,16 @@ def convert_rtdose(dcm_dose, force: bool = False, dose_output_path=None) -> Imag
     else:
         row_dir, col_dir = np.array([1.0, 0, 0]), np.array([0, 1.0, 0])
     normal = np.cross(row_dir, col_dir)
-    direction = np.stack([row_dir, col_dir, normal], axis=1).reshape(-1)
+    # frame k sits at IPP + (z_start + k*z_step) * normal: fold the vector's
+    # starting offset into the origin, and flip the slice axis direction for
+    # decreasing offset vectors so the geometry stays right-side-up
+    origin = origin + z_start * normal
+    slice_dir = normal if z_step >= 0 else -normal
+    direction = np.stack([row_dir, col_dir, slice_dir], axis=1).reshape(-1)
 
     img = Image(
         jnp.asarray(dose),
-        origin,
+        tuple(origin),
         (pixel_spacing[1], pixel_spacing[0], z_spacing),
         tuple(direction),
     )

@@ -101,7 +101,13 @@ def transform_point_set_from_dicom_struct(image: Image, struct_ds, spacing_overr
                 data = contour.get((0x3006, 0x0050))
                 if data is None:
                     continue
-                pts = np.asarray(data.value, dtype=np.float64).reshape(-1, 3)
+                values = data.value
+                if any(v == "" for v in np.atleast_1d(np.asarray(values, dtype=object))):
+                    # repair a missing coordinate by interpolation
+                    # (reference rtstruct_to_nifti.py:54-102)
+                    values = fix_missing_data(list(np.atleast_1d(
+                        np.asarray(values, dtype=object))))
+                pts = np.asarray(values, dtype=np.float64).reshape(-1, 3)
                 idx = pts @ p2i[:3, :3].T + p2i[:3, 3]
                 z = int(round(float(np.median(idx[:, 2]))))
                 if z < 0 or z >= shape[0]:

@@ -56,7 +56,11 @@ def calculate_v_receiving_dose(dose_grid: Image, label: Image, dose_threshold: f
     if relative:
         return float(relative_volume)
     total_volume = (mask_array > 0).sum() * np.prod(label.spacing) / 1000
-    return float(relative_volume * total_volume)
+    # relative_volume is a percentage — scale by the fraction.  DELIBERATE
+    # deviation from the reference, whose metric.py:111 multiplies by the
+    # percent (returning cc values 100x too large, contradicting its own
+    # "volume in cc" docstring).
+    return float(relative_volume / 100.0 * total_volume)
 
 
 def calculate_d_to_volume_for_labels(dose_grid: Image, labels: dict, volume,

@@ -81,7 +81,9 @@ def generate_random_augmentation(ct_image: Image, masks):
     augmentation_types = [
         {
             "class": ShiftAugment,
-            "args": {"vector_shift": [(-10, 10), (10, 10), (-10, 10)],
+            # middle range fixed to (-10, 10): the reference's (10, 10)
+            # (augment.py:96) pins every sampled y-shift to exactly +10 mm
+            "args": {"vector_shift": [(-10, 10), (-10, 10), (-10, 10)],
                      "gaussian_smooth": (3, 5)},
         },
         {

@@ -99,10 +99,14 @@ def extend_mask(mask: Image, direction=("ax", "sup"), extension_mm=10,
                     arr[superior_slice - n_slices_est : superior_slice, :, :], axis=0
                 )
         if direction[1] == "inf":
-            min_index = max([arr.shape[0], inferior_slice - n_slices_ext + n_slices_est])
+            # DELIBERATE fix of a reference bug: generation/mask.py:150-154
+            # clamps with max([arr.shape[0], ...]) (an empty range — the inf
+            # branch is a silent no-op there) and reverses its source slice
+            min_index = max([0, inferior_slice - n_slices_ext])
+            shape_slab = np.max(
+                arr[inferior_slice : inferior_slice + n_slices_est, :, :], axis=0
+            )
             for s_in in range(min_index, inferior_slice):
-                arr[s_in, :, :] = np.max(
-                    arr[inferior_slice + n_slices_est : inferior_slice, :, :], axis=0
-                )
+                arr[s_in, :, :] = shape_slab
 
     return mask.with_array(jnp.asarray(arr))

@@ -255,3 +255,132 @@ def test_pt_suv_scaling(tmp_path):
     np.testing.assert_allclose(
         np.asarray(data.array), 500.0 * expected, rtol=1e-4
     )
+
+
+def test_rtdose_decreasing_offsets_and_nonzero_start(tmp_path):
+    """GridFrameOffsetVector with a negative step (frames advance along
+    -normal, legal DICOM) flips the slice axis, and a non-zero first offset
+    shifts the origin — previously the cube was silently mirrored in z."""
+    import numpy as np
+
+    from platipy_tpu.dicom.io.dataset import Element, generate_uid, write_file
+    from platipy_tpu.dicom.io.rtdose_to_nifti import convert_rtdose
+
+    dose = np.zeros((4, 8, 8))
+    dose[0] = 10.0  # frame 0 is hottest
+    stored = np.round(dose / 0.01).astype(np.uint32)
+
+    sop_uid = generate_uid()
+    ds = {
+        (0x0008, 0x0016): Element(b"UI", "1.2.840.10008.5.1.4.1.1.481.2"),
+        (0x0008, 0x0018): Element(b"UI", sop_uid),
+        (0x0008, 0x0060): Element(b"CS", "RTDOSE"),
+        (0x0020, 0x000D): Element(b"UI", generate_uid()),
+        (0x0020, 0x000E): Element(b"UI", generate_uid()),
+        (0x0020, 0x0032): Element(b"DS", [0.0, 0.0, 50.0]),
+        (0x0020, 0x0037): Element(b"DS", [1, 0, 0, 0, 1, 0]),
+        (0x0028, 0x0008): Element(b"IS", 4),
+        (0x0028, 0x0010): Element(b"US", 8),
+        (0x0028, 0x0011): Element(b"US", 8),
+        (0x0028, 0x0030): Element(b"DS", [2.0, 2.0]),
+        (0x0028, 0x0100): Element(b"US", 32),
+        (0x0028, 0x0101): Element(b"US", 32),
+        (0x0028, 0x0103): Element(b"US", 0),
+        (0x3004, 0x000C): Element(b"DS", [6.0, 3.0, 0.0, -3.0]),  # decreasing
+        (0x3004, 0x000E): Element(b"DS", 0.01),
+        (0x7FE0, 0x0010): Element(b"OW", stored.tobytes()),
+    }
+    path = tmp_path / "rtdose_rev.dcm"
+    write_file(str(path), ds, "1.2.840.10008.5.1.4.1.1.481.2", sop_uid)
+
+    img = convert_rtdose(str(path))
+    # frame 0 sits at z = 50 + 6 = 56 mm; array index 0 maps there
+    assert img.origin[2] == pytest.approx(56.0)
+    assert img.direction[8] == pytest.approx(-1.0)  # slice axis flipped
+    assert np.asarray(img.array)[0].max() == pytest.approx(10.0)
+    # physical location of the hottest frame is unchanged by the convention
+    p2i = np.asarray(img.physical_to_index_matrix())
+    idx = p2i[:3, :3] @ np.array([0.0, 0.0, 56.0]) + p2i[:3, 3]
+    assert idx[2] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_contour_missing_value_repair(ct_image, tmp_path):
+    """A ContourData stream with one empty component survives decoding (empty
+    values are preserved, not dropped) and is repaired by interpolation."""
+    from platipy_tpu.dicom.io.dataset import Element
+    from platipy_tpu.dicom.io.rtstruct_to_nifti import (
+        transform_point_set_from_dicom_struct,
+    )
+
+    # square contour inside the image's physical extent (x in [-50,-3.5],
+    # y in [-40,6.5], z in [10,43]); the missing y interpolates to -20
+    raw = [-40.0, -30.0, 25.0, -20.0, "", 25.0,
+           -20.0, -10.0, 25.0, -40.0, -10.0, 25.0]
+
+    def seq(items):
+        return Element(b"SQ", items)
+
+    struct_ds = {
+        (0x3006, 0x0020): seq([
+            {(0x3006, 0x0022): Element(b"IS", 1),
+             (0x3006, 0x0026): Element(b"LO", "REPAIR")},
+        ]),
+        (0x3006, 0x0039): seq([
+            {(0x3006, 0x0084): Element(b"IS", 1),
+             (0x3006, 0x0040): seq([
+                 {(0x3006, 0x0050): Element(b"DS", raw)},
+             ])},
+        ]),
+    }
+    masks, names = transform_point_set_from_dicom_struct(ct_image, struct_ds)
+    assert names == ["REPAIR"]
+    assert np.asarray(masks[0].array).sum() > 0  # polygon rasterised
+
+
+def test_multipart_trailing_payload_bytes_preserved(tmp_path):
+    """An uploaded file ending in '-'/newline bytes survives the multipart
+    parser byte-exact (rstrip of a byte class truncated such files)."""
+    import threading
+
+    import requests
+
+    from platipy_tpu.backend.api import make_server
+    from platipy_tpu.backend.application import ServiceApp
+
+    app = ServiceApp(database_path=":memory:")
+    app.data_directory = str(tmp_path / "data")
+    key = app.database.add_api_key("t")
+    server = make_server(app, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        payload = b"DICM-data-ending-badly-\r\n-"
+        src = tmp_path / "tricky.bin"
+        src.write_bytes(payload)
+        with open(src, "rb") as f:
+            res = requests.post(
+                f"http://127.0.0.1:{port}/api/dataobject",
+                headers={"API_KEY": key},
+                data={"dataset": "up", "file_name": "tricky.bin"},
+                files={"file_data": f},
+            )
+        res.raise_for_status()
+        stored = Path(res.json()["path"]).read_bytes()
+        assert stored == payload
+        # path traversal is neutralised to a basename inside the data dir
+        with open(src, "rb") as f:
+            res2 = requests.post(
+                f"http://127.0.0.1:{port}/api/dataobject",
+                headers={"API_KEY": key},
+                data={"dataset": "up", "file_name": "../../evil.bin"},
+                files={"file_data": f},
+            )
+        stored_path = Path(res2.json()["path"]).resolve()
+        assert stored_path.name == "evil.bin"
+        assert str(tmp_path / "data") in str(stored_path)
+        # arity mismatches answer with 400 instead of dropping the connection
+        res3 = requests.get(f"http://127.0.0.1:{port}/api/dataset",
+                            headers={"API_KEY": key})
+        assert res3.status_code == 400
+    finally:
+        server.shutdown()
