@@ -45,16 +45,29 @@ DEFAULT_VOTE_PARAMS = {
 
 
 def mutual_information(arr_a, arr_b, bins=64):
-    """Histogram-based MI of two flat arrays (reference fusion.py:26-53)."""
+    """Histogram-based MI of two flat arrays (reference fusion.py:26-53).
+
+    DELIBERATE deviation from the reference, which normalises with
+    ``density=True`` (so the "probabilities" sum to 1/(dx*dy), scaling the
+    result by the bin area and adding a log offset) and pairs each marginal
+    with the wrong axis in ``np.outer``.  Here the joint histogram is
+    normalised by its sum and the marginals follow the axis convention of
+    ``np.histogram2d`` (axis 0 = arr_a), giving the textbook
+    ``sum p_ab * log(p_ab / (p_a p_b))`` in nats.
+    """
     arr_a = np.asarray(arr_a).reshape(-1)
     arr_b = np.asarray(arr_b).reshape(-1)
-    p_ab, _, _ = np.histogram2d(arr_a, arr_b, bins=bins, density=True)
-    p_a = p_ab.sum(axis=0)
-    p_b = p_ab.sum(axis=1)
+    counts, _, _ = np.histogram2d(arr_a, arr_b, bins=bins)
+    total = counts.sum()
+    if total == 0:
+        return 0.0
+    p_ab = counts / total
+    p_a = p_ab.sum(axis=1)   # marginal of arr_a (axis 0 indexes arr_a bins)
+    p_b = p_ab.sum(axis=0)   # marginal of arr_b
     with np.errstate(divide="ignore", invalid="ignore"):
         log_p = np.log(p_ab / np.outer(p_a, p_b))
     log_p[~np.isfinite(log_p)] = 0
-    return (p_ab * log_p).sum()
+    return float((p_ab * log_p).sum())
 
 
 def compute_weight_map(
@@ -299,13 +312,18 @@ def combine_labels_staple(label_list_dict: Dict, threshold: float = 1e-4) -> Dic
 
     combined_label_dict = {}
     for s_name in structure_name_list:
+        # not every atlas need carry every structure (combine_labels guards
+        # the same way) — fuse over the atlases that do
+        carriers = [i for i in label_list_dict if s_name in label_list_dict[i]]
+        if not carriers:
+            continue
         stack = jnp.stack(
             [
                 (label_list_dict[i][s_name].array >= 0.5).astype(jnp.float32)
-                for i in label_list_dict
+                for i in carriers
             ]
         )
-        ref = label_list_dict[list(label_list_dict.keys())[0]][s_name]
+        ref = label_list_dict[carriers[0]][s_name]
         w = staple(stack)
         # rescale to [0, 1] (sitk.RescaleIntensity)
         lo, hi = jnp.min(w), jnp.max(w)

@@ -62,18 +62,21 @@ def run_iar(
         reference_structure
     ]
 
+    # smallest-first so the coarse settings are reachable (the reference
+    # tests `< 12` before `< 7` [iar.py:96-110], leaving its small-set branch
+    # dead and sampling small atlas sets at the mid-set density)
     if project_on_sphere:
-        if len(remaining_id_list) < 12:
-            resolution = 3
-        elif len(remaining_id_list) < 7:
+        if len(remaining_id_list) < 7:
             resolution = 6
+        elif len(remaining_id_list) < 12:
+            resolution = 3
         else:
             resolution = 1
     else:
-        if len(remaining_id_list) < 12:
-            resample_factor = 5
-        elif len(remaining_id_list) < 7:
+        if len(remaining_id_list) < 7:
             resample_factor = 10
+        elif len(remaining_id_list) < 12:
+            resample_factor = 5
         else:
             resample_factor = 1
 

@@ -39,7 +39,16 @@ def evaluate_distance_on_surface(
     distance_array = reference_distance_map * test_surface
 
     reference_volume_array = np.asarray(ref_for_com.array)
-    reference_volume_locations = np.array(np.where(reference_volume_array == 1))
+    if reference_as_distance_map:
+        # COM of the reference surface: the zero-level shell of the distance
+        # map.  (The reference's `arr == 1` [projection.py:42] selects voxels
+        # at exactly 1.0 mm — an empty set on non-unit spacing, NaN COM.)
+        shell = reference_volume_array <= float(min(ref_for_com.spacing))
+        if not shell.any():
+            shell = reference_volume_array <= reference_volume_array.min() + 1e-6
+        reference_volume_locations = np.array(np.where(shell))
+    else:
+        reference_volume_locations = np.array(np.where(reference_volume_array == 1))
     com_index = reference_volume_locations.mean(axis=1)
     com_real = vectorised_transform_index_to_physical_point(ref_for_com, com_index)
 

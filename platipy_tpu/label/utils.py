@@ -134,7 +134,11 @@ def binary_encode_structure_list(structure_list: List[Image]) -> Image:
     for power, s_img in enumerate(structure_list):
         mask = np.asarray(s_img.array).astype(bool)
         encoded = np.bitwise_or(encoded, mask * np.uint64(2 ** (power + 1)))
-    return ref.with_array(jnp.asarray(encoded.astype(np.uint32)))
+    # the reference's bit layout starts at bit 1 (utils.py:244), so the 32nd
+    # structure lands on bit 32 — casting to uint32 would silently drop it;
+    # keep the uint32 dtype for <=31 structures and widen only when needed
+    out_dtype = np.uint32 if len(structure_list) <= 31 else np.uint64
+    return ref.with_array(jnp.asarray(encoded.astype(out_dtype)))
 
 
 def binary_decode_image(binary_encoded_img: Image) -> List[Image]:

@@ -45,6 +45,18 @@ def _roi_values(image, mask) -> np.ndarray:
 def _quantize(image, mask, bins: int, bin_width: Optional[float]):
     img = np.asarray(image.array if hasattr(image, "array") else image, np.float64)
     m = np.asarray(mask.array if hasattr(mask, "array") else mask) > 0
+    # crop to the ROI bounding box (pyradiomics does the same): the texture
+    # matrices walk voxels in Python loops, so a small ROI on a full-body CT
+    # is minutes vs milliseconds; levels/runs only count in-mask voxels, so
+    # cropping cannot change any feature value
+    if m.any():
+        zs, ys, xs = np.where(m)
+        sl = tuple(
+            slice(int(lo), int(hi) + 1)
+            for lo, hi in ((zs.min(), zs.max()), (ys.min(), ys.max()),
+                           (xs.min(), xs.max()))
+        )
+        img, m = img[sl], m[sl]
     vals = img[m]
     lo = vals.min()
     if bin_width:
@@ -432,18 +444,24 @@ def extract_ngtdm(image, mask, bins: int = 32,
     q, n_levels = _quantize(image, mask, bins, bin_width)
     m = q > 0
     qf = q.astype(np.float64)
-    # 26-neighbourhood mean of valid neighbours
-    acc = np.zeros_like(qf)
-    cnt = np.zeros_like(qf)
+    # 26-neighbourhood mean of valid neighbours; shifts run on a zero-padded
+    # copy so np.roll cannot wrap opposite volume faces into the
+    # neighbourhood of boundary-touching ROI voxels
+    qf_p = np.pad(qf, 1)
+    m_p = np.pad(m, 1)
+    acc_p = np.zeros_like(qf_p)
+    cnt_p = np.zeros(qf_p.shape, np.int64)
     for dz in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dz == dy == dx == 0:
                     continue
-                sh = np.roll(np.roll(np.roll(qf, dz, 0), dy, 1), dx, 2)
-                shm = np.roll(np.roll(np.roll(m, dz, 0), dy, 1), dx, 2)
-                acc += np.where(shm, sh, 0.0)
-                cnt += shm
+                sh = np.roll(np.roll(np.roll(qf_p, dz, 0), dy, 1), dx, 2)
+                shm = np.roll(np.roll(np.roll(m_p, dz, 0), dy, 1), dx, 2)
+                acc_p += np.where(shm, sh, 0.0)
+                cnt_p += shm
+    acc = acc_p[1:-1, 1:-1, 1:-1]
+    cnt = cnt_p[1:-1, 1:-1, 1:-1]
     valid = m & (cnt > 0)
     nbr_mean = np.where(valid, acc / np.maximum(cnt, 1), 0.0)
     n_v = int(valid.sum())
@@ -491,15 +509,20 @@ def extract_gldm(image, mask, bins: int = 32, alpha: int = 0,
                  bin_width: Optional[float] = None) -> Dict[str, float]:
     q, n_levels = _quantize(image, mask, bins, bin_width)
     m = q > 0
-    dep = np.zeros(q.shape, np.int64)
+    # zero-pad so rolls never wrap a face voxel's neighbourhood to the
+    # opposite face (boundary-touching ROIs otherwise inflate dependence)
+    q_p = np.pad(q.astype(np.int64), 1)
+    m_p = np.pad(m, 1)
+    dep_p = np.zeros(q_p.shape, np.int64)
     for dz in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dz == dy == dx == 0:
                     continue
-                sh = np.roll(np.roll(np.roll(q, dz, 0), dy, 1), dx, 2)
-                shm = np.roll(np.roll(np.roll(m, dz, 0), dy, 1), dx, 2)
-                dep += (np.abs(sh - q) <= alpha) & shm & m
+                sh = np.roll(np.roll(np.roll(q_p, dz, 0), dy, 1), dx, 2)
+                shm = np.roll(np.roll(np.roll(m_p, dz, 0), dy, 1), dx, 2)
+                dep_p += (np.abs(sh - q_p) <= alpha) & shm & m_p
+    dep = dep_p[1:-1, 1:-1, 1:-1]
     dep = dep + 1  # pyradiomics counts the centre voxel
     max_dep = 27
     mat = np.zeros((n_levels, max_dep), np.float64)

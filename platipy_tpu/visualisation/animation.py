@@ -102,8 +102,10 @@ def generate_animation_from_image_sequence(
             scalar_im.set_array(np.ma.masked_where(s <= smin, s))
             artists.append(scalar_im)
         for ca in contour_artists:
-            for coll in list(ca.collections) if hasattr(ca, "collections") else []:
-                coll.remove()
+            # matplotlib >= 3.10: ContourSet is itself a removable artist
+            # (the .collections attribute is gone; silently skipping removal
+            # would stack every prior frame's contours into frame N)
+            ca.remove()
         contour_artists.clear()
         if contour_arrs is not None:
             cs = ax.contour(contour_arrs[i][mid], levels=[0.5], cmap=contour_cmap)

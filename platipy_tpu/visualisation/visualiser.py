@@ -222,9 +222,15 @@ class ImageVisualiser:
                 plot_u, plot_v, plot_c = reorientate_vector_field(
                     axis, vz, vy, vx, invert_field=vo.invert_field
                 )
+                # reference semantics (visualiser.py:1583-1588): 'perpendicular'
+                # colours by the signed out-of-plane component, 'magnitude' by
+                # the full 3-D vector magnitude
+                if vo.color_function == "magnitude":
+                    vector_color = np.sqrt(plot_u**2 + plot_v**2 + plot_c**2)
+                else:
+                    vector_color = plot_c
                 ax.quiver(grid_x, grid_y, plot_u, plot_v,
-                          np.hypot(plot_u, plot_v) if vo.color_function != "magnitude"
-                          else np.abs(plot_c),
+                          vector_color,
                           cmap=vo.colormap, alpha=vo.alpha,
                           scale=1.0 / max(vo.arrow_scale, 1e-6),
                           scale_units="xy", angles="xy",
