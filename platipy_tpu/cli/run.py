@@ -2,9 +2,33 @@
 """PlatiPy-TPU CLI dispatcher (reference: platipy/cli/run.py:32-71)."""
 
 import logging
+import os
 import sys
 
 logger = logging.getLogger(__name__)
+
+
+def _configure_compilation_cache():
+    """Point jax at a persistent compilation cache so repeat CLI invocations
+    skip XLA compiles (each CLI run is a fresh process; without this a
+    segmentation pays the full compile cost every time).  Honour an existing
+    JAX_COMPILATION_CACHE_DIR; opt out with PLATIPY_TPU_NO_COMPILE_CACHE=1."""
+    if os.environ.get("PLATIPY_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".platipy_tpu", "jax_cache"
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as err:  # cache is an optimisation, never fatal
+        logger.debug("Compilation cache unavailable: %s", err)
+
+
+_configure_compilation_cache()
 
 from platipy_tpu.cli import (  # noqa: E402
     dicom_crawler,
