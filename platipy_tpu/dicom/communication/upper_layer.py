@@ -138,8 +138,13 @@ def parse_associate(body: bytes):
 
 def encode_pdata(ctx_id: int, payload: bytes, is_command: bool,
                  max_pdu: int = 65536) -> List[bytes]:
-    """Fragment a command/data payload into P-DATA-TF PDUs."""
-    chunk = max(1024, max_pdu - 12)
+    """Fragment a command/data payload into P-DATA-TF PDUs.
+
+    ``max_pdu`` is the PEER's advertised maximum PDU length and must be
+    honoured even when small (strict SCPs A-ABORT on oversized PDUs);
+    0 means unlimited (PS3.8 annex D) — use 64 KiB.
+    """
+    chunk = (64 * 1024 - 12) if max_pdu == 0 else max(16, max_pdu - 12)
     pdus = []
     for i in range(0, len(payload), chunk):
         frag = payload[i : i + chunk]
@@ -283,15 +288,15 @@ class Association:
             for pdu in encode_pdata(ctx_id, dataset, False, self.max_pdu):
                 self.sock.sendall(pdu)
 
-    def recv_dimse(self) -> Tuple[int, bytes, bytes]:
-        """Collect PDVs until a complete command (+dataset if indicated)."""
-        command = bytearray()
-        dataset = bytearray()
-        ctx_id = 0
-        cmd_done = False
-        needs_data = False
-        data_done = False
-        while True:
+    def _next_pdv(self) -> Tuple[int, int, bytes]:
+        """Next PDV (ctx_id, header, fragment) — from the carry-over queue or
+        by reading another P-DATA-TF PDU.  One PDU may legally hold PDVs of
+        several DIMSE messages (PS3.8 §9.3.5); PDVs past the current message
+        must survive for the next recv_dimse call."""
+        pending = getattr(self, "_pending_pdvs", None)
+        if pending is None:
+            pending = self._pending_pdvs = []
+        while not pending:
             pdu_type, body = self._read_pdu()
             if pdu_type == 0x07:
                 raise ConnectionError("association aborted by peer")
@@ -300,23 +305,34 @@ class Association:
             pos = 0
             while pos < len(body):
                 (n,) = struct.unpack(">I", body[pos : pos + 4])
-                ctx_id = body[pos + 4]
-                header = body[pos + 5]
-                frag = body[pos + 6 : pos + 4 + n]
-                if header & 0x01:
-                    command += frag
-                    if header & 0x02:
-                        cmd_done = True
-                        cmd = decode_command(bytes(command))
-                        dst = cmd.get((0x0000, 0x0800), b"\x01\x01")
-                        needs_data = struct.unpack("<H", dst[:2])[0] != 0x0101
-                else:
-                    dataset += frag
-                    if header & 0x02:
-                        data_done = True
+                pending.append(
+                    (body[pos + 4], body[pos + 5], bytes(body[pos + 6 : pos + 4 + n]))
+                )
                 pos += 4 + n
-            if cmd_done and (not needs_data or data_done):
-                return ctx_id, bytes(command), bytes(dataset)
+        return pending.pop(0)
+
+    def recv_dimse(self) -> Tuple[int, bytes, bytes]:
+        """Collect PDVs until a complete command (+dataset if indicated)."""
+        command = bytearray()
+        dataset = bytearray()
+        ctx_id = 0
+        cmd_done = False
+        needs_data = False
+        data_done = False
+        while not (cmd_done and (not needs_data or data_done)):
+            ctx_id, header, frag = self._next_pdv()
+            if header & 0x01:
+                command += frag
+                if header & 0x02:
+                    cmd_done = True
+                    cmd = decode_command(bytes(command))
+                    dst = cmd.get((0x0000, 0x0800), b"\x01\x01")
+                    needs_data = struct.unpack("<H", dst[:2])[0] != 0x0101
+            else:
+                dataset += frag
+                if header & 0x02:
+                    data_done = True
+        return ctx_id, bytes(command), bytes(dataset)
 
     def release(self) -> None:
         try:
@@ -539,15 +555,25 @@ MOVE_STUDY_ROOT = "1.2.840.10008.5.1.4.1.2.2.2"
 MOVE_PATIENT_ROOT = "1.2.840.10008.5.1.4.1.2.1.2"
 
 
-def _encode_identifier(identifier: Dict) -> bytes:
-    """Encode a query identifier dict {(g,e): Element|str} as explicit VR LE."""
+def _encode_identifier(identifier: Dict, explicit: bool = True) -> bytes:
+    """Encode a query identifier dict {(g,e): Element|str} in the accepted
+    transfer syntax — sending explicit VR on an implicit-accepted context
+    makes the SCP read the VR bytes as length and garbage the query."""
+    from platipy_tpu.dicom.io.dataset import _encode_value
+
     body = bytearray()
     for tag in sorted(identifier):
         el = identifier[tag]
         if not isinstance(el, Element):
             el = Element(b"UI" if tag in ((0x0020, 0x000D), (0x0020, 0x000E)) else b"LO",
                          el)
-        _write_element(body, tag, el)
+        if explicit:
+            _write_element(body, tag, el)
+        else:
+            raw = _encode_value(el.vr, el.value)  # already even-padded
+            body += struct.pack("<HH", tag[0], tag[1])
+            body += struct.pack("<I", len(raw))
+            body += raw
     return bytes(body)
 
 
@@ -570,7 +596,7 @@ def c_find(host: str, port: int, identifier: Dict, query_model: str = "S",
             (0x0000, 0x0700): _us(0x0002),
             (0x0000, 0x0800): _us(0x0000),
         })
-        assoc.send_dimse(ctx, cmd, _encode_identifier(identifier))
+        assoc.send_dimse(ctx, cmd, _encode_identifier(identifier, explicit))
         while True:
             _, cmd_raw, data = assoc.recv_dimse()
             rsp = decode_command(cmd_raw)
@@ -595,6 +621,7 @@ def c_move(host: str, port: int, identifier: Dict, move_destination: str,
                         [(sop, [EXPLICIT_VR_LE, IMPLICIT_VR_LE])], timeout=timeout)
     try:
         ctx = assoc.context_for(sop)
+        explicit = assoc.accepted[ctx] == EXPLICIT_VR_LE
         cmd = _encode_command({
             (0x0000, 0x0002): _ui(sop),
             (0x0000, 0x0100): _us(0x0021),
@@ -603,7 +630,7 @@ def c_move(host: str, port: int, identifier: Dict, move_destination: str,
             (0x0000, 0x0700): _us(0x0002),
             (0x0000, 0x0800): _us(0x0000),
         })
-        assoc.send_dimse(ctx, cmd, _encode_identifier(identifier))
+        assoc.send_dimse(ctx, cmd, _encode_identifier(identifier, explicit))
         counts = {"completed": 0, "failed": 0, "warning": 0}
         while True:
             _, cmd_raw, _data = assoc.recv_dimse()

@@ -51,6 +51,15 @@ _IMPLICIT_VR = {
     (0x0028, 0x0100): b"US", (0x0028, 0x0101): b"US", (0x0028, 0x0102): b"US",
     (0x0028, 0x0103): b"US", (0x0028, 0x1052): b"DS", (0x0028, 0x1053): b"DS",
     (0x0028, 0x1054): b"LO",
+    # PT SUV scaling chain (series.get_suv_bw_scale_factor); without these an
+    # implicit-VR PT series (default transfer syntax) decodes them as UN raw
+    # bytes and SUV conversion silently never applies
+    (0x0010, 0x1030): b"DS",
+    (0x0018, 0x0088): b"DS",
+    (0x0018, 0x1072): b"TM", (0x0018, 0x1074): b"DS", (0x0018, 0x1075): b"DS",
+    (0x0018, 0x1078): b"DT",
+    (0x0054, 0x0016): b"SQ", (0x0054, 0x1001): b"CS",
+    (0x7053, 0x1000): b"DS",
     (0x3004, 0x0002): b"CS", (0x3004, 0x0004): b"CS", (0x3004, 0x000A): b"CS",
     (0x3004, 0x000C): b"DS", (0x3004, 0x000E): b"DS",
     (0x3006, 0x0002): b"SH", (0x3006, 0x0004): b"LO", (0x3006, 0x0008): b"DA",
@@ -232,6 +241,17 @@ def read_file(path: str) -> Dict[Tag, Element]:
 # writer (explicit VR little endian)
 # ---------------------------------------------------------------------------
 
+def _ds_str(v: float) -> str:
+    """Decimal string in <= 16 bytes (the DS limit) at the best precision
+    that fits — "%g" alone truncates geometry to 6 significant digits, which
+    drifts coordinates on every store/forward hop."""
+    for digits in range(16, 5, -1):
+        text = f"{v:.{digits}g}"
+        if len(text) <= 16:
+            return text
+    return f"{v:.6g}"
+
+
 def _encode_value(vr: bytes, value) -> bytes:
     if vr in _BINARY_VR_FMT:
         fmt, _ = _BINARY_VR_FMT[vr]
@@ -241,14 +261,18 @@ def _encode_value(vr: bytes, value) -> bytes:
     if vr in _STRING_VRS:
         if isinstance(value, (list, tuple)):
             if vr == b"DS":
-                text = "\\".join(f"{float(v):g}" for v in value)
+                text = "\\".join(
+                    "" if v == "" else _ds_str(float(v)) for v in value
+                )
             elif vr == b"IS":
-                text = "\\".join(str(int(v)) for v in value)
+                text = "\\".join(
+                    "" if v == "" else str(int(v)) for v in value
+                )
             else:
                 text = "\\".join(str(v) for v in value)
         else:
             if vr == b"DS" and isinstance(value, float):
-                text = f"{value:g}"
+                text = _ds_str(value)
             else:
                 text = str(value)
         raw = text.encode("latin-1")

@@ -125,15 +125,28 @@ def read_dicom_series(path_or_files, suv: bool = False) -> Image:
     """
     if isinstance(path_or_files, (str, Path)):
         files = find_dicom_files(path_or_files)
-        groups = group_dicom_files(files)
-        if not groups:
+        if not files:
             raise FileNotFoundError(f"No DICOM files found under {path_or_files}")
-        # largest series wins (like the crawler's default choice)
-        files = max(groups.values(), key=len)
+        # group by series (largest wins, like the crawler's default choice)
+        # WITHOUT re-parsing: each file is fully decoded exactly once
+        parsed = {}
+        by_series = {}
+        for f in files:
+            try:
+                ds = read_file(f)
+            except Exception:
+                continue
+            parsed[f] = ds
+            uid_el = ds.get((0x0020, 0x000E))
+            uid = str(uid_el.value) if uid_el is not None else "unknown"
+            by_series.setdefault(uid, []).append(f)
+        if not by_series:
+            raise FileNotFoundError(f"No DICOM files found under {path_or_files}")
+        files = max(by_series.values(), key=len)
+        datasets = [parsed[f] for f in files]
     else:
         files = list(path_or_files)
-
-    datasets = [read_file(f) for f in files]
+        datasets = [read_file(f) for f in files]
 
     iop = datasets[0].get((0x0020, 0x0037))
     if iop is not None:
@@ -156,7 +169,14 @@ def read_dicom_series(path_or_files, suv: bool = False) -> Image:
     if suv:
         slices = [s * get_suv_bw_scale_factor(ds)
                   for s, ds in zip(slices, datasets)]
-    volume = np.stack(slices).astype(np.float32)
+    if len(slices) == 1 and slices[0].ndim == 3:
+        # single-file multi-frame series (enhanced CT / NM / PT): the frames
+        # ARE the z axis — np.stack would produce a bogus 4-D volume
+        volume = slices[0].astype(np.float32)
+        multiframe = True
+    else:
+        volume = np.stack(slices).astype(np.float32)
+        multiframe = False
 
     first = datasets[0]
     ps = first.get((0x0028, 0x0030))
@@ -167,6 +187,11 @@ def read_dicom_series(path_or_files, suv: bool = False) -> Image:
             z_spacing = float(
                 first.get((0x0018, 0x0050), Element(b"DS", 1.0)).value or 1.0
             )
+    elif multiframe:
+        # SpacingBetweenSlices, else SliceThickness
+        sbs = first.get((0x0018, 0x0088))
+        z_spacing = (abs(float(np.atleast_1d(sbs.value)[0])) if sbs is not None
+                     else float(first.get((0x0018, 0x0050), Element(b"DS", 1.0)).value or 1.0))
     else:
         z_spacing = float(first.get((0x0018, 0x0050), Element(b"DS", 1.0)).value or 1.0)
 

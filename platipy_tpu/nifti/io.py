@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import gzip
 import struct
+from pathlib import Path
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -82,6 +83,17 @@ def read_image(path: str, dtype=None) -> Image:
         magic = header[344:348]
         if magic[:3] not in (b"n+1", b"ni1"):
             raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
+        data_path = path
+        if magic[:3] == b"ni1":
+            # two-file NIfTI: the voxels live in the companion .img, not in
+            # the header file (reading the .hdr at vox_offset returned header
+            # bytes reinterpreted as voxels)
+            img = Path(str(path)).with_suffix(".img")
+            if not img.exists():
+                raise FileNotFoundError(
+                    f"{path}: two-file NIfTI (magic ni1) without its .img"
+                )
+            data_path = str(img)
 
         ndim = dim[0]
         nx, ny, nz = dim[1], max(dim[2], 1), max(dim[3], 1)
@@ -91,9 +103,14 @@ def read_image(path: str, dtype=None) -> Image:
         if np_dtype is None:
             raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
 
-        f.seek(int(vox_offset))
         count = nx * ny * nz * nvols
-        raw = f.read(count * np.dtype(np_dtype).itemsize)
+        if data_path == path:
+            f.seek(int(vox_offset))
+            raw = f.read(count * np.dtype(np_dtype).itemsize)
+        else:
+            with open(data_path, "rb") as fi:
+                fi.seek(int(max(vox_offset, 0)))
+                raw = fi.read(count * np.dtype(np_dtype).itemsize)
         arr = np.frombuffer(raw, dtype=np_dtype)
         if endian == ">":
             arr = arr.byteswap()
@@ -104,6 +121,13 @@ def read_image(path: str, dtype=None) -> Image:
         else:
             arr = arr.reshape(nz, ny, nx)
 
+    # NaN slope/intercept mean "no scaling" (emitted by some writers); NaN
+    # compares unequal to everything, so the old test multiplied the whole
+    # image by NaN
+    if np.isnan(scl_slope):
+        scl_slope = 0.0
+    if np.isnan(scl_inter):
+        scl_inter = 0.0
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0 else 1.0
         arr = arr.astype(np.float32) * slope + scl_inter

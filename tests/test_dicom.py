@@ -384,3 +384,80 @@ def test_multipart_trailing_payload_bytes_preserved(tmp_path):
         assert res3.status_code == 400
     finally:
         server.shutdown()
+
+
+def test_ds_roundtrip_precision_and_empty_components(tmp_path):
+    """DS re-encoding keeps up to 16 significant characters (was %g = 6) and
+    empty components survive a read->write->read round trip."""
+    from platipy_tpu.dicom.io.dataset import (
+        Element, _ds_str, generate_uid, read_file, write_file,
+    )
+
+    assert _ds_str(-251.337890625) == "-251.337890625"
+    assert len(_ds_str(-2.5133789062512345e2)) <= 16
+    assert float(_ds_str(3.3112547e-05)) == 3.3112547e-05
+
+    sop = generate_uid()
+    ds = {
+        (0x0008, 0x0016): Element(b"UI", "1.2.840.10008.5.1.4.1.1.2"),
+        (0x0008, 0x0018): Element(b"UI", sop),
+        (0x0020, 0x0032): Element(b"DS", [-251.337890625, 0.25, 1250.5]),
+        (0x3006, 0x0050): Element(b"DS", [1.0, "", 3.0]),
+    }
+    path = tmp_path / "ds.dcm"
+    write_file(str(path), ds, "1.2.840.10008.5.1.4.1.1.2", sop)
+    back = read_file(str(path))
+    assert back[(0x0020, 0x0032)].value[0] == -251.337890625
+    assert back[(0x3006, 0x0050)].value == [1.0, "", 3.0]
+
+
+def test_multiframe_single_file_series(tmp_path):
+    """A single-file multi-frame series reads as a [frames, rows, cols]
+    volume (np.stack previously produced a bogus 4-D array)."""
+    from platipy_tpu.dicom.io.dataset import Element, generate_uid, write_file
+    from platipy_tpu.dicom.io.series import read_dicom_series
+
+    frames = (np.arange(4 * 8 * 8).reshape(4, 8, 8) % 500).astype(np.uint16)
+    sop = generate_uid()
+    ds = {
+        (0x0008, 0x0016): Element(b"UI", "1.2.840.10008.5.1.4.1.1.128"),
+        (0x0008, 0x0018): Element(b"UI", sop),
+        (0x0008, 0x0060): Element(b"CS", "PT"),
+        (0x0020, 0x000D): Element(b"UI", generate_uid()),
+        (0x0020, 0x000E): Element(b"UI", generate_uid()),
+        (0x0020, 0x0032): Element(b"DS", [0.0, 0.0, 0.0]),
+        (0x0020, 0x0037): Element(b"DS", [1, 0, 0, 0, 1, 0]),
+        (0x0018, 0x0088): Element(b"DS", 3.5),
+        (0x0028, 0x0002): Element(b"US", 1),
+        (0x0028, 0x0008): Element(b"IS", 4),
+        (0x0028, 0x0010): Element(b"US", 8),
+        (0x0028, 0x0011): Element(b"US", 8),
+        (0x0028, 0x0030): Element(b"DS", [2.0, 2.0]),
+        (0x0028, 0x0100): Element(b"US", 16),
+        (0x0028, 0x0103): Element(b"US", 0),
+        (0x7FE0, 0x0010): Element(b"OW", frames.tobytes()),
+    }
+    path = tmp_path / "mf.dcm"
+    write_file(str(path), ds, "1.2.840.10008.5.1.4.1.1.128", sop)
+
+    img = read_dicom_series([str(path)])
+    assert img.spatial_shape == (4, 8, 8)
+    assert img.spacing == (2.0, 2.0, 3.5)
+    np.testing.assert_allclose(np.asarray(img.array), frames.astype(np.float32))
+
+
+def test_nifti_nan_slope_ignored(tmp_path):
+    """scl_slope=NaN means 'no scaling' — previously every voxel became NaN."""
+    from platipy_tpu.nifti.io import read_image, write_image
+
+    img = from_array(np.arange(4 * 4 * 4, dtype=np.float32).reshape(4, 4, 4))
+    path = tmp_path / "nan_slope.nii"
+    write_image(img, str(path))
+    raw = bytearray(path.read_bytes())
+    import struct as _s
+
+    raw[112:116] = _s.pack("<f", float("nan"))  # scl_slope
+    path.write_bytes(bytes(raw))
+    back = read_image(str(path))
+    assert np.isfinite(np.asarray(back.array)).all()
+    np.testing.assert_allclose(np.asarray(back.array), np.asarray(img.array))
