@@ -94,14 +94,21 @@ def main():
     cold_s = time.time() - t0
     dsc = compute_metric_dsc(target_mask, results["WHOLEHEART"])
 
-    # run 2 (steady state: per-case time in a deployed service, new target)
-    target_img2, target_mask2 = build_case((46, 82, 78), 34, shape, spacing, rng)
-    t0 = time.time()
-    results2, _ = run_segmentation(target_img2, settings)
-    np.asarray(results2["WHOLEHEART"].array)
-    warm_s = time.time() - t0
-    dsc2 = compute_metric_dsc(target_mask2, results2["WHOLEHEART"])
+    # steady state: three distinct warm cases back-to-back (deployed-service
+    # regime); the mean damps single-run tunnel/host jitter
+    warm_times = []
+    dscs = [float(dsc)]
+    for case_args in (((46, 82, 78), 34), ((50, 78, 82), 37), ((47, 80, 79), 35)):
+        target_img_w, target_mask_w = build_case(
+            case_args[0], case_args[1], shape, spacing, rng
+        )
+        t0 = time.time()
+        results_w, _ = run_segmentation(target_img_w, settings)
+        np.asarray(results_w["WHOLEHEART"].array)  # force full execution
+        warm_times.append(time.time() - t0)
+        dscs.append(float(compute_metric_dsc(target_mask_w, results_w["WHOLEHEART"])))
 
+    warm_s = float(np.mean(warm_times))
     baseline_s = 300.0  # reference hybrid cardiac pipeline ~5 min per case
     print(
         json.dumps(
@@ -111,7 +118,9 @@ def main():
                 "unit": "s",
                 "vs_baseline": round(warm_s / baseline_s, 4),
                 "cold_s": round(cold_s, 2),
-                "dsc": round(float(min(dsc, dsc2)), 4),
+                "warm_runs_s": [round(t, 2) for t in warm_times],
+                "throughput_cases_per_hour": round(3600.0 / warm_s, 1),
+                "dsc": round(min(dscs), 4),
                 "device": str(jax.devices()[0]),
             }
         )
