@@ -28,7 +28,6 @@ from typing import Dict, List, Optional, Tuple
 from platipy_tpu.dicom.io.dataset import (
     Element,
     _write_element,
-    generate_uid,
     read_dataset,
 )
 

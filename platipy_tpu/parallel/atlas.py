@@ -18,7 +18,7 @@ vmap/shard/jit cleanly; the Image-level pipeline wraps them.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

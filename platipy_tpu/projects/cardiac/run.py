@@ -28,9 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from platipy_tpu.core.components import (
-    connected_components,
     keep_largest_component,
-    relabel_components,
 )
 from platipy_tpu.core.image import Image
 from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST
@@ -40,7 +38,6 @@ from platipy_tpu.label.fusion import (
     combine_labels,
     compute_weight_map,
     process_probability_image,
-    weighted_voting_batched,
 )
 from platipy_tpu.label.iar import run_iar
 from platipy_tpu.label.utils import binary_encode_structure_list, correct_volume_overlap
@@ -49,7 +46,6 @@ from platipy_tpu.parallel.atlas import (
     batched_multiscale_demons,
     pad_atlas_axis,
     batched_warp_by_dvf,
-    batched_weight_maps,
     shard_over_atlases,
 )
 from platipy_tpu.registration.linear import linear_registration, linear_registration_batched

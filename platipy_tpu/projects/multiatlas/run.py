@@ -26,9 +26,7 @@ import numpy as np
 from platipy_tpu.core.image import Image
 from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST
 from platipy_tpu.core.components import (
-    connected_components,
     keep_largest_component,
-    relabel_components,
 )
 from platipy_tpu.core.morphology import binary_closing
 from platipy_tpu.label.fusion import process_probability_image, weighted_voting_batched
