@@ -30,10 +30,13 @@ def bone_segmentation_service(data_objects, working_dir, settings):
 
 PRIMITIVE_SETTINGS_DEFAULTS = {
     "seed": [0, 0, 0],           # (x, y, z) index, reference order
-    "lowerThreshold": -250,
-    "upperThreshold": 1500,
+    # the grown region is AIR (then inverted to the body) — the reference's
+    # thresholds (sample.py:29-31); tissue thresholds here would invert to
+    # everything-but-body
+    "lowerThreshold": -5000,
+    "upperThreshold": -800,
     "vectorRadius": [1, 1, 1],
-    "outputContourName": "primitive_body",
+    "outputContourName": "primitive_body_contour",
 }
 
 

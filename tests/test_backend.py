@@ -340,3 +340,56 @@ def test_cluster_worker_pool_dispatch_and_retry(tmp_path):
     dead = dead_pool.map(cases[:1], working_dir=str(tmp_path / "out2"))
     assert list(dead.values())[0].state == "FAILURE"
     assert isinstance(list(dead.values())[0], CaseResult)
+
+
+def test_all_service_shims_register(tmp_path):
+    """Every deployed-service shim imports and registers its algorithm on the
+    shared app (reference services/*/service.py); the dependency-gated ones
+    (nnunet zoo, totalsegmentator, pinnacle) raise only when invoked."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, str(REPO_ROOT))
+    names = ["bronchus", "cardiac", "dirqa", "mridixon", "nnunet",
+             "pinnacle", "radiomics", "sample", "totalsegmentator"]
+    for name in names:
+        importlib.import_module(f"services.{name}.service")
+
+    from platipy_tpu.backend.application import app as shared_app
+
+    registered = set(shared_app.algorithms)
+    assert {"Bronchus Segmentation", "Cardiac Segmentation",
+            "Cardiac Structure Guided Segmentation",
+            "Bone Segmentation (sample)", "Primitive Body Segmentation",
+            "TotalSegmentator", "Pinnacle Export"} <= registered, registered
+
+    # the sample services run end-to-end on a synthetic CT
+    from services.sample.service import (
+        bone_segmentation_service, primitive_body_segmentation,
+        PRIMITIVE_SETTINGS_DEFAULTS, SAMPLE_SETTINGS_DEFAULTS,
+    )
+
+    rng = np.random.RandomState(0)
+    ct = np.full((8, 16, 16), -1000.0, np.float32)
+    ct[2:6, 4:12, 4:12] = 40.0      # body
+    ct[3:5, 6:10, 6:10] = 700.0     # bone
+    path = tmp_path / "ct.nii.gz"
+    write_image(from_array(ct, spacing=(2, 2, 2)), str(path))
+    objs = [{"id": "1", "path": str(path), "type": "FILE"}]
+
+    out_bone = bone_segmentation_service(objs, str(tmp_path), SAMPLE_SETTINGS_DEFAULTS)
+    bone = np.asarray(read_image(out_bone[0]["path"]).array)
+    assert bone.sum() > 0 and bone[4, 8, 8] == 1 and bone[0, 0, 0] == 0
+
+    settings = dict(PRIMITIVE_SETTINGS_DEFAULTS)
+    settings["seed"] = [0, 0, 0]     # grow through the surrounding air
+    out_body = primitive_body_segmentation(objs, str(tmp_path), settings)
+    body = np.asarray(read_image(out_body[0]["path"]).array)
+    # air region grown from the corner, then inverted = the body
+    assert body[4, 8, 8] == 1 and body[0, 0, 0] == 0
+
+    # dependency-gated services fail with a clear error when invoked
+    from services.pinnacle.service import pinnacle_service
+
+    with pytest.raises((RuntimeError, NotImplementedError)):
+        pinnacle_service(objs, str(tmp_path), {})
