@@ -1,0 +1,105 @@
+"""IAR, surface projection, and probability-threshold optimisation tests
+(reference label/iar.py:36-301, label/projection.py, utils/math.py:57-179 —
+none of which the reference's own suite covers)."""
+
+import numpy as np
+import pytest
+
+from platipy_tpu.core.image import from_array
+from platipy_tpu.generation.image import insert_sphere
+
+
+def _sphere_mask(radius, centre, shape=(24, 48, 48), spacing=(2.0, 2.0, 2.0)):
+    arr = insert_sphere(np.zeros(shape), radius, centre)
+    return from_array(arr.astype(np.uint8), spacing=spacing)
+
+
+@pytest.fixture(scope="module")
+def atlas_set_with_outlier():
+    """7 concordant sphere atlases + 1 gross outlier (shifted + shrunk)."""
+    rng = np.random.RandomState(0)
+    atlas_set = {}
+
+    def entry(mask):
+        # the cardiac pipeline populates a per-atlas weight map before IAR
+        ones = mask.with_array(np.ones(mask.spatial_shape, np.float32))
+        return {"DIR": {"WHOLEHEART": mask, "Weight Map": ones}}
+
+    for i in range(7):
+        jit = rng.randint(-1, 2, size=3)
+        mask = _sphere_mask(8 + rng.randint(-1, 2),
+                           (12 + jit[0], 24 + jit[1], 24 + jit[2]))
+        atlas_set[f"{i:02d}"] = entry(mask)
+    atlas_set["99"] = entry(_sphere_mask(4, (6, 10, 38)))
+    return atlas_set
+
+
+def test_run_iar_removes_outlier(atlas_set_with_outlier):
+    from platipy_tpu.label.iar import run_iar
+
+    result = run_iar(
+        dict(atlas_set_with_outlier), "WHOLEHEART",
+        min_best_atlases=4, label="DIR",
+    )
+    assert "99" not in result, sorted(result)
+    assert len(result) >= 4
+    # concordant atlases survive
+    assert set(result) <= {f"{i:02d}" for i in range(7)}
+
+
+def test_run_iar_sphere_projection_path(atlas_set_with_outlier):
+    """The project_on_sphere branch (regrid on a theta/phi grid) runs on
+    non-unit spacing — its COM derivation crashed with NaNs before."""
+    from platipy_tpu.label.iar import run_iar
+
+    result = run_iar(
+        dict(atlas_set_with_outlier), "WHOLEHEART",
+        min_best_atlases=4, label="DIR", project_on_sphere=True,
+        single_step=True,
+    )
+    assert len(result) >= 4
+
+
+def test_projection_surface_distance():
+    from platipy_tpu.label.projection import (
+        evaluate_distance_on_surface,
+        evaluate_distance_to_reference,
+        regrid_spherical_data,
+    )
+
+    ref = _sphere_mask(8, (12, 24, 24))
+    # identical test volume: distances ~0; shifted: distances ~shift
+    theta, phi, values = evaluate_distance_on_surface(ref, ref)
+    assert values.mean() < 1.5
+    shifted = _sphere_mask(8, (12, 24, 28))
+    _, _, values_shift = evaluate_distance_on_surface(ref, shifted)
+    assert values_shift.max() >= 6.0  # 4 voxels * 2 mm on the far side
+
+    d = evaluate_distance_to_reference(ref, shifted, resample_factor=2)
+    assert d.ndim == 1 and d.size > 0
+
+    lat, lon, grid = regrid_spherical_data(theta, phi, values, resolution=10)
+    assert grid.shape == lat.shape == lon.shape
+
+
+def test_quick_optimise_probability_finds_threshold():
+    """The shrinking sweep recovers the threshold that maximises DSC."""
+    from platipy_tpu.label.comparison import compute_metric_dsc
+    from platipy_tpu.utils.math import gen_primes, quick_optimise_probability
+
+    it = gen_primes()
+    assert [next(it) for _ in range(5)] == [2, 3, 5, 7, 11]
+
+    truth = _sphere_mask(8, (12, 24, 24))
+    # probability map: smooth radial falloff crossing 0.5 at the truth surface
+    zz, yy, xx = np.mgrid[:24, :48, :48].astype(np.float32)
+    d = np.sqrt(((zz - 12) ** 2 + (yy - 24) ** 2 + (xx - 24) ** 2)) * 2.0
+    prob = 1.0 / (1.0 + np.exp((d - 16.0) / 2.0))
+    prob_img = from_array(prob.astype(np.float32), spacing=(2.0, 2.0, 2.0))
+
+    p_opt, m_opt = quick_optimise_probability(
+        compute_metric_dsc, truth, prob_img, p_0=0.3, delta=0.3,
+        mode="max", verbose=False,
+    )
+    assert 0.2 <= p_opt <= 0.8
+    assert m_opt > 0.9
