@@ -2,6 +2,8 @@
 (reference label/iar.py:36-301, label/projection.py, utils/math.py:57-179 —
 none of which the reference's own suite covers)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -103,3 +105,73 @@ def test_quick_optimise_probability_finds_threshold():
     )
     assert 0.2 <= p_opt <= 0.8
     assert m_opt > 0.9
+
+
+def test_tcia_fetch_data_offline(tmp_path, monkeypatch):
+    """fetch_data drives the TCIA REST flow (reference tcia.py:39-120):
+    exercised offline by monkeypatching the HTTP layer with canned responses
+    and a zipped synthetic DICOM series."""
+    import io
+    import zipfile
+
+    from platipy_tpu.dicom.download import tcia
+    from platipy_tpu.dicom.io.series import write_dicom_series
+
+    img = from_array(
+        (np.random.RandomState(0).rand(3, 16, 16) * 200).astype(np.float32),
+        spacing=(1.0, 1.0, 2.5),
+    )
+    series_dir = tmp_path / "src"
+    paths = write_dicom_series(img, series_dir, patient_id="TCIA-PAT-1")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for p in paths:
+            zf.write(p, Path(p).name)
+    zip_bytes = buf.getvalue()
+
+    def fake_get_json(endpoint, params):
+        if endpoint == "getCollectionValues":
+            return [{"Collection": "TEST-COLL"}]
+        if endpoint == "getPatient":
+            assert params["Collection"] == "TEST-COLL"
+            return [{"PatientID": "TCIA-PAT-1"}]
+        if endpoint == "getModalityValues":
+            return [{"Modality": "CT"}]
+        if endpoint == "getSeries":
+            return [{"SeriesInstanceUID": "1.2.3.4", "Modality": "CT"}]
+        raise AssertionError(endpoint)
+
+    class FakeResponse:
+        content = zip_bytes
+
+        def raise_for_status(self):
+            pass
+
+    class FakeRequests:
+        @staticmethod
+        def get(url, params=None, timeout=None):
+            assert "getImage" in url
+            return FakeResponse()
+
+    monkeypatch.setattr(tcia, "_get_json", fake_get_json)
+    import sys
+
+    monkeypatch.setitem(sys.modules, "requests", FakeRequests)
+
+    assert tcia.get_collections() == ["TEST-COLL"]
+    assert tcia.get_patients_in_collection("TEST-COLL") == ["TCIA-PAT-1"]
+    assert tcia.get_modalities_in_collection("TEST-COLL") == {"CT"}
+
+    result = tcia.fetch_data("TEST-COLL", number_of_patients=1,
+                             modalities=["CT"], nifti=True,
+                             output_directory=str(tmp_path / "out"))
+    assert "TCIA-PAT-1" in result
+    patient_dir = Path(result["TCIA-PAT-1"])
+    assert list((patient_dir / "dicom" / "1.2.3.4").glob("*.dcm"))
+    nifti_files = list((patient_dir / "nifti").rglob("*.nii.gz"))
+    assert len(nifti_files) >= 1
+
+    # cached second call skips the network entirely
+    result2 = tcia.fetch_data("TEST-COLL", patient_ids=["TCIA-PAT-1"],
+                              output_directory=str(tmp_path / "out"))
+    assert result2 == result
