@@ -374,7 +374,9 @@ def run_hybrid_segmentation(img: Image, settings=HYBRID_SETTINGS_DEFAULTS):
 
     if "Struct_0" not in mask_wh.keys():
         logger.warning("Whole Heart segmentation failed. Unable to proceed.")
-        return {}
+        # same (results, results_prob) shape as the success path — callers
+        # unpack a tuple (services/cardiac/service.py)
+        return {}, {}
 
     return run_cardiac_segmentation(
         img, guide_structure=mask_wh["Struct_0"], settings=settings["cardiac_settings"]
