@@ -110,3 +110,36 @@ def extend_mask(mask: Image, direction=("ax", "sup"), extension_mm=10,
                 arr[s_in, :, :] = shape_slab
 
     return mask.with_array(jnp.asarray(arr))
+
+
+def _extend_sup_arr(arr: "jnp.ndarray", n_ext: int, n_est: int) -> "jnp.ndarray":
+    """Device formulation of ``extend_mask(direction=("ax","sup"))`` for a
+    binary [z,y,x] array: slices in [sup+1-n_est, min(nz, sup+1+n_ext)) are
+    replaced by the elementwise max of the interior slab [sup-n_est, sup) —
+    exactly the reference's overwrite loop (mask.py:143-147), but jittable
+    and vmappable (the host version pulls + pushes a full volume per call)."""
+    import jax.numpy as jnp
+
+    nz = arr.shape[0]
+    idx = jnp.arange(nz)
+    any_z = (arr > 0).any(axis=(1, 2))
+    sup = jnp.max(jnp.where(any_z, idx, -1))
+    slab_w = ((idx >= sup - n_est) & (idx < sup))[:, None, None]
+    slab = jnp.max(jnp.where(slab_w, arr, 0), axis=0)
+    max_index = jnp.minimum(nz, sup + 1 + n_ext)
+    in_range = ((idx >= sup + 1 - n_est) & (idx < max_index))[:, None, None]
+    return jnp.where(in_range, slab[None], arr)
+
+
+def extend_mask_superior_batched(stack, spacing_z: float, extension_mm: float,
+                                 interior_mm_shape: float):
+    """Batched superior mask extension over a [N, z, y, x] stack — ONE device
+    program instead of N host round trips (used by the cardiac pipeline's
+    guide-mask expansion)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_ext = int(extension_mm / spacing_z)
+    n_est = int(interior_mm_shape / spacing_z)
+    fn = lambda a: _extend_sup_arr(a, n_ext, n_est)
+    return jax.vmap(fn)(jnp.asarray(stack))

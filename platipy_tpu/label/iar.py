@@ -33,6 +33,36 @@ def median_absolute_deviation(data, axis=None):
     return np.median(np.abs(data - np.median(data, axis=axis)), axis=axis)
 
 
+def _contour_np(mask: np.ndarray) -> np.ndarray:
+    """Inner-boundary voxels, ITK BinaryContour semantics (face neighbours,
+    background-padded) — numpy mirror of morphology._label_contour_jit."""
+    padded = np.pad(mask, 1, constant_values=False)
+    interior = mask.copy()
+    for off in ((0, 1, 1), (2, 1, 1), (1, 0, 1), (1, 2, 1), (1, 1, 0), (1, 1, 2)):
+        interior &= padded[off[0]:off[0] + mask.shape[0],
+                           off[1]:off[1] + mask.shape[1],
+                           off[2]:off[2] + mask.shape[2]]
+    return mask & ~interior
+
+
+def _process_binary_np(binary_np: np.ndarray):
+    """Host-side fill-holes + largest-component (the native tail of
+    fusion.process_probability_image, operating on an already-pulled array)."""
+    from platipy_tpu import native
+
+    if not native.available():
+        return None
+    if not binary_np.any():
+        return np.zeros_like(binary_np)
+    filled = native.fill_holes_3d(binary_np, 6)
+    lab = native.cc_label_3d((filled > 0).astype(np.uint8), 26)
+    flat = lab.reshape(-1)
+    counts = np.bincount(flat[flat > 0]) if flat.any() else np.zeros(1, int)
+    if counts.size and counts.max() > 0:
+        return (lab == int(counts.argmax())).astype(np.uint8)
+    return np.zeros_like(binary_np)
+
+
 def gaussian_curve(x, a, m, s):
     return a * scipy_norm.pdf(x, loc=m, scale=s)
 
@@ -82,28 +112,62 @@ def run_iar(
 
     g_val_list = []
     logger.info("  Calculating surface distance maps: ")
-    for test_id in remaining_id_list:
-        test_volume = atlas_set[test_id][label][reference_structure]
-        test_volume = process_probability_image(test_volume, 0.1)
 
-        if project_on_sphere:
-            reference_volume = process_probability_image(probability_label, threshold=0.999)
-            from platipy_tpu.label.projection import _abs_maurer
+    from platipy_tpu import native
 
-            reference_distance_map = reference_volume.with_array(
-                _abs_maurer(reference_volume)
+    if project_on_sphere:
+        # consensus reference (identical per test atlas — computed ONCE)
+        reference_volume = process_probability_image(probability_label, threshold=0.999)
+        from platipy_tpu.label.projection import _abs_maurer
+
+        reference_distance_map = reference_volume.with_array(
+            _abs_maurer(reference_volume)
+        )
+        for test_id in remaining_id_list:
+            test_volume = process_probability_image(
+                atlas_set[test_id][label][reference_structure], 0.1
             )
             theta, phi, values = evaluate_distance_on_surface(
                 reference_distance_map, test_volume, reference_as_distance_map=True
             )
             _, _, g_vals = regrid_spherical_data(theta, phi, values, resolution=resolution)
             g_val_list.append(g_vals)
+    else:
+        reference_volume = process_probability_image(probability_label, threshold=0.95)
+        if native.available():
+            # one bulk device pull for every test atlas; contour + fill +
+            # largest-component + EDT then run natively in host memory — the
+            # per-atlas formulation paid several full-volume device round
+            # trips per atlas per IAR iteration
+            import jax.numpy as jnp
+
+            ref_surface = _contour_np(np.asarray(reference_volume.array) > 0)
+            spacing = reference_volume.spacing
+            stack = jnp.stack([
+                atlas_set[i][label][reference_structure].array.astype(jnp.float32)
+                for i in remaining_id_list
+            ])
+            maxes = jnp.max(stack, axis=(1, 2, 3))
+            thresh = jnp.where(maxes > 0, 0.1 * maxes, 0.1)
+            binary_stack = np.asarray(
+                (stack >= thresh[:, None, None, None]).astype(jnp.uint8)
+            )  # the one volume pull
+            for k, test_id in enumerate(remaining_id_list):
+                test_np = _process_binary_np(binary_stack[k])
+                test_contour = _contour_np(test_np > 0)
+                dm = np.sqrt(native.edt_sq_3d(
+                    test_contour.astype(np.uint8), spacing
+                ))
+                g_val_list.append(dm[ref_surface][::resample_factor])
         else:
-            reference_volume = process_probability_image(probability_label, threshold=0.95)
-            values = evaluate_distance_to_reference(
-                reference_volume, test_volume, resample_factor=resample_factor
-            )
-            g_val_list.append(values)
+            for test_id in remaining_id_list:
+                test_volume = process_probability_image(
+                    atlas_set[test_id][label][reference_structure], 0.1
+                )
+                values = evaluate_distance_to_reference(
+                    reference_volume, test_volume, resample_factor=resample_factor
+                )
+                g_val_list.append(values)
 
     q_results = {}
 

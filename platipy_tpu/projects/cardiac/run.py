@@ -48,8 +48,8 @@ from platipy_tpu.parallel.atlas import (
     batched_warp_by_dvf,
     shard_over_atlases,
 )
-from platipy_tpu.registration.linear import linear_registration, linear_registration_batched
-from platipy_tpu.registration.utils import apply_transform, convert_mask_to_reg_structure
+from platipy_tpu.registration.linear import linear_registration_batched
+from platipy_tpu.registration.utils import convert_mask_to_reg_structure
 from platipy_tpu.utils.conduction import (
     geometric_atrioventricularnode,
     geometric_sinoatrialnode,
@@ -416,6 +416,14 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
 
     Returns (results, results_prob).
     """
+
+    # opt-in stage profiling (PLATIPY_TPU_PROFILE=1), mirroring the
+    # multiatlas pipeline's laps — syncs remove overlap, use for attribution
+    timer = None
+    if os.environ.get("PLATIPY_TPU_PROFILE") == "1":
+        from platipy_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
     results = {}
     results_prob = {}
 
@@ -483,66 +491,82 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
 
     logger.info("Calculated crop box: %s %s", crop_box_index, crop_box_size)
+    if timer:
+        timer.lap("load_and_crop", sync=img_crop)
 
-    # --- step 2: linear registration per atlas ---------------------------------
+    # --- step 2: linear registration (batched over atlases) ---------------------
+    # The reference loops per atlas (run.py:674-745); here the registrations,
+    # every structure/CT warp, and the guide-mask expansions all run as
+    # batched dispatches — the serial form paid N registrations plus several
+    # host round trips per atlas (the expansion pulled+pushed a full volume
+    # each time)
+    from platipy_tpu.generation.mask import _extend_sup_arr
+    from platipy_tpu.registration.linear import apply_transforms_batched
+
     linear_registration_settings = settings["linear_registration_settings"]
-    logger.info("Running %s transform to align atlas images",
+    logger.info("Running %s transform to align atlas images (batched)",
                 linear_registration_settings["reg_method"])
 
-    for atlas_id in atlas_id_list:
-        atlas_set[atlas_id]["RIR"] = {}
-
-        if guide_structure:
-            target_reg_image = target_reg_structure
-            atlas_reg_image = convert_mask_to_reg_structure(
-                atlas_set[atlas_id]["Original"][guide_structure_name], expansion=2
-            )
-        else:
-            target_reg_image = img_crop
-            atlas_reg_image = atlas_set[atlas_id]["Original"]["CT Image"]
-
-        _, initial_tfm = linear_registration(
-            target_reg_image, atlas_reg_image, **linear_registration_settings
+    originals = [atlas_set[i]["Original"] for i in atlas_id_list]
+    if guide_structure:
+        atlas_reg_images = [
+            convert_mask_to_reg_structure(o[guide_structure_name], expansion=2)
+            for o in originals
+        ]
+        _, batched_tfms = linear_registration_batched(
+            target_reg_structure, atlas_reg_images,
+            **{k: v for k, v in linear_registration_settings.items() if k != "verbose"},
         )
-        atlas_set[atlas_id]["RIR"]["Transform"] = initial_tfm
-
-        if guide_structure:
-            atlas_set[atlas_id]["RIR"]["Reg Mask"] = apply_transform(
-                input_image=atlas_reg_image,
-                reference_image=img_crop,
-                transform=initial_tfm,
-                default_value=0,
-                interpolator=INTERP_LINEAR,
-            )
-            expanded_atlas_guide_structure = extend_mask(
-                atlas_set[atlas_id]["Original"][guide_structure_name],
-                direction=("ax", "sup"),
-                extension_mm=atlas_settings["superior_extension"],
-                interior_mm_shape=atlas_settings["superior_extension"] / 2,
-            )
-            atlas_set[atlas_id]["RIR"][guide_structure_name + "EXPANDED"] = apply_transform(
-                input_image=expanded_atlas_guide_structure,
-                reference_image=img_crop,
-                transform=initial_tfm,
-                default_value=0,
-                interpolator=INTERP_NEAREST,
-            )
-
-        atlas_set[atlas_id]["RIR"]["CT Image"] = apply_transform(
-            input_image=atlas_set[atlas_id]["Original"]["CT Image"],
-            reference_image=img_crop,
-            transform=initial_tfm,
-            default_value=-1000,
-            interpolator=INTERP_LINEAR,
+    else:
+        _, batched_tfms = linear_registration_batched(
+            img_crop, [o["CT Image"] for o in originals],
+            **{k: v for k, v in linear_registration_settings.items() if k != "verbose"},
         )
+
+    ct_warps = apply_transforms_batched(
+        batched_tfms, [o["CT Image"] for o in originals], img_crop,
+        interpolator=INTERP_LINEAR, default_value=-1000,
+    )
+    struct_warps = {
+        struct: apply_transforms_batched(
+            batched_tfms, [o[struct] for o in originals], img_crop,
+            interpolator=INTERP_NEAREST, default_value=0,
+        )
+        for struct in atlas_structure_list
+    }
+    if guide_structure:
+        reg_mask_warps = apply_transforms_batched(
+            batched_tfms, atlas_reg_images, img_crop,
+            interpolator=INTERP_LINEAR, default_value=0,
+        )
+        # superior guide-mask extension entirely on device, then one batched warp
+        expanded_images = []
+        for o in originals:
+            g = o[guide_structure_name]
+            n_ext = int(atlas_settings["superior_extension"] / g.spacing[2])
+            n_est = int((atlas_settings["superior_extension"] / 2) / g.spacing[2])
+            expanded_images.append(
+                g.with_array(
+                    _extend_sup_arr(g.array.astype(jnp.float32), n_ext, n_est)
+                )
+            )
+        expanded_warps = apply_transforms_batched(
+            batched_tfms, expanded_images, img_crop,
+            interpolator=INTERP_NEAREST, default_value=0,
+        )
+
+    for k, atlas_id in enumerate(atlas_id_list):
+        atlas_set[atlas_id]["RIR"] = {
+            "Transform": batched_tfms[k],
+            "CT Image": ct_warps[k].astype(jnp.float32),
+        }
+        if guide_structure:
+            atlas_set[atlas_id]["RIR"]["Reg Mask"] = reg_mask_warps[k]
+            atlas_set[atlas_id]["RIR"][guide_structure_name + "EXPANDED"] = (
+                expanded_warps[k]
+            )
         for struct in atlas_structure_list:
-            atlas_set[atlas_id]["RIR"][struct] = apply_transform(
-                input_image=atlas_set[atlas_id]["Original"][struct],
-                reference_image=img_crop,
-                transform=initial_tfm,
-                default_value=0,
-                interpolator=INTERP_NEAREST,
-            )
+            atlas_set[atlas_id]["RIR"][struct] = struct_warps[struct][k]
         atlas_set[atlas_id]["Original"] = None
 
     spacing = img_crop.spacing
@@ -564,6 +588,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             jnp.stack([atlas_set[i][label][key].array.astype(jnp.float32)
                        for i in atlas_id_list])
         )
+
+    if timer:
+        timer.lap("linear_registration", sync=img_crop)
 
     # --- step 3a: structure-guided demons (batched) -----------------------------
     label = "RIR"
@@ -664,6 +691,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             atlas_set[atlas_id]["DIR"][s] = img_crop.with_array(dir_structs[s][k])
         atlas_set[atlas_id][label] = None
 
+    if timer:
+        timer.lap("demons_stages")
+
     # --- step 4: iterative atlas removal ----------------------------------------
     iar_settings = settings["iar_settings"]
     if iar_settings["reference_structure"]:
@@ -683,6 +713,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         segmented_vessel_dict = vessel_spline_generation(
             img_crop, atlas_set, **vessel_spline_settings
         )
+
+    if timer:
+        timer.lap("iar_and_vessels")
 
     # --- step 6: fusion ------------------------------------------------------------
     vote_type = settings["label_fusion_settings"]["vote_type"]
@@ -783,6 +816,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
                 )
         results_prob[structure_name] = binary_encode_structure_list(vessel_list)
 
+    if timer:
+        timer.lap("fusion_and_paste")
+
     # --- step 8: geometric valves / conduction nodes ------------------------------
     geometric_segmentation_settings = settings["geometric_segmentation_settings"]
     if geometric_segmentation_settings["run_geometric_algorithms"]:
@@ -858,6 +894,10 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
 
     if return_as_cropped:
         results["CROP_IMAGE"] = img_crop
+
+    if timer:
+        timer.lap("geometric_and_postprocessing")
+        timer.report()
 
     logger.info("Done!")
     return results, results_prob

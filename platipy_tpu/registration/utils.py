@@ -229,7 +229,9 @@ def convert_mask_to_reg_structure(mask: Image, expansion=(0, 0, 0), scale=lambda
 
     distance_map = convert_mask_to_distance_map(mask, squared_distance=False)
     masked = jnp.where(mask.array > 0, distance_map.array, 0.0)
-    max_val = float(np.asarray(masked).max())
+    # scalar fetch — np.asarray(masked).max() pulled the full volume over the
+    # device link just to read one number
+    max_val = float(jnp.max(masked))
     if max_val <= 0:
         max_val = 1.0
     scaled = masked / max_val
