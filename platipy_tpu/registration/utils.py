@@ -191,13 +191,16 @@ def convert_mask_to_distance_map(
     mask: Image, squared_distance: bool = False, normalise: bool = False
 ) -> Image:
     """Signed distance map, inside positive (reference utils.py:270-299)."""
-    arr = np.asarray(mask.array)
-    vals = np.unique(arr[arr > 0])
-    if len(vals) > 2:
-        cutoff = np.median(vals)
-        mask = mask.with_array(
-            ((mask.array >= cutoff) & (mask.array <= float(vals.max()))).astype(jnp.uint8)
-        )
+    # binary masks (the common case) settle the multi-value check with a
+    # scalar max instead of pulling the volume for np.unique
+    if float(jnp.max(mask.array)) > 1:
+        arr = np.asarray(mask.array)
+        vals = np.unique(arr[arr > 0])
+        if len(vals) > 2:
+            cutoff = np.median(vals)
+            mask = mask.with_array(
+                ((mask.array >= cutoff) & (mask.array <= float(vals.max()))).astype(jnp.uint8)
+            )
 
     raw_map = signed_maurer_distance_map(
         mask,
@@ -207,20 +210,23 @@ def convert_mask_to_distance_map(
     )
 
     if normalise:
-        return raw_map.with_array(raw_map.array / float(np.asarray(raw_map.array).max()))
+        return raw_map.with_array(raw_map.array / float(jnp.max(raw_map.array)))
     return raw_map
 
 
 def convert_mask_to_reg_structure(mask: Image, expansion=(0, 0, 0), scale=lambda x: x) -> Image:
     """Normalised interior distance map for structure-guided DIR
     (reference utils.py:302-344)."""
-    arr = np.asarray(mask.array)
-    vals = np.unique(arr[arr > 0])
-    if len(vals) > 2:
-        cutoff = np.median(vals)
-        mask = mask.with_array(
-            ((mask.array >= cutoff) & (mask.array <= float(vals.max()))).astype(jnp.uint8)
-        )
+    # binary masks (the common case) settle the multi-value check with a
+    # scalar max instead of pulling the volume for np.unique
+    if float(jnp.max(mask.array)) > 1:
+        arr = np.asarray(mask.array)
+        vals = np.unique(arr[arr > 0])
+        if len(vals) > 2:
+            cutoff = np.median(vals)
+            mask = mask.with_array(
+                ((mask.array >= cutoff) & (mask.array <= float(vals.max()))).astype(jnp.uint8)
+            )
 
     if not hasattr(expansion, "__iter__"):
         expansion = [int(expansion / i) for i in mask.spacing]
