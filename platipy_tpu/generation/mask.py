@@ -117,7 +117,8 @@ def _extend_sup_arr(arr: "jnp.ndarray", n_ext: int, n_est: int) -> "jnp.ndarray"
     binary [z,y,x] array: slices in [sup+1-n_est, min(nz, sup+1+n_ext)) are
     replaced by the elementwise max of the interior slab [sup-n_est, sup) —
     exactly the reference's overwrite loop (mask.py:143-147), but jittable
-    and vmappable (the host version pulls + pushes a full volume per call)."""
+    and vmappable (the host version pulls + pushes a full volume per call).
+    Used by the cardiac pipeline's guide-mask expansion."""
     import jax.numpy as jnp
 
     nz = arr.shape[0]
@@ -130,16 +131,3 @@ def _extend_sup_arr(arr: "jnp.ndarray", n_ext: int, n_est: int) -> "jnp.ndarray"
     in_range = ((idx >= sup + 1 - n_est) & (idx < max_index))[:, None, None]
     return jnp.where(in_range, slab[None], arr)
 
-
-def extend_mask_superior_batched(stack, spacing_z: float, extension_mm: float,
-                                 interior_mm_shape: float):
-    """Batched superior mask extension over a [N, z, y, x] stack — ONE device
-    program instead of N host round trips (used by the cardiac pipeline's
-    guide-mask expansion)."""
-    import jax
-    import jax.numpy as jnp
-
-    n_ext = int(extension_mm / spacing_z)
-    n_est = int(interior_mm_shape / spacing_z)
-    fn = lambda a: _extend_sup_arr(a, n_ext, n_est)
-    return jax.vmap(fn)(jnp.asarray(stack))

@@ -335,6 +335,23 @@ def combine_labels_staple(label_list_dict: Dict, threshold: float = 1e-4) -> Dic
     return combined_label_dict
 
 
+def fill_and_largest_component_np(binary_np: "np.ndarray") -> "np.ndarray":
+    """Native fill-holes + keep-largest-component on a host binary array —
+    the post-threshold tail of :func:`process_probability_image`, shared with
+    IAR's bulk path (requires ``native.available()``)."""
+    from platipy_tpu import native
+
+    if not binary_np.any():
+        return np.zeros_like(binary_np)
+    filled = native.fill_holes_3d(binary_np, 6)
+    lab = native.cc_label_3d((filled > 0).astype(np.uint8), 26)
+    flat = lab.reshape(-1)
+    counts = np.bincount(flat[flat > 0]) if flat.any() else np.zeros(1, int)
+    if counts.size and counts.max() > 0:
+        return (lab == int(counts.argmax())).astype(np.uint8)
+    return np.zeros_like(binary_np)
+
+
 def process_probability_image(probability_image: Image, threshold: float = 0.5) -> Image:
     """Probability map -> binary mask post-processing (fusion.py:295-328).
 
@@ -355,15 +372,9 @@ def process_probability_image(probability_image: Image, threshold: float = 0.5) 
     from platipy_tpu import native
 
     if native.available():
-        filled = native.fill_holes_3d(binary_np, 6)
-        lab = native.cc_label_3d((filled > 0).astype(np.uint8), 26)
-        flat = lab.reshape(-1)
-        counts = np.bincount(flat[flat > 0]) if flat.any() else np.zeros(1, int)
-        if counts.size and counts.max() > 0:
-            out_np = (lab == int(counts.argmax())).astype(np.uint8)
-        else:
-            out_np = np.zeros_like(binary_np)
-        return probability_image.with_array(jnp.asarray(out_np))
+        return probability_image.with_array(
+            jnp.asarray(fill_and_largest_component_np(binary_np))
+        )
 
     filled = binary_fill_holes(jnp.asarray(binary_np) > 0)
     largest = keep_largest_component(filled > 0)

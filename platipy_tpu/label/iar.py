@@ -45,22 +45,7 @@ def _contour_np(mask: np.ndarray) -> np.ndarray:
     return mask & ~interior
 
 
-def _process_binary_np(binary_np: np.ndarray):
-    """Host-side fill-holes + largest-component (the native tail of
-    fusion.process_probability_image, operating on an already-pulled array)."""
-    from platipy_tpu import native
 
-    if not native.available():
-        return None
-    if not binary_np.any():
-        return np.zeros_like(binary_np)
-    filled = native.fill_holes_3d(binary_np, 6)
-    lab = native.cc_label_3d((filled > 0).astype(np.uint8), 26)
-    flat = lab.reshape(-1)
-    counts = np.bincount(flat[flat > 0]) if flat.any() else np.zeros(1, int)
-    if counts.size and counts.max() > 0:
-        return (lab == int(counts.argmax())).astype(np.uint8)
-    return np.zeros_like(binary_np)
 
 
 def gaussian_curve(x, a, m, s):
@@ -152,8 +137,10 @@ def run_iar(
             binary_stack = np.asarray(
                 (stack >= thresh[:, None, None, None]).astype(jnp.uint8)
             )  # the one volume pull
+            from platipy_tpu.label.fusion import fill_and_largest_component_np
+
             for k, test_id in enumerate(remaining_id_list):
-                test_np = _process_binary_np(binary_stack[k])
+                test_np = fill_and_largest_component_np(binary_stack[k])
                 test_contour = _contour_np(test_np > 0)
                 dm = np.sqrt(native.edt_sq_3d(
                     test_contour.astype(np.uint8), spacing

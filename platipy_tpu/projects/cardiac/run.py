@@ -508,19 +508,23 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
                 linear_registration_settings["reg_method"])
 
     originals = [atlas_set[i]["Original"] for i in atlas_id_list]
+    reg_kwargs = {k: v for k, v in linear_registration_settings.items()
+                  if k != "verbose"}
     if guide_structure:
         atlas_reg_images = [
             convert_mask_to_reg_structure(o[guide_structure_name], expansion=2)
             for o in originals
         ]
+        # reg structures live in [0,1]: the CT default of -1000 would become
+        # the PAD FILL for mixed-shape atlases and (0-(-1000))^2 pad terms
+        # would dominate the metric — use background 0 for the registration
+        reg_kwargs["default_value"] = 0
         _, batched_tfms = linear_registration_batched(
-            target_reg_structure, atlas_reg_images,
-            **{k: v for k, v in linear_registration_settings.items() if k != "verbose"},
+            target_reg_structure, atlas_reg_images, **reg_kwargs
         )
     else:
         _, batched_tfms = linear_registration_batched(
-            img_crop, [o["CT Image"] for o in originals],
-            **{k: v for k, v in linear_registration_settings.items() if k != "verbose"},
+            img_crop, [o["CT Image"] for o in originals], **reg_kwargs
         )
 
     ct_warps = apply_transforms_batched(
@@ -569,6 +573,13 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             atlas_set[atlas_id]["RIR"][struct] = struct_warps[struct][k]
         atlas_set[atlas_id]["Original"] = None
 
+    # release the originals and warp lists before the memory-peak demons
+    # stages — as function-scoped locals they would pin a second full copy of
+    # every atlas volume that atlas_set[...]["Original"] = None just dropped
+    del originals, ct_warps, struct_warps
+    if guide_structure:
+        del atlas_reg_images, expanded_images, reg_mask_warps, expanded_warps
+
     spacing = img_crop.spacing
     from platipy_tpu.parallel.atlas import sharding_enabled
 
@@ -590,7 +601,10 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         )
 
     if timer:
-        timer.lap("linear_registration", sync=img_crop)
+        # sync on a step-2 product so async registration/warp work is
+        # attributed here, not to the next synced lap
+        timer.lap("linear_registration",
+                  sync=atlas_set[atlas_id_list[-1]]["RIR"]["CT Image"])
 
     # --- step 3a: structure-guided demons (batched) -----------------------------
     label = "RIR"
@@ -692,7 +706,7 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         atlas_set[atlas_id][label] = None
 
     if timer:
-        timer.lap("demons_stages")
+        timer.lap("demons_stages", sync=dir_images)
 
     # --- step 4: iterative atlas removal ----------------------------------------
     iar_settings = settings["iar_settings"]

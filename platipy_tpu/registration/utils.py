@@ -191,9 +191,13 @@ def convert_mask_to_distance_map(
     mask: Image, squared_distance: bool = False, normalise: bool = False
 ) -> Image:
     """Signed distance map, inside positive (reference utils.py:270-299)."""
-    # binary masks (the common case) settle the multi-value check with a
-    # scalar max instead of pulling the volume for np.unique
-    if float(jnp.max(mask.array)) > 1:
+    # two-valued masks (the common case) settle the multi-value check with
+    # scalar device reductions instead of pulling the volume for np.unique —
+    # a fractional/smoothed mask (many unique values) still takes the
+    # reference's median-cutoff path
+    arr_max = float(jnp.max(mask.array))
+    two_valued = bool(jnp.all((mask.array == 0) | (mask.array == arr_max)))
+    if not two_valued:
         arr = np.asarray(mask.array)
         vals = np.unique(arr[arr > 0])
         if len(vals) > 2:
@@ -217,9 +221,13 @@ def convert_mask_to_distance_map(
 def convert_mask_to_reg_structure(mask: Image, expansion=(0, 0, 0), scale=lambda x: x) -> Image:
     """Normalised interior distance map for structure-guided DIR
     (reference utils.py:302-344)."""
-    # binary masks (the common case) settle the multi-value check with a
-    # scalar max instead of pulling the volume for np.unique
-    if float(jnp.max(mask.array)) > 1:
+    # two-valued masks (the common case) settle the multi-value check with
+    # scalar device reductions instead of pulling the volume for np.unique —
+    # a fractional/smoothed mask (many unique values) still takes the
+    # reference's median-cutoff path
+    arr_max = float(jnp.max(mask.array))
+    two_valued = bool(jnp.all((mask.array == 0) | (mask.array == arr_max)))
+    if not two_valued:
         arr = np.asarray(mask.array)
         vals = np.unique(arr[arr > 0])
         if len(vals) > 2:
