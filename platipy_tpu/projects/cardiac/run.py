@@ -511,10 +511,11 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     reg_kwargs = {k: v for k, v in linear_registration_settings.items()
                   if k != "verbose"}
     if guide_structure:
-        atlas_reg_images = [
-            convert_mask_to_reg_structure(o[guide_structure_name], expansion=2)
-            for o in originals
-        ]
+        from platipy_tpu.registration.utils import convert_masks_to_reg_structures
+
+        atlas_reg_images = convert_masks_to_reg_structures(
+            [o[guide_structure_name] for o in originals], expansion=2
+        )
         # reg structures live in [0,1]: the CT default of -1000 would become
         # the PAD FILL for mixed-shape atlases and (0-(-1000))^2 pad terms
         # would dominate the metric — use background 0 for the registration

@@ -27,6 +27,7 @@ __all__ = [
     "smooth_and_resample",
     "convert_mask_to_distance_map",
     "convert_mask_to_reg_structure",
+    "convert_masks_to_reg_structures",
     "control_point_spacing_distance_to_number",
     "registration_command_iteration",
     "deformable_registration_command_iteration",
@@ -216,6 +217,49 @@ def convert_mask_to_distance_map(
     if normalise:
         return raw_map.with_array(raw_map.array / float(jnp.max(raw_map.array)))
     return raw_map
+
+
+def convert_masks_to_reg_structures(masks, expansion=(0, 0, 0)):
+    """Batch form of :func:`convert_mask_to_reg_structure` for N masks.
+
+    The per-mask form pays three blocking scalar fetches each (two-valued
+    gate + normalisation max) — ~0.1-0.4 s apiece over a remote-device link.
+    Here every device op dispatches first and the scalars cross the link in
+    ONE stacked fetch; a mask that turns out to be many-valued falls back to
+    the single-mask path for the reference's median-cutoff handling.
+    """
+    masks = list(masks)
+    gate_scalars = jnp.stack([
+        jnp.stack([
+            jnp.max(m.array).astype(jnp.float32),
+            jnp.all((m.array == 0) | (m.array == jnp.max(m.array))).astype(jnp.float32),
+        ])
+        for m in masks
+    ])
+    gate = np.asarray(gate_scalars)              # one fetch for all gates
+
+    out = [None] * len(masks)
+    pending = []
+    for i, m in enumerate(masks):
+        if gate[i, 1] < 0.5:                     # many-valued: rare, exact path
+            out[i] = convert_mask_to_reg_structure(m, expansion=expansion)
+        else:
+            exp = expansion
+            if not hasattr(exp, "__iter__"):
+                exp = [int(exp / sp) for sp in m.spacing]
+            mm = binary_dilate(m, radius=exp) if any(exp) else m
+            dm = convert_mask_to_distance_map(mm, squared_distance=False)
+            masked = jnp.where(mm.array > 0, dm.array, 0.0)
+            pending.append((i, mm, masked))
+
+    if pending:
+        maxes = np.asarray(jnp.stack(
+            [jnp.max(p[2]) for p in pending]
+        ))                                       # one fetch for all maxima
+        for (i, mm, masked), mx in zip(pending, maxes):
+            mx = float(mx) if mx > 0 else 1.0
+            out[i] = mm.with_array((masked / mx).astype(jnp.float32))
+    return out
 
 
 def convert_mask_to_reg_structure(mask: Image, expansion=(0, 0, 0), scale=lambda x: x) -> Image:
