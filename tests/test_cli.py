@@ -14,7 +14,9 @@ def _run_cli(args, cwd=None):
     env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
         [sys.executable, "-m", "platipy_tpu.cli.run", *args],
-        capture_output=True, text=True, timeout=540, cwd=cwd, env=env,
+        # generous: each CLI call cold-imports jax and may compile on one
+        # oversubscribed core; 540 s flaked (497 s observed solo)
+        capture_output=True, text=True, timeout=1200, cwd=cwd, env=env,
     )
 
 
