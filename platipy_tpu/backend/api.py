@@ -21,6 +21,7 @@ Auth: the ``API_KEY`` request header, checked against the api_key table
 
 from __future__ import annotations
 
+import inspect
 import json
 import logging
 import re
@@ -250,9 +251,7 @@ class DataObjectEndpoint(Resource):
         obj = self.app.database.get_data_object(dataobject_id)
         if obj is None:
             return 404, {"error": "unknown data object"}
-        self.app.database._execute(
-            "DELETE FROM data_object WHERE id=?", (dataobject_id,)
-        )
+        self.app.database.delete_data_object(dataobject_id)
         return 200, {"deleted": dataobject_id}
 
 
@@ -399,12 +398,15 @@ class ApiHandler(BaseHTTPRequestHandler):
             if handler_fn is None:
                 continue
             resource = resource_cls(self.app, self)
+            # Check the path/handler arity up front so a TypeError raised
+            # INSIDE the handler body is still reported as a server error
+            # (500) rather than masked as a bad request.
+            try:
+                inspect.signature(handler_fn).bind(resource, **m.groupdict())
+            except TypeError as err:
+                return self._send(400, {"error": f"bad request: {err}"})
             try:
                 result = handler_fn(resource, **m.groupdict())
-            except TypeError as err:
-                # path/handler arity mismatch (e.g. GET /api/dataset with no
-                # id) — answer rather than dropping the connection
-                return self._send(400, {"error": f"bad request: {err}"})
             except json.JSONDecodeError as err:
                 return self._send(400, {"error": f"invalid JSON body: {err}"})
             except Exception as err:

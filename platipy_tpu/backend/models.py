@@ -12,6 +12,7 @@ import sqlite3
 import threading
 import uuid
 from datetime import datetime
+from pathlib import Path
 from typing import Dict, List, Optional
 
 __all__ = [
@@ -231,6 +232,16 @@ class Database:
         obj = dict(row)
         obj["meta_data"] = json.loads(obj["meta_data"] or "{}")
         return obj
+
+    def delete_data_object(self, obj_id) -> None:
+        """Remove the row and best-effort unlink the file it points at."""
+        obj = self.get_data_object(obj_id)
+        self._execute("DELETE FROM data_object WHERE id=?", (obj_id,))
+        if obj and obj.get("path"):
+            try:
+                Path(obj["path"]).unlink(missing_ok=True)
+            except OSError:
+                pass
 
     def get_data_objects(self, dataset_id, is_input=None) -> List[Dict]:
         if is_input is None:

@@ -6,6 +6,7 @@ Replaces the sitk.ImageSeriesReader path used throughout the reference
 
 from __future__ import annotations
 
+import logging
 import os
 from pathlib import Path
 from typing import Dict, List
@@ -18,6 +19,8 @@ from platipy_tpu.dicom.io.dataset import Element, generate_uid, read_file, write
 
 __all__ = ["read_dicom_series", "dataset_pixel_array", "write_dicom_series",
            "find_dicom_files", "group_dicom_files", "get_suv_bw_scale_factor"]
+
+logger = logging.getLogger(__name__)
 
 _PIXEL = (0x7FE0, 0x0010)
 
@@ -48,7 +51,16 @@ def get_suv_bw_scale_factor(ds) -> float:
     fmt = "%Y%m%d_%H%M%S"
     t_series = datetime.strptime(f"{series_date}_{series_time}", fmt)
     t_start = datetime.strptime(f"{series_date}_{start_time}", fmt)
-    decay_time_s = (t_series - t_start).seconds
+    decay_time_s = (t_series - t_start).total_seconds()
+    if decay_time_s < 0:
+        # data-entry error or midnight crossing; the reference silently wraps
+        # (timedelta.seconds) to a large positive decay — warn instead
+        logger.warning(
+            "PET series time precedes radiopharmaceutical start time "
+            "(decay interval %.0f s); SUV decay correction skipped",
+            decay_time_s,
+        )
+        decay_time_s = 0.0
 
     decayed_dose = injected_dose * 2.0 ** (-decay_time_s / half_life)
     patient_weight = float(ds[(0x0010, 0x1030)].value)

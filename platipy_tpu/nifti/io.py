@@ -87,9 +87,17 @@ def read_image(path: str, dtype=None) -> Image:
         if magic[:3] == b"ni1":
             # two-file NIfTI: the voxels live in the companion .img, not in
             # the header file (reading the .hdr at vox_offset returned header
-            # bytes reinterpreted as voxels)
-            img = Path(str(path)).with_suffix(".img")
-            if not img.exists():
+            # bytes reinterpreted as voxels).  The header may itself be
+            # gzipped ('x.hdr.gz') and the companion may be '.img' or
+            # '.img.gz' — strip a trailing .gz before swapping the suffix
+            # and probe both forms.
+            hdr = Path(str(path))
+            if hdr.suffix == ".gz":
+                hdr = hdr.with_suffix("")
+            candidates = [hdr.with_suffix(".img"),
+                          hdr.with_suffix(".img.gz")]
+            img = next((c for c in candidates if c.exists()), None)
+            if img is None:
                 raise FileNotFoundError(
                     f"{path}: two-file NIfTI (magic ni1) without its .img"
                 )
@@ -108,7 +116,7 @@ def read_image(path: str, dtype=None) -> Image:
             f.seek(int(vox_offset))
             raw = f.read(count * np.dtype(np_dtype).itemsize)
         else:
-            with open(data_path, "rb") as fi:
+            with _open(data_path, "rb") as fi:
                 fi.seek(int(max(vox_offset, 0)))
                 raw = fi.read(count * np.dtype(np_dtype).itemsize)
         arr = np.frombuffer(raw, dtype=np_dtype)

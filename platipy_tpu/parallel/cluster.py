@@ -162,6 +162,10 @@ class WorkerPool:
         backend/__init__.py:84-88).
         """
         Path(working_dir).mkdir(parents=True, exist_ok=True)
+        # results are keyed by case path, so a duplicate path would share one
+        # CaseResult across two queue entries (double-counted attempts, the
+        # same case running on two workers at once) — de-duplicate up front
+        case_paths = list(dict.fromkeys(case_paths))
         results = {c: CaseResult(case=c) for c in case_paths}
         todo: "queue.Queue[str]" = queue.Queue()
         for c in case_paths:
