@@ -433,11 +433,21 @@ class ApiHandler(BaseHTTPRequestHandler):
         self._dispatch("delete")
 
 
-def make_server(app, host="0.0.0.0", port=8000) -> ThreadingHTTPServer:
+def make_server(app, host="0.0.0.0", port=8000, certfile=None,
+                keyfile=None) -> ThreadingHTTPServer:
+    """Build the REST server; with ``certfile``/``keyfile`` it serves HTTPS
+    (the reference hands certs to gunicorn, entrypoint.sh:14-22)."""
     handler = type("BoundApiHandler", (ApiHandler,), {"app": app})
-    return ThreadingHTTPServer((host, port), handler)
+    server = ThreadingHTTPServer((host, port), handler)
+    if certfile:
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(certfile=certfile, keyfile=keyfile)
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+    return server
 
 
-def serve(app, host="0.0.0.0", port=8000):
-    server = make_server(app, host, port)
+def serve(app, host="0.0.0.0", port=8000, certfile=None, keyfile=None):
+    server = make_server(app, host, port, certfile=certfile, keyfile=keyfile)
     server.serve_forever()

@@ -53,12 +53,12 @@ class ServiceApp:
 
         return decorator
 
-    def run(self, host="0.0.0.0", port=8000):
-        """Serve the REST API (blocking)."""
+    def run(self, host="0.0.0.0", port=8000, certfile=None, keyfile=None):
+        """Serve the REST API (blocking); HTTPS when certs are given."""
         from platipy_tpu.backend.api import serve
 
         logger.info("Serving %s on %s:%d", self.name, host, port)
-        serve(self, host=host, port=port)
+        serve(self, host=host, port=port, certfile=certfile, keyfile=keyfile)
 
     def run_dicom_listener(self, listen_port=None, listen_ae_title=None):
         """Start the embedded DICOM listener (reference application.py:84-154)."""

@@ -115,7 +115,9 @@ def run_celery():
               help="Import path of a module that registers algorithms on "
                    "platipy_tpu.backend.application.app")
 @click.option("--workers", "-w", default=1)
-def run(host, port, database, service, workers):
+@click.option("--certfile", default=None, help="TLS certificate (serve HTTPS)")
+@click.option("--keyfile", default=None, help="TLS private key")
+def run(host, port, database, service, workers, certfile, keyfile):
     """Run the segmentation service (REST API + worker pool)."""
     import importlib
 
@@ -130,4 +132,4 @@ def run(host, port, database, service, workers):
         importlib.import_module(service)
 
     print(f"Registered algorithms: {list(app.algorithms)}")
-    app.run(host=host, port=port)
+    app.run(host=host, port=port, certfile=certfile, keyfile=keyfile)
