@@ -3,10 +3,9 @@
 The reference builds on pynetdicom; here the DIMSE services it uses run on
 the framework's own Upper Layer implementation
 (:mod:`platipy_tpu.dicom.communication.upper_layer`) — no third-party
-dependency: C-ECHO, C-FIND, C-MOVE, C-STORE and a Storage SCP listener.
-C-GET (reference connector.py:166-308) interleaves C-STORE sub-operations on
-the requesting association and is only available when pynetdicom happens to
-be installed; ``move_series`` + ``listen`` cover the same retrieval flow.
+dependency: C-ECHO, C-FIND, C-MOVE, C-GET (with interleaved C-STORE
+sub-operations on the requesting association), C-STORE, a Storage SCP
+listener, and a Query/Retrieve SCP serving FIND/GET/MOVE from a directory.
 """
 
 from __future__ import annotations
@@ -19,14 +18,6 @@ from platipy_tpu.dicom.communication import upper_layer as ul
 logger = logging.getLogger(__name__)
 
 __all__ = ["DicomConnector"]
-
-try:  # optional: only C-GET uses it
-    import pynetdicom  # noqa: F401
-
-    _HAS_PYNETDICOM = True
-except ImportError:
-    _HAS_PYNETDICOM = False
-
 
 class DicomConnector:
     """DIMSE SCU/SCP connector (C-ECHO, C-FIND, C-MOVE, C-GET, C-STORE)."""
@@ -78,44 +69,29 @@ class DicomConnector:
                          move_aet or self.local_ae, query_model=query_model,
                          calling=self.local_ae, called=self.ae_title)
 
-    def download_series(self, seriesInstanceUID, recursive=True):
-        """C-GET a series into the output directory (reference connector.py:166-308)."""
-        if not _HAS_PYNETDICOM:
-            raise RuntimeError(
-                "C-GET interleaves C-STORE on the requesting association and "
-                "is only implemented via pynetdicom (not installed); use "
-                "listen() + move_series() for the same retrieval."
-            )
-        from pynetdicom import AE, evt, StoragePresentationContexts
-        from pynetdicom.sop_class import StudyRootQueryRetrieveInformationModelGet
-        import pydicom  # type: ignore
+    def download_series(self, seriesInstanceUID, recursive=True,
+                        query_model="S"):
+        """C-GET a series into the output directory (reference
+        connector.py:166-308): the peer's C-STORE sub-operations arrive
+        interleaved on the requesting association — no listener needed."""
+        from platipy_tpu.dicom.io.dataset import Element
 
-        out_dir = Path(self.output_directory) / seriesInstanceUID
+        out_dir = Path(self.output_directory)
         out_dir.mkdir(parents=True, exist_ok=True)
-        self.current_dir = str(out_dir)
-
-        def handle_store(event):
-            ds = event.dataset
-            ds.file_meta = event.file_meta
-            ds.save_as(str(out_dir / f"{ds.SOPInstanceUID}.dcm"),
-                       write_like_original=False)
-            return 0x0000
-
-        ae = AE(ae_title=self.local_ae)
-        ae.add_requested_context(StudyRootQueryRetrieveInformationModelGet)
-        for cx in StoragePresentationContexts:
-            ae.add_requested_context(cx.abstract_syntax)
-        query = pydicom.Dataset()
-        query.QueryRetrieveLevel = "SERIES"
-        query.SeriesInstanceUID = seriesInstanceUID
-        assoc = ae.associate(
-            self.host, self.port, ae_title=self.ae_title,
-            evt_handlers=[(evt.EVT_C_STORE, handle_store)],
+        identifier = {
+            (0x0008, 0x0052): Element(b"CS", "SERIES"),
+            (0x0020, 0x000E): Element(b"UI", seriesInstanceUID),
+        }
+        counts, paths = ul.c_get(
+            self.host, self.port, identifier, out_dir,
+            query_model=query_model, calling=self.local_ae,
+            called=self.ae_title,
         )
-        if assoc.is_established:
-            for _ in assoc.send_c_get(query, StudyRootQueryRetrieveInformationModelGet):
-                pass
-            assoc.release()
+        logger.info("C-GET of %s: %s", seriesInstanceUID, counts)
+        self.current_dir = (
+            str(Path(paths[0]).parent) if paths
+            else str(out_dir / seriesInstanceUID)
+        )
         return self.current_dir
 
     def send_dcm(self, dcm_file) -> bool:

@@ -461,3 +461,74 @@ def test_nifti_nan_slope_ignored(tmp_path):
     back = read_image(str(path))
     assert np.isfinite(np.asarray(back.array)).all()
     np.testing.assert_allclose(np.asarray(back.array), np.asarray(img.array))
+
+
+def test_query_retrieve_find_get_move_roundtrip(tmp_path):
+    """Full native Q/R flow: C-FIND locates the series, C-GET retrieves it
+    with interleaved C-STORE sub-ops on the requesting association
+    (reference connector.py:166-308), and C-MOVE ships it to a listener
+    destination over a new association (reference connector.py:134-165)."""
+    import time
+
+    from platipy_tpu.core.image import from_array
+    from platipy_tpu.dicom.communication.connector import DicomConnector
+    from platipy_tpu.dicom.communication.upper_layer import QueryRetrieveSCP
+    from platipy_tpu.dicom.io.dataset import Element, read_file
+    from platipy_tpu.dicom.io.nifti_to_series import convert_nifti_to_dicom_series
+    from platipy_tpu.dicom.io.series import read_dicom_series
+
+    img = from_array(
+        (np.random.RandomState(1).rand(3, 16, 16) * 500).astype(np.float32),
+        spacing=(1.0, 1.0, 2.0),
+    )
+    pacs_dir = tmp_path / "pacs"
+    pacs_dir.mkdir()
+    convert_nifti_to_dicom_series(img, output_directory=str(pacs_dir))
+    files = sorted(pacs_dir.iterdir())
+    series_uid = read_file(str(files[0]))[(0x0020, 0x000E)].value
+
+    qr_port, dest_port = 11998, 11999
+    qr = QueryRetrieveSCP(
+        "127.0.0.1", qr_port, serve_directory=str(pacs_dir),
+        move_destinations={"DESTAE": ("127.0.0.1", dest_port)},
+    )
+    assert qr.reindex() == len(files)
+    qr.start_background()
+    time.sleep(0.2)
+
+    conn = DicomConnector("127.0.0.1", qr_port,
+                          output_directory=str(tmp_path / "got"))
+    try:
+        # C-FIND: one series-level match with the UID echoed back
+        matches = conn.do_find({
+            (0x0008, 0x0052): Element(b"CS", "SERIES"),
+            (0x0020, 0x000E): Element(b"UI", series_uid),
+        })
+        assert len(matches) == 1
+        assert matches[0][(0x0020, 0x000E)].value == series_uid
+
+        # C-GET: files arrive on this association, no listener running
+        got_dir = conn.download_series(series_uid)
+        got = read_dicom_series(got_dir)
+        np.testing.assert_allclose(
+            np.asarray(got.array), np.asarray(img.array), atol=0.51
+        )
+
+        # C-MOVE: a destination listener receives the same series
+        dest = DicomConnector("127.0.0.1", dest_port,
+                              output_directory=str(tmp_path / "moved"))
+        scp = dest.listen(block=False)
+        time.sleep(0.2)
+        try:
+            counts = conn.move_series(series_uid, move_aet="DESTAE")
+            assert counts["completed"] == len(files)
+            assert counts["failed"] == 0
+            assert len(scp.received) == len(files)
+        finally:
+            scp.shutdown()
+
+        # unknown C-MOVE destination reports failure, not a hang
+        counts = conn.move_series(series_uid, move_aet="NOSUCHAE")
+        assert counts["completed"] == 0
+    finally:
+        qr.shutdown()
