@@ -532,3 +532,133 @@ def test_query_retrieve_find_get_move_roundtrip(tmp_path):
         assert counts["completed"] == 0
     finally:
         qr.shutdown()
+
+
+def _make_pinnacle_archive(root):
+    """Synthetic Pinnacle patient directory: 8x32x32 CT with a bright cube,
+    one plan with a square ROI outlining the cube on each slice it spans."""
+    import numpy as np
+
+    root.mkdir(parents=True, exist_ok=True)
+    nz, ny, nx = 8, 32, 32
+    dx = dy = 0.2   # cm
+    dz = 0.3
+    x0, y0, z0 = -3.1, -3.1, 10.0  # cm
+
+    ct = np.full((nz, ny, nx), 1000, dtype=np.int16)  # water (HU 0)
+    # cube: pinnacle x,y,z in [8,16) voxels on z slices 2..5
+    ct[2:6, 8:16, 8:16] = 2000
+    (root / "ImageSet_0.img").write_bytes(
+        ct.astype(">i2").tobytes()
+    )
+    (root / "ImageSet_0.header").write_text("\n".join([
+        f"x_dim = {nx};", f"y_dim = {ny};", f"z_dim = {nz};",
+        f"x_pixdim = {dx};", f"y_pixdim = {dy};", f"z_pixdim = {dz};",
+        f"x_start = {x0};", f"y_start = {y0};", f"z_start = {z0};",
+        "datatype = 2;", "bitpix = 16;",
+        "patient_position = HFS;",
+        "series_UID = 1.2.826.0.1.3680043.9.9999.1;",
+        "study_UID = 1.2.826.0.1.3680043.9.9999.2;",
+    ]))
+    (root / "Patient").write_text("""
+PatientID = 4321;
+FirstName = "Test";
+LastName = "Pinnacle";
+ImageSetList ={
+  ImageSet ={
+    ImageSetID = 0;
+    ImageName = "ImageSet_0";
+    SeriesUID = "1.2.826.0.1.3680043.9.9999.1";
+  };
+};
+PlanList ={
+  Plan ={
+    PlanID = 0;
+    PlanName = "PlanA";
+    PrimaryCTImageSetID = 0;
+  };
+};
+""")
+    plan_dir = root / "Plan_0"
+    plan_dir.mkdir()
+    (plan_dir / "plan.Trial").write_text("""
+TrialList ={
+  Trial ={
+    Name = "Trial_1";
+    ObjectVersion ={
+      WriteTimeStamp = "2020-01-01 00:00:00";
+    };
+  };
+};
+""")
+    # square ROI outlining the cube: voxel centres 8..15 -> cm coords
+    import io
+    curves = []
+    xs = [x0 + 8 * dx, x0 + 15 * dx]
+    ys = [y0 + 8 * dy, y0 + 15 * dy]
+    for k in range(2, 6):
+        z = z0 + k * dz
+        pts = [
+            (xs[0], ys[0], z), (xs[1], ys[0], z),
+            (xs[1], ys[1], z), (xs[0], ys[1], z),
+        ]
+        curves.append(pts)
+    out = io.StringIO()
+    out.write("roi={\n name:          CUBE\n volume_name:   ImageSet_0\n")
+    out.write(f" num_curve =    {len(curves)};\n")
+    for pts in curves:
+        out.write(" curve={\n")
+        out.write(f"  num_points =  {len(pts)};\n  points={{\n")
+        for p in pts:
+            out.write(f"   {p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+        out.write("  };\n };\n")
+    out.write("};\n")
+    (plan_dir / "plan.roi").write_text(out.getvalue())
+    return root
+
+
+def test_pinnacle_native_export(tmp_path):
+    """Native Pinnacle archive parsing + CT/RTSTRUCT export
+    (reference services/pinnacle/service.py:37-135 via pymedphys): exported
+    CT pixels/geometry and the ROI contours stay registered in DICOM space."""
+    from platipy_tpu.dicom.io.pinnacle import PinnacleExport
+    from platipy_tpu.dicom.io.rtstruct_to_nifti import (
+        read_dicom_struct_file,
+        transform_point_set_from_dicom_struct,
+    )
+    from platipy_tpu.dicom.io.series import read_dicom_series
+
+    pat_dir = _make_pinnacle_archive(tmp_path / "Institution_1" / "Patient_4321")
+    pinn = PinnacleExport(pat_dir)
+    assert pinn.patient_id == "4321"
+    assert [p.plan_info["PlanName"] for p in pinn.plans] == ["PlanA"]
+    assert pinn.plans[0].trials[0]["Name"] == "Trial_1"
+    assert pinn.images[0].image_info[0]["SeriesUID"].endswith("9999.1")
+
+    out_dir = tmp_path / "export"
+    out_dir.mkdir()
+    plan = pinn.plans[0]
+    paths = pinn.export_image(plan.primary_image, out_dir)
+    assert len(paths) == 8
+    rs_path = pinn.export_struct(plan, out_dir)
+
+    image = read_dicom_series(str(out_dir))
+    arr = np.asarray(image.array)
+    assert arr.shape == (8, 32, 32)
+    # cube voxels are HU 1000, background HU 0
+    assert int(round(float(arr.max()))) == 1000
+    assert int(round(float(arr.min()))) == 0
+    assert image.spacing == (2.0, 2.0, 3.0)
+
+    # the RTSTRUCT mask must land exactly on the bright cube
+    struct = read_dicom_struct_file(str(rs_path))
+    masks, names = transform_point_set_from_dicom_struct(image, struct)
+    assert names == ["CUBE"]
+    mask = np.asarray(masks[0].array) > 0
+    cube = arr > 500
+    overlap = 2 * (mask & cube).sum() / (mask.sum() + cube.sum())
+    assert overlap > 0.8, f"CT/RTSTRUCT registration broken: DSC={overlap}"
+
+    # RTPLAN/RTDOSE stay explicitly unsupported
+    with pytest.raises(NotImplementedError):
+        pinn.export_plan(plan, out_dir)
