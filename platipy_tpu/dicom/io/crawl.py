@@ -43,6 +43,87 @@ def _safe(text) -> str:
     return "".join(c if (c.isalnum() or c in "_-") else "_" for c in str(text))
 
 
+# DICOM keywords resolvable in naming templates and as the parent sorting
+# field (reference crawl.py:1025-1035 resolves any header keyword via
+# pydicom; this table covers the keywords used for naming/sorting in
+# practice — unknown keywords warn and resolve to 0, same as the reference's
+# missing-tag behaviour).
+_KEYWORD_TAGS = {
+    "PatientName": (0x0010, 0x0010),
+    "PatientID": (0x0010, 0x0020),
+    "PatientBirthDate": (0x0010, 0x0030),
+    "PatientSex": (0x0010, 0x0040),
+    "Modality": (0x0008, 0x0060),
+    "SOPClassUID": (0x0008, 0x0016),
+    "SOPInstanceUID": (0x0008, 0x0018),
+    "StudyDate": (0x0008, 0x0020),
+    "SeriesDate": (0x0008, 0x0021),
+    "AcquisitionDate": (0x0008, 0x0022),
+    "StudyTime": (0x0008, 0x0030),
+    "SeriesTime": (0x0008, 0x0031),
+    "AcquisitionTime": (0x0008, 0x0032),
+    "AccessionNumber": (0x0008, 0x0050),
+    "Manufacturer": (0x0008, 0x0070),
+    "InstitutionName": (0x0008, 0x0080),
+    "StationName": (0x0008, 0x1010),
+    "StudyDescription": (0x0008, 0x1030),
+    "SeriesDescription": (0x0008, 0x103E),
+    "ManufacturerModelName": (0x0008, 0x1090),
+    "BodyPartExamined": (0x0018, 0x0015),
+    "SequenceName": (0x0018, 0x0024),
+    "SliceThickness": (0x0018, 0x0050),
+    "KVP": (0x0018, 0x0060),
+    "ProtocolName": (0x0018, 0x1030),
+    "PatientPosition": (0x0018, 0x5100),
+    "StudyInstanceUID": (0x0020, 0x000D),
+    "SeriesInstanceUID": (0x0020, 0x000E),
+    "StudyID": (0x0020, 0x0010),
+    "SeriesNumber": (0x0020, 0x0011),
+    "AcquisitionNumber": (0x0020, 0x0012),
+    "InstanceNumber": (0x0020, 0x0013),
+    "FrameOfReferenceUID": (0x0020, 0x0052),
+    "CorrectedImage": (0x0028, 0x0051),
+    "DoseSummationType": (0x3004, 0x000A),
+    "DoseType": (0x3004, 0x0004),
+    "DoseUnits": (0x3004, 0x0002),
+    "StructureSetLabel": (0x3006, 0x0002),
+    "StructureSetName": (0x3006, 0x0004),
+}
+
+# template fields NOT read from the DICOM header (reference crawl.py:990-996)
+_SPECIAL_NAME_FIELDS = [
+    "parent_sorting_data", "study_uid_index", "image_desc", "structure_name",
+]
+
+
+def _resolve_keyword(ds, keyword):
+    """Value of a DICOM keyword for naming; 0 when absent/unknown (the
+    reference preserves the naming convention this way, crawl.py:1027-1035)."""
+    tag = _KEYWORD_TAGS.get(keyword)
+    el = ds.get(tag) if tag is not None else None
+    if el is None:
+        logger.warning(
+            "  Could not find DICOM header %s. Setting as 0 to preserve "
+            "naming convention.", keyword,
+        )
+        return 0
+    return _safe(el.value)
+
+
+def _template_naming_info(ds, name_format: str) -> Dict[str, object]:
+    """Resolve every non-special ``{Field}`` in a name template from the
+    DICOM header (reference crawl.py:998-1035)."""
+    fields = [
+        part[part.find("{") + 1:]
+        for part in name_format.split("}")
+        if "{" in part
+    ]
+    return {
+        f: _resolve_keyword(ds, f)
+        for f in fields if f not in _SPECIAL_NAME_FIELDS
+    }
+
+
 def flatten(itr):
     """Depth-first flattening of nested lists/tuples (reference crawl.py:33-41)."""
     if isinstance(itr, (str, bytes)):
@@ -218,116 +299,161 @@ def process_dicom_series(series_files, parent_sorting_field="PatientName"):
     return "unknown", None
 
 
+def _append_output(output_data_dict: Dict, field: str, name: str, value):
+    """Insert under ``field`` -> ``name``; colliding names collapse into a
+    list (written later with ``_{index}`` suffixes, reference
+    crawl.py:1053-1066)."""
+    entries = output_data_dict.setdefault(field, {})
+    if name not in entries:
+        entries[name] = value
+    else:
+        logger.info("      An entry named %s exists, appending.", name)
+        if not isinstance(entries[name], list):
+            entries[name] = [entries[name]]
+        entries[name].append(value)
+
+
 def process_dicom_directory(
-    input_directory,
+    dicom_directory,
     parent_sorting_field: str = "PatientName",
-    output_image_name_format: str = "{parent_sorting_data}_{study_uid_index}_{Modality}_{image_desc}_{series_num}",
+    output_image_name_format: str = "{parent_sorting_data}_{study_uid_index}_{Modality}_{image_desc}_{SeriesNumber}",
     output_structure_name_format: str = "{parent_sorting_data}_{study_uid_index}_{Modality}_{structure_name}",
     output_dose_name_format: str = "{parent_sorting_data}_{study_uid_index}_{DoseSummationType}",
     return_extra: bool = True,
-    output_directory: str = ".",
+    output_directory: str = "./",
+    output_file_suffix: str = ".nii.gz",
+    overwrite_existing_files: bool = False,
+    write_to_disk: bool = True,
+    verbose: bool = False,
+    initial_sop_class_name_default: str = "UNKNOWN",
 ):
-    """Crawl a directory of DICOM files and write NIfTI conversions.
+    """Crawl DICOM directories and convert to NIfTI with templated naming
+    (reference crawl.py:836-1147).
 
-    Returns a dict of output file paths per patient.
+    ``dicom_directory`` may be a path or an iterable of paths.  Name
+    templates accept the special fields ``parent_sorting_data``,
+    ``study_uid_index``, ``image_desc``, ``structure_name`` plus any DICOM
+    header keyword (missing keywords resolve to 0 with a warning).  Output
+    lands in ``<output_directory>/<parent>/<FIELD>/<name><suffix>`` with
+    FIELD one of IMAGES/STRUCTURES/DOSES; colliding names gain ``_{index}``
+    suffixes.  With ``write_to_disk=False`` the converted images themselves
+    are returned instead of paths.
+
+    Returns {parent: {field: [paths]}} (or {parent: output_data_dict}).
     """
-    from platipy_tpu.nifti.io import write_image
-
-    output_directory = Path(output_directory)
-    output_directory.mkdir(parents=True, exist_ok=True)
-
-    sorting_tag = {
-        "PatientName": (0x0010, 0x0010),
-        "PatientID": (0x0010, 0x0020),
-    }.get(parent_sorting_field, (0x0010, 0x0010))
-
-    files = find_dicom_files(input_directory)
+    if isinstance(dicom_directory, (str, Path)):
+        dicom_dirs = [dicom_directory]
+    else:
+        dicom_dirs = list(dicom_directory)
+    files = []
+    for d in dicom_dirs:
+        files.extend(find_dicom_files(d))
     if not files:
-        logger.warning("No DICOM files found in %s", input_directory)
-        return {}
+        logger.info("No DICOM files found in input directory. Exiting now.")
+        return None
 
-    # group by (parent, series uid)
-    groups: Dict[tuple, list] = {}
+    sorting_tag = _KEYWORD_TAGS.get(parent_sorting_field, (0x0010, 0x0010))
+    if parent_sorting_field not in _KEYWORD_TAGS:
+        logger.warning("Unknown parent sorting field %s; using PatientName",
+                       parent_sorting_field)
+
+    # group files into {parent: {(study, series): [files]}}
+    groups: Dict[str, Dict[tuple, list]] = {}
     study_uids: Dict[str, Dict[str, int]] = {}
     for f in files:
+        if verbose:
+            logger.debug("  Reading %s", f)
         try:
             ds = read_file(f)
         except Exception as e:  # unparseable file
             logger.warning("Skipping %s: %s", f, e)
             continue
-        parent = _safe(ds.get(sorting_tag, Element(b"LO", "unknown")).value)
+        parent = _safe(ds.get(sorting_tag, Element(b"LO", "")).value) or "TEMP"
         series = str(ds.get((0x0020, 0x000E), Element(b"UI", "unknown")).value)
         study = str(ds.get((0x0020, 0x000D), Element(b"UI", "unknown")).value)
-        study_uids.setdefault(parent, {})
-        if study not in study_uids[parent]:
-            study_uids[parent][study] = len(study_uids[parent])
-        groups.setdefault((parent, study, series), []).append(f)
+        per_parent = study_uids.setdefault(parent, {})
+        if study not in per_parent:
+            per_parent[study] = len(per_parent)
+            logger.info("  Setting study instance UID index: %d",
+                        per_parent[study])
+        groups.setdefault(parent, {}).setdefault((study, series), []).append(f)
 
-    output: Dict[str, Dict[str, str]] = {}
-    images_by_frame: Dict[str, object] = {}
+    output = {}
+    for parent, series_groups in groups.items():
+        logger.info("Processing data for %s = %s.", parent_sorting_field, parent)
+        logger.info("  Number of DICOM series = %d", len(series_groups))
+        output_data_dict: Dict = {"parent_sorting_data": parent}
+        images_by_series: Dict[str, object] = {}
+        rt_items = []
 
-    # first pass: images (so RTSTRUCTs can reference their grids)
-    rt_items = []
-    for (parent, study, series), series_files in groups.items():
-        kind, data = process_dicom_series(series_files)
-        study_idx = study_uids[parent][study]
-        out = output.setdefault(parent, {})
-        if kind == "image":
-            first = read_file(series_files[0])
-            modality = str(first.get((0x0008, 0x0060), Element(b"CS", "")).value)
-            desc = _safe(first.get((0x0008, 0x103E), Element(b"LO", "")).value)
-            series_num = first.get((0x0020, 0x0011), Element(b"IS", 0)).value
-            name = output_image_name_format.format(
-                parent_sorting_data=parent, study_uid_index=study_idx,
-                Modality=modality, image_desc=desc, series_num=series_num,
-            )
-            path = output_directory / f"{name}.nii.gz"
-            write_image(data, str(path))
-            out[name] = str(path)
-            images_by_frame[series] = data
-            images_by_frame.setdefault(f"study:{study}", data)
-        elif kind in ("rtstruct", "rtdose"):
-            rt_items.append((parent, study, series, kind, data, series_files))
-
-    # second pass: RT objects
-    for parent, study, series, kind, data, series_files in rt_items:
-        study_idx = study_uids[parent][study]
-        out = output.setdefault(parent, {})
-        if kind == "rtstruct":
-            # prefer the series the RTSTRUCT actually references (a study can
-            # hold e.g. both PT and CT — rasterising on the wrong grid would
-            # silently misalign every mask); fall back to the study's first
-            # image series, then any image
-            ref_uid = _rtstruct_referenced_series_uid(data)
-            ref_image = images_by_frame.get(ref_uid) if ref_uid else None
-            if ref_image is None:
-                ref_image = images_by_frame.get(f"study:{study}")
-            if ref_image is None and images_by_frame:
-                ref_image = list(images_by_frame.values())[0]
-            if ref_image is None:
-                logger.warning("RTSTRUCT without a reference image, skipping")
-                continue
-            masks, names = transform_point_set_from_dicom_struct(ref_image, data)
-            for mask, s_name in zip(masks, names):
-                name = output_structure_name_format.format(
+        # first pass: images (so RTSTRUCTs can rasterise on their own grid)
+        for (study, series), series_files in series_groups.items():
+            kind, data = process_dicom_series(series_files)
+            study_idx = study_uids[parent][study]
+            if kind == "image":
+                first = read_file(series_files[0])
+                image_desc = _safe(get_dicom_info_from_description(
+                    first, return_extra=return_extra,
+                    sop_class_name=initial_sop_class_name_default,
+                ) or "")
+                name = output_image_name_format.format(
                     parent_sorting_data=parent, study_uid_index=study_idx,
-                    Modality="RTSTRUCT", structure_name=_safe(s_name),
+                    image_desc=image_desc,
+                    **_template_naming_info(first, output_image_name_format),
                 )
-                path = output_directory / f"{name}.nii.gz"
-                write_image(mask, str(path))
-                out[name] = str(path)
-        elif kind == "rtdose":
-            ds = read_file(series_files[0])
-            summation = _safe(
-                ds.get((0x3004, 0x000A), Element(b"CS", "PLAN")).value
+                _append_output(output_data_dict, "IMAGES", name, data)
+                images_by_series[series] = data
+                images_by_series.setdefault(f"study:{study}", data)
+            elif kind in ("rtstruct", "rtdose"):
+                rt_items.append((study, series, kind, data, series_files))
+
+        # second pass: RT objects
+        for study, series, kind, data, series_files in rt_items:
+            study_idx = study_uids[parent][study]
+            first = read_file(series_files[0])
+            naming_format = (output_structure_name_format if kind == "rtstruct"
+                             else output_dose_name_format)
+            naming_info = _template_naming_info(first, naming_format)
+            if kind == "rtstruct":
+                # prefer the series the RTSTRUCT actually references (a
+                # study can hold e.g. both PT and CT — rasterising on the
+                # wrong grid would silently misalign every mask); fall back
+                # to the study's first image series, then any image
+                ref_uid = _rtstruct_referenced_series_uid(data)
+                ref_image = images_by_series.get(ref_uid) if ref_uid else None
+                if ref_image is None:
+                    ref_image = images_by_series.get(f"study:{study}")
+                if ref_image is None and images_by_series:
+                    ref_image = list(images_by_series.values())[0]
+                if ref_image is None:
+                    logger.warning("RTSTRUCT without a reference image, skipping")
+                    continue
+                masks, names = transform_point_set_from_dicom_struct(
+                    ref_image, data
+                )
+                for mask, s_name in zip(masks, names):
+                    name = output_structure_name_format.format(
+                        parent_sorting_data=parent, study_uid_index=study_idx,
+                        image_desc="", structure_name=_safe(s_name),
+                        **naming_info,
+                    )
+                    _append_output(output_data_dict, "STRUCTURES", name, mask)
+            elif kind == "rtdose":
+                dose_img = convert_rtdose(series_files[0])
+                name = output_dose_name_format.format(
+                    parent_sorting_data=parent, study_uid_index=study_idx,
+                    image_desc="", **naming_info,
+                )
+                _append_output(output_data_dict, "DOSES", name, dose_img)
+
+        if write_to_disk:
+            output[str(parent)] = write_output_data_to_disk(
+                output_data_dict=output_data_dict,
+                output_directory=output_directory,
+                output_file_suffix=output_file_suffix,
+                overwrite_existing_files=overwrite_existing_files,
             )
-            dose_img = convert_rtdose(series_files[0])
-            name = output_dose_name_format.format(
-                parent_sorting_data=parent, study_uid_index=study_idx,
-                DoseSummationType=summation,
-            )
-            path = output_directory / f"{name}.nii.gz"
-            write_image(dose_img, str(path))
-            out[name] = str(path)
+        else:
+            output[str(parent)] = output_data_dict
 
     return output

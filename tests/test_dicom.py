@@ -66,12 +66,65 @@ def test_crawler(ct_image, tmp_path):
         str(tmp_path / "dicom"), output_directory=str(tmp_path / "nifti")
     )
     assert "CrawlPat" in out
-    written = list(out["CrawlPat"].values())
+    written = out["CrawlPat"]["IMAGES"]
     assert len(written) == 1
+    # reference layout: <out>/<parent>/IMAGES/<name>.nii.gz
+    assert "CrawlPat/IMAGES" in str(written[0]).replace("\\", "/")
     from platipy_tpu.nifti.io import read_image
 
     img = read_image(written[0])
     assert img.spatial_shape == ct_image.spatial_shape
+
+
+def test_crawler_options(ct_image, tmp_path):
+    """Crawler option surface (reference crawl.py:836-1147): templated
+    naming with arbitrary DICOM keywords, missing-keyword fallback to 0,
+    custom suffix, overwrite gating, iterable input, write_to_disk=False."""
+    from platipy_tpu.dicom.io.crawl import process_dicom_directory
+    from platipy_tpu.dicom.io.series import write_dicom_series
+
+    write_dicom_series(ct_image, tmp_path / "dicom", patient_id="OptPat")
+
+    out = process_dicom_directory(
+        [str(tmp_path / "dicom")],  # iterable-of-dirs input
+        output_image_name_format="{parent_sorting_data}_{Modality}_{NoSuchKeyword}",
+        output_directory=str(tmp_path / "a"),
+        output_file_suffix=".nii",
+    )
+    paths = out["OptPat"]["IMAGES"]
+    assert len(paths) == 1
+    name = Path(paths[0]).name
+    assert name == "OptPat_CT_0.nii"  # missing keyword -> 0, custom suffix
+
+    # overwrite gating: second run with overwrite off leaves the file alone
+    p = Path(paths[0])
+    before = p.stat().st_mtime_ns
+    process_dicom_directory(
+        str(tmp_path / "dicom"),
+        output_image_name_format="{parent_sorting_data}_{Modality}_{NoSuchKeyword}",
+        output_directory=str(tmp_path / "a"),
+        output_file_suffix=".nii",
+        overwrite_existing_files=False,
+    )
+    assert p.stat().st_mtime_ns == before
+
+    # write_to_disk=False returns the data dict with the converted image
+    data = process_dicom_directory(
+        str(tmp_path / "dicom"), write_to_disk=False,
+        output_image_name_format="{parent_sorting_data}",
+    )
+    dd = data["OptPat"]
+    assert dd["parent_sorting_data"] == "OptPat"
+    img = dd["IMAGES"]["OptPat"]
+    assert img.spatial_shape == ct_image.spatial_shape
+
+    # sorting by an arbitrary keyword
+    out2 = process_dicom_directory(
+        str(tmp_path / "dicom"), parent_sorting_field="Modality",
+        output_directory=str(tmp_path / "b"),
+        output_image_name_format="{parent_sorting_data}",
+    )
+    assert list(out2.keys()) == ["CT"]
 
 
 def test_crawl_helper_parity(ct_image, tmp_path):
