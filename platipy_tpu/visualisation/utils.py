@@ -56,7 +56,8 @@ class VisualiseContour:
 class VisualiseScalarOverlay:
     def __init__(self, image, name, colormap="magma", alpha=0.75, min_value=False,
                  max_value=False, discrete_levels=False, mid_ticks=False,
-                 show_colorbar=True, norm=None, projection=False):
+                 show_colorbar=True, norm=None, projection=False,
+                 show_as_contours=False):
         self.image = image
         self.name = name
         self.colormap = colormap
@@ -68,12 +69,14 @@ class VisualiseScalarOverlay:
         self.show_colorbar = show_colorbar
         self.norm = norm
         self.projection = projection
+        self.show_as_contours = show_as_contours
 
 
 class VisualiseVectorOverlay:
     def __init__(self, image, name, colormap="inferno", alpha=0.75, arrow_scale=0.25,
                  arrow_width=1, subsample=4, color_function="perpendicular",
-                 invert_field=True, show_colorbar=True):
+                 invert_field=True, show_colorbar=True, min_value=False,
+                 max_value=False, discrete_levels=False, mid_ticks=False):
         self.image = image
         self.name = name
         self.colormap = colormap
@@ -84,6 +87,10 @@ class VisualiseVectorOverlay:
         self.color_function = color_function
         self.invert_field = invert_field
         self.show_colorbar = show_colorbar
+        self.min_value = min_value
+        self.max_value = max_value
+        self.discrete_levels = discrete_levels
+        self.mid_ticks = mid_ticks
 
 
 class VisualiseComparisonOverlay:

@@ -29,13 +29,16 @@ def test_visualiser_ortho_with_overlays(img_and_mask):
     vis.add_scalar_overlay(mask, name="prob", colormap="magma")
     vis.add_bounding_box(mask, name="box")
     fig = vis.show()
-    assert len(fig.axes) >= 3  # ortho views (+ colorbar)
+    # reference ortho layout: axial, blank, coronal, sagittal + colorbar axes
+    assert len(fig.axes) >= 5
     # contour drawn on at least one axis
     total_artists = sum(len(ax.collections) + len(ax.patches) for ax in fig.axes)
     assert total_artists > 0
-    legend = fig.axes[0].get_legend()
-    assert legend is not None
-    assert any("HEART" in t.get_text() for t in legend.get_texts())
+    # figure-level legend beside the axial view (reference visualiser.py:1808)
+    assert len(fig.legends) == 1
+    texts = [t.get_text() for t in fig.legends[0].get_texts()]
+    assert any("HEART" in t for t in texts)
+    assert any("box" in t for t in texts)
 
 
 def test_visualiser_vector_overlay(img_and_mask):
@@ -54,6 +57,144 @@ def test_visualiser_vector_overlay(img_and_mask):
     quivers = [a for ax in fig.axes for a in ax.collections
                if isinstance(a, matplotlib.quiver.Quiver)]
     assert len(quivers) == 1
+
+
+def test_visualiser_ortho_layout_and_window(img_and_mask):
+    """Reference figure conventions (visualiser.py:458-640): 2x2 ortho grid
+    with a blank top-right cell, CT auto-window (-250, 600), axial rendered
+    with origin='upper' under the 'normal' convention."""
+    from platipy_tpu.visualisation.visualiser import ImageVisualiser
+
+    img, _ = img_and_mask
+    fig = ImageVisualiser(img).show()
+    assert len(fig.axes) == 4
+    ax_ax, blank, ax_cor, ax_sag = fig.axes
+    assert not blank.get_images()  # blank cell
+    im = ax_ax.get_images()[0]
+    assert im.get_clim() == (-250, -250 + 600)  # CT window
+    assert im.origin == "upper"
+    assert ax_cor.get_images()[0].origin == "lower"
+    # extent in voxel coordinates
+    assert tuple(im.get_extent()) == (0, 48, 0, 48)
+
+    # 'reversed' origin flips the axial view
+    fig2 = ImageVisualiser(img, origin="reversed").show()
+    assert fig2.axes[0].get_images()[0].origin == "lower"
+
+
+def test_visualiser_scalar_options(img_and_mask):
+    """Scalar overlay depth (reference visualiser.py:1183-1516): discrete
+    levels with mid-ticks, contour mode, and single-view colorbars."""
+    import numpy as np
+
+    from platipy_tpu.visualisation.visualiser import ImageVisualiser
+
+    img, mask = img_and_mask
+    prob = img.with_array(np.asarray(mask.array).astype(np.float32) * 0.9)
+
+    vis = ImageVisualiser(img, axis="z")
+    vis.add_scalar_overlay(prob, name="prob", discrete_levels=4, mid_ticks=True,
+                           min_value=0.0, max_value=1.0)
+    fig = vis.show()
+    assert len(fig.axes) == 2  # view + colorbar
+    cbar_ax = fig.axes[1]
+    assert len(cbar_ax.get_yticks()) == 4  # mid_ticks: one per level
+
+    vis2 = ImageVisualiser(img, axis="z")
+    vis2.add_scalar_overlay(prob, name="prob", discrete_levels=4,
+                            min_value=0.0, max_value=1.0)
+    fig2 = vis2.show()
+    assert len(fig2.axes[1].get_yticks()) == 5  # boundary ticks: levels + 1
+
+    vis3 = ImageVisualiser(img)
+    vis3.add_scalar_overlay(prob, name="prob", show_as_contours=True,
+                            min_value=0.0)
+    fig3 = vis3.show()
+    # contour sets drawn on all three ortho views + a colorbar axes
+    assert len(fig3.axes) == 5
+
+
+def test_visualiser_limits_adjust_view(img_and_mask):
+    """set_limits_from_label + _adjust_view (reference visualiser.py:877-996):
+    axis ranges restrict to the label extent; the axial y-limits mirror under
+    the 'normal' origin convention."""
+    from platipy_tpu.visualisation.visualiser import ImageVisualiser
+
+    img, mask = img_and_mask
+    vis = ImageVisualiser(img)
+    vis.add_contour(mask, name="HEART")
+    vis.set_limits_from_label(mask, expansion=0)
+    fig = vis.show()
+    ax_ax, _, ax_cor, ax_sag = fig.axes[:4]
+    # sphere radius 10 at (24, 24) with 48-wide axes: x-range within [13, 35]
+    x0, x1 = ax_ax.get_xlim()
+    assert 10 <= x0 < 16 and 32 < x1 <= 38
+    # axial y mirrored: cor_size - cor_1 .. cor_size - cor_0
+    y0, y1 = sorted(ax_ax.get_ylim())
+    assert 10 <= y0 < 16 and 32 < y1 <= 38
+    z0, z1 = sorted(ax_cor.get_ylim())
+    assert 0 <= z0 < 5 and 20 < z1 <= 24  # sphere spans ~[2, 22] axially
+
+    # single view takes 4-element limits
+    vis2 = ImageVisualiser(img, axis="y")
+    vis2.set_limits_from_label(mask, expansion=0)
+    fig2 = vis2.show()
+    x0, x1 = fig2.axes[0].get_xlim()
+    assert 10 <= x0 < 16 and 32 < x1 <= 38
+
+
+def test_visualiser_projection_and_contour_resample(img_and_mask):
+    """Projection views (reference visualiser.py:506-568) and contours given
+    on a different grid resample onto the base image before drawing
+    (reference visualiser.py:1012)."""
+    import numpy as np
+
+    from platipy_tpu.registration.utils import smooth_and_resample
+    from platipy_tpu.visualisation.visualiser import ImageVisualiser
+
+    img, mask = img_and_mask
+    fig = ImageVisualiser(img, projection=True).show()
+    assert len(fig.axes) == 4  # projections render in the same ortho layout
+
+    # half-resolution mask still lands on the full-res sphere outline
+    small = smooth_and_resample(mask, shrink_factor=2, smoothing_sigma=None)
+    vis = ImageVisualiser(img, axis="z")
+    vis.add_contour(small, name="small")
+    fig2 = vis.show()
+    paths = [c for c in fig2.axes[0].collections]
+    assert len(paths) >= 1
+    verts = np.concatenate([
+        p.vertices for c in paths for p in c.get_paths()
+    ])
+    # contour sits near the sphere boundary (centre 24, radius ~10 voxels)
+    radii = np.linalg.norm(verts - np.array([24.0, 24.0]), axis=1)
+    assert 6 < np.median(radii) < 14
+
+
+def test_visualiser_contour_color_cycle_and_dict_color(img_and_mask):
+    """Contour colors: explicit single color applies to all entries of a
+    dict; unset colors cycle the rainbow colormap (reference
+    visualiser.py:143-210, 1009-1024)."""
+    import numpy as np
+
+    from platipy_tpu.visualisation.visualiser import ImageVisualiser
+
+    img, mask = img_and_mask
+    m2 = img.with_array(np.roll(np.asarray(mask.array), 5, axis=1))
+    vis = ImageVisualiser(img, axis="z")
+    vis.add_contour({"A": mask, "B": m2}, color="red")
+    fig = vis.show()
+    lines = fig.axes[0].get_lines()
+    labelled = {ln.get_label(): ln.get_color() for ln in lines}
+    assert labelled["A"] == "red" and labelled["B"] == "red"
+
+    vis2 = ImageVisualiser(img, axis="z")
+    vis2.add_contour({"A": mask, "B": m2})
+    fig2 = vis2.show()
+    from matplotlib.colors import to_hex
+
+    colors = [to_hex(ln.get_color()) for ln in fig2.axes[0].get_lines()]
+    assert colors[0] != colors[1]  # cycled, distinct
 
 
 def test_comparison_overlay_and_figure(img_and_mask):
