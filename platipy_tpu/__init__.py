@@ -10,4 +10,18 @@ threads.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Some jax builds register a default platform plugin that wins over the
+    # JAX_PLATFORMS environment variable; apply it through the config API so
+    # the documented env var always works (subprocess tests and CLI runs set
+    # JAX_PLATFORMS=cpu and must NOT fall through to a device tunnel).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - unknown platform string
+        pass
+
 from platipy_tpu.core.image import Image, from_array, like  # noqa: F401

@@ -388,8 +388,11 @@ def test_all_service_shims_register(tmp_path):
     # air region grown from the corner, then inverted = the body
     assert body[4, 8, 8] == 1 and body[0, 0, 0] == 0
 
-    # dependency-gated services fail with a clear error when invoked
-    from services.pinnacle.service import pinnacle_service
+    # the pinnacle service skips non-TAR inputs rather than raising
+    # (reference services/pinnacle/service.py:52-55)
+    from services.pinnacle.service import pinnacle_export_service
 
-    with pytest.raises((RuntimeError, NotImplementedError)):
-        pinnacle_service(objs, str(tmp_path), {})
+    out = pinnacle_export_service(
+        objs, str(tmp_path), {"exportModalities": ["CT"], "exportSeriesUIDs": []}
+    )
+    assert out == []

@@ -22,6 +22,8 @@ from platipy_tpu.projects.cardiac.run import (
 
 logger = logging.getLogger(__name__)
 
+pytestmark = pytest.mark.slow
+
 SHAPE = (40, 96, 96)
 
 

@@ -14,9 +14,11 @@ def _run_cli(args, cwd=None):
     env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
         [sys.executable, "-m", "platipy_tpu.cli.run", *args],
-        # generous: each CLI call cold-imports jax and may compile on one
-        # oversubscribed core; 540 s flaked (497 s observed solo)
-        capture_output=True, text=True, timeout=1200, cwd=cwd, env=env,
+        # platipy_tpu/__init__ forces the JAX_PLATFORMS=cpu env through the
+        # config API, so these run on the CPU backend (5-15 s observed);
+        # round 1 saw ~500 s when the subprocess fell through to the device
+        # tunnel
+        capture_output=True, text=True, timeout=300, cwd=cwd, env=env,
     )
 
 

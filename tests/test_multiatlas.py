@@ -61,6 +61,7 @@ def _make_settings(n_atlases):
     return settings
 
 
+@pytest.mark.slow
 def test_multiatlas_segmentation_synthetic():
     target_img, target_mask = _pseudo_ct((12, 24, 24), 8)
     settings = _make_settings(n_atlases=4)
@@ -77,6 +78,7 @@ def test_multiatlas_segmentation_synthetic():
     assert prob.array.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_multiatlas_sharded_over_mesh(eight_cpu_devices):
     """8 atlases sharded over the 8 virtual devices (atlas mesh DP path)."""
     target_img, target_mask = _pseudo_ct((12, 24, 24), 8)
@@ -112,6 +114,7 @@ def test_nifti_roundtrip(tmp_path):
     assert np.asarray(mback.array).dtype == np.uint8
     np.testing.assert_array_equal(np.asarray(mback.array), np.asarray(mask.array))
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     """A re-run with the same checkpoint directory skips the registration
     stages and reproduces the same output (reference has no compute
@@ -148,6 +151,7 @@ def test_checkpoint_resume(tmp_path):
     assert np.array_equal(a1, a2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["single_atlas", "crop_atlases", "local_vote"])
 def test_pipeline_edge_paths(variant):
     """Edge configurations the reference supports: one atlas, atlas

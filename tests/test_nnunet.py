@@ -73,6 +73,7 @@ def test_sliding_window_inference(tiny_model):
     np.testing.assert_allclose(np.asarray(probs.sum(axis=-1)), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_run_segmentation_contract(tiny_model):
     """Train briefly so the net segments spheres, then check the Struct_i output."""
     rng = np.random.RandomState(0)
@@ -130,6 +131,7 @@ def test_sharded_train_step(tiny_model, eight_cpu_devices):
         params, opt_state, loss = train_step(params, opt_state, images, labels)
         assert np.isfinite(float(loss))
 
+@pytest.mark.slow
 def test_full_training_pipeline_overfits():
     """The TPU-native nnU-Net recipe (foreground-oversampled patches,
     on-device augmentation, deep supervision, poly-LR SGD) overfits one
