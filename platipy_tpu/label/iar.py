@@ -65,8 +65,14 @@ def run_iar(
     single_step=False,
     project_on_sphere=False,
     label="DIR",
+    _dm_cache=None,
 ):
-    """Perform iterative atlas removal on the atlas_set."""
+    """Perform iterative atlas removal on the atlas_set.
+
+    ``_dm_cache`` (internal): per-atlas surface distance maps depend only on
+    the atlas's own mask — not on the consensus reference — so recursion
+    rounds reuse them and only re-sample at the new reference surface.
+    """
     if iteration == 0:
         logger.info("Iterative atlas removal: ")
         logger.info("  Beginning process")
@@ -123,29 +129,37 @@ def run_iar(
             # one bulk device pull for every test atlas; contour + fill +
             # largest-component + EDT then run natively in host memory — the
             # per-atlas formulation paid several full-volume device round
-            # trips per atlas per IAR iteration
+            # trips per atlas per IAR iteration.  The maps are cached across
+            # recursion rounds (they depend only on the atlas's own mask).
             import jax.numpy as jnp
 
             ref_surface = _contour_np(np.asarray(reference_volume.array) > 0)
             spacing = reference_volume.spacing
-            stack = jnp.stack([
-                atlas_set[i][label][reference_structure].array.astype(jnp.float32)
-                for i in remaining_id_list
-            ])
-            maxes = jnp.max(stack, axis=(1, 2, 3))
-            thresh = jnp.where(maxes > 0, 0.1 * maxes, 0.1)
-            binary_stack = np.asarray(
-                (stack >= thresh[:, None, None, None]).astype(jnp.uint8)
-            )  # the one volume pull
-            from platipy_tpu.label.fusion import fill_and_largest_component_np
+            if _dm_cache is None:
+                _dm_cache = {}
+            missing = [i for i in remaining_id_list if i not in _dm_cache]
+            if missing:
+                stack = jnp.stack([
+                    atlas_set[i][label][reference_structure].array.astype(jnp.float32)
+                    for i in missing
+                ])
+                maxes = jnp.max(stack, axis=(1, 2, 3))
+                thresh = jnp.where(maxes > 0, 0.1 * maxes, 0.1)
+                binary_stack = np.asarray(
+                    (stack >= thresh[:, None, None, None]).astype(jnp.uint8)
+                )  # the one volume pull
+                from platipy_tpu.label.fusion import fill_and_largest_component_np
 
-            for k, test_id in enumerate(remaining_id_list):
-                test_np = fill_and_largest_component_np(binary_stack[k])
-                test_contour = _contour_np(test_np > 0)
-                dm = np.sqrt(native.edt_sq_3d(
-                    test_contour.astype(np.uint8), spacing
-                ))
-                g_val_list.append(dm[ref_surface][::resample_factor])
+                for k, test_id in enumerate(missing):
+                    test_np = fill_and_largest_component_np(binary_stack[k])
+                    test_contour = _contour_np(test_np > 0)
+                    _dm_cache[test_id] = np.sqrt(native.edt_sq_3d(
+                        test_contour.astype(np.uint8), spacing
+                    ))
+            for test_id in remaining_id_list:
+                g_val_list.append(
+                    _dm_cache[test_id][ref_surface][::resample_factor]
+                )
         else:
             for test_id in remaining_id_list:
                 test_volume = process_probability_image(
@@ -246,6 +260,7 @@ def run_iar(
             iteration=iteration,
             project_on_sphere=project_on_sphere,
             label=label,
+            _dm_cache=_dm_cache,
         )
 
     logger.info("  End point reached. Keeping:\n   %s", keep_id_list)

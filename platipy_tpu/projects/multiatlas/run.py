@@ -448,6 +448,10 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
     if timer:
         timer.lap("postprocessing", sync=results[atlas_structure_list[-1]])
         timer.report()
+        # expose the per-stage seconds so callers (bench.py) can record them
+        import sys
+
+        sys.modules[__name__].LAST_STAGE_TIMES = dict(timer.times)
 
     logger.info("Done!")
     return results, results_prob
