@@ -378,7 +378,7 @@ from platipy_tpu.parallel.spatial import demons_level_spatial, shard_over_z
 
 zmesh = Mesh(np.array(jax.devices()), ("spatial",))
 rng = np.random.RandomState(0)
-shape = (64, 32, 32)
+shape = (128, 32, 32)  # slab per device (128/8=16) must exceed the halo (10)
 fixed = jnp.asarray(rng.rand(*shape).astype(np.float32))
 moving = jnp.asarray(rng.rand(*shape).astype(np.float32))
 taps = tuple(tuple(float(v) for v in filters.discrete_gaussian_kernel1d(1.0, 0.1, 30))
