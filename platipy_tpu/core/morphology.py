@@ -26,6 +26,7 @@ __all__ = [
     "binary_dilate",
     "binary_erode",
     "binary_closing",
+    "binary_closing_batched",
     "binary_opening",
     "binary_fill_holes",
     "label_contour",
@@ -105,6 +106,17 @@ def binary_closing(mask, radius=(1, 1, 1), kernel: str = "ball"):
         pad[2][0] : closed.shape[2] - pad[2][1],
     ]
     return _rewrap(out, img)
+
+
+def binary_closing_batched(stack, radius=(1, 1, 1), kernel: str = "ball"):
+    """``binary_closing`` of every mask in a [S,z,y,x] stack in one program."""
+    radius = tuple(int(v) for v in np.asarray(radius).reshape(-1))
+    return _binary_closing_batched_jit(stack, radius, kernel)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "kernel"))
+def _binary_closing_batched_jit(stack, radius, kernel):
+    return jax.vmap(lambda m: binary_closing(m, radius, kernel))(stack)
 
 
 def binary_opening(mask, radius=(1, 1, 1), kernel: str = "ball"):

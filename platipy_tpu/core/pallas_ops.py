@@ -16,6 +16,20 @@ revisiting on hardware where the trade flips (larger VMEM, narrower MXU);
 wire them via ``_conv1d_along_axis`` if that happens.  On CPU (tests) they
 run under ``interpret=True`` for bit-accurate parity with the TPU path.
 
+Roofline accounting for why the banded-matmul path stands (v5e, measured
+2026-08): the demons smooth+add+smooth at 30x128x160x160 f32 moves ~13
+volume-traffics sequentially and measures 11.8 ms = ~435 GB/s achieved —
+the same bandwidth a pure fori_loop streaming saxpy achieves on this part
+(~460 GB/s), i.e. the sequential path already runs at the machine's
+effective stream rate.  A fused slab kernel's theoretical 2.6-traffic
+minimum is eaten by (a) the XLA edge-replicate pre-pads it needs
+(~2 extra traffics per operand) and (b) z-halo re-reads: the combined
+G_upd∘G_std halo is ~18 planes while VMEM (16 MB) caps slabs of
+160x160 f32 rows at ~150 planes total across in/out/temp buffers, forcing
+zt≈16 and a 2.1x read amplification.  Net fused traffic ≈ 9V vs 13V —
+a ~25% bound that does not survive kernel overheads.  Revisit when VMEM
+grows or volumes shrink below ~96x128x128 (halo fits, amplification ~1.3x).
+
 Mirrors (functionally): ITK's ``WarpImageFilter`` taps inside
 FastSymmetricForcesDemonsRegistrationFilter (reference deformable.py:244) and
 ``SmoothingRecursiveGaussian``/``DiscreteGaussian`` (deformable.py:158).

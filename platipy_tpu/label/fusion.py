@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Union
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +29,7 @@ __all__ = [
     "combine_labels",
     "combine_labels_staple",
     "process_probability_image",
+    "process_probability_stack",
     "staple",
     "weighted_voting_batched",
 ]
@@ -350,6 +353,64 @@ def fill_and_largest_component_np(binary_np: "np.ndarray") -> "np.ndarray":
     if counts.size and counts.max() > 0:
         return (lab == int(counts.argmax())).astype(np.uint8)
     return np.zeros_like(binary_np)
+
+
+@jax.jit
+def _threshold_stack_jit(prob_stack, thresholds):
+    """Per-structure max-relative threshold over [S,z,y,x] in one program."""
+    max_vals = jnp.max(prob_stack.astype(jnp.float32), axis=(1, 2, 3))
+    t = jnp.where(max_vals > 0, thresholds * max_vals, thresholds)
+    return (prob_stack >= t[:, None, None, None]).astype(jnp.uint8)
+
+
+@jax.jit
+def _threshold_pack_jit(prob_stack, thresholds):
+    """Threshold + bit-pack in one program (8x smaller device->host pull)."""
+    return jnp.packbits(_threshold_stack_jit(prob_stack, thresholds).reshape(-1))
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _unpack_bits_jit(bits, shape):
+    n = 1
+    for s in shape:
+        n *= int(s)
+    return jnp.unpackbits(bits, count=n).reshape(shape).astype(jnp.uint8)
+
+
+def process_probability_stack(prob_stack, thresholds) -> jnp.ndarray:
+    """Batched :func:`process_probability_image`: threshold + fill holes +
+    keep largest component for a whole [S,z,y,x] stack of probability maps.
+
+    One device dispatch for the thresholds, ONE stacked bit-packed pull,
+    host-native fill/largest per structure (in parallel threads — the ctypes
+    calls release the GIL), ONE bit-packed push — the per-structure
+    formulation pays ~4 latency-bound device round trips per structure over
+    a remote-device link.  Returns a [S,z,y,x] uint8 device array.
+    """
+    thresholds = jnp.asarray(thresholds, jnp.float32)
+    shape = tuple(int(v) for v in prob_stack.shape)
+    n = int(np.prod(shape))
+    bits = np.asarray(_threshold_pack_jit(prob_stack, thresholds))
+    bin_np = np.unpackbits(bits, count=n).reshape(shape)
+
+    from platipy_tpu import native
+
+    if native.available():
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(bin_np))) as pool:
+            proc = np.stack(list(pool.map(fill_and_largest_component_np, bin_np)))
+        return _unpack_bits_jit(jnp.asarray(np.packbits(proc.reshape(-1))), shape)
+
+    out = []
+    for b in bin_np:
+        if not b.any():
+            out.append(np.zeros_like(b))
+            continue
+        filled = binary_fill_holes(jnp.asarray(b) > 0)
+        largest = keep_largest_component(filled > 0)
+        out.append(np.asarray(largest).astype(np.uint8))
+    return jnp.asarray(np.stack(out))
 
 
 def process_probability_image(probability_image: Image, threshold: float = 0.5) -> Image:

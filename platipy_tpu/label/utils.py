@@ -32,34 +32,37 @@ def correct_volume_overlap(binary_label_dict: Dict[str, Image],
                            assign_overlap_to_largest: bool = True) -> Dict[str, Image]:
     """Assign overlapping voxels to one structure by volume rank
     (reference utils.py:23-58)."""
-    volume_dict = {
-        name: int(np.asarray(img.array).sum()) for name, img in binary_label_dict.items()
-    }
-    keys, vals = zip(*volume_dict.items())
+    keys = list(binary_label_dict.keys())
+    ref = binary_label_dict[keys[0]]
+    # one stacked device pull instead of one (sync + transfer) per structure —
+    # per-structure fetches over a remote-device link are latency-bound
+    import jax.numpy as _jnp
+
+    members_all = np.asarray(
+        _jnp.stack([binary_label_dict[n].array for n in keys])
+    ) > 0
+    vals = members_all.reshape(len(keys), -1).sum(axis=1)
     if assign_overlap_to_largest:
         volume_rank = np.argsort(vals)[::-1]
     else:
         volume_rank = np.argsort(vals)
     ranked_names = np.array(keys)[volume_rank]
 
-    ref = binary_label_dict[keys[0]]
-    combined = np.zeros(ref.spatial_shape, dtype=bool)
-    for img in binary_label_dict.values():
-        combined |= np.asarray(img.array) > 0
+    combined = members_all.any(axis=0)
+    members = members_all[volume_rank]
 
-    # membership bitmask per structure, in rank order
-    members = np.stack(
-        [np.asarray(binary_label_dict[n].array) > 0 for n in ranked_names]
-    )
-
-    output_label_dict = {}
+    assigned_all = np.zeros_like(members, dtype=np.uint8)
     remaining = combined.copy()
-    for i, name in enumerate(ranked_names):
+    for i in range(len(ranked_names)):
         assigned = remaining & members[i]
-        output_label_dict[str(name)] = ref.with_array(
-            jnp.asarray(assigned.astype(np.uint8))
-        )
+        assigned_all[i] = assigned
         remaining &= ~assigned
+    # one stacked push; per-structure views are device-side slices
+    assigned_dev = jnp.asarray(assigned_all)
+    output_label_dict = {
+        str(name): ref.with_array(assigned_dev[i])
+        for i, name in enumerate(ranked_names)
+    }
     return output_label_dict
 
 

@@ -27,12 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from platipy_tpu.core.components import (
-    keep_largest_component,
-)
 from platipy_tpu.core.image import Image
 from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST
-from platipy_tpu.core.morphology import binary_closing
 from platipy_tpu.generation.mask import extend_mask
 from platipy_tpu.label.fusion import (
     combine_labels,
@@ -752,12 +748,30 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     vote_structures = settings["label_fusion_settings"]["optimal_threshold"].keys()
     vote_structures = [i for i in vote_structures if i in atlas_structure_list]
 
-    for structure_name in vote_structures:
+    # threshold + fill + largest-component for ALL vote structures in one
+    # batched pass (one stacked device pull/push instead of a latency-bound
+    # round-trip set per structure; see label/fusion.py)
+    from platipy_tpu.label.fusion import process_probability_stack
+    from platipy_tpu.utils.crop import paste_stack
+
+    binary_structs = {}
+    prob_full_stack = None
+    if vote_structures:
+        proc_stack = process_probability_stack(
+            jnp.stack([combined_label_dict[s].array for s in vote_structures]),
+            [settings["label_fusion_settings"]["optimal_threshold"][s]
+             for s in vote_structures],
+        )
+        if not return_as_cropped:
+            bin_full_stack = paste_stack(
+                proc_stack, img.spatial_shape, crop_box_index, dtype=jnp.uint8
+            )
+        for k, s in enumerate(vote_structures):
+            binary_structs[s] = img_crop.with_array(proc_stack[k])
+
+    for k_struct, structure_name in enumerate(vote_structures):
         probability_map = combined_label_dict[structure_name]
-        optimal_threshold = settings["label_fusion_settings"]["optimal_threshold"][
-            structure_name
-        ]
-        binary_struct = process_probability_image(probability_map, optimal_threshold)
+        binary_struct = binary_structs[structure_name]
 
         if return_as_cropped:
             results[structure_name] = binary_struct
@@ -775,6 +789,7 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
                 results[guide_structure_name] = guide_structure
                 results_prob[guide_structure_name] = guide_structure
         else:
+            results[structure_name] = img.with_array(bin_full_stack[k_struct])
             if settings["return_proba_as_contours"]:
                 atlas_contours = [
                     process_probability_image(atlas_set[a]["DIR"][structure_name], 0.5)
@@ -782,18 +797,22 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
                 ]
                 probability_img = binary_encode_structure_list(atlas_contours)
                 template_prob = img.with_array(jnp.zeros(img.spatial_shape, jnp.uint32))
+                results_prob[structure_name] = paste(
+                    template_prob, probability_img, probability_img.size,
+                    (0, 0, 0), crop_box_index,
+                )
             else:
-                probability_img = probability_map
-                template_prob = template_img_prob
-
-            results[structure_name] = paste(
-                template_img_binary, binary_struct, binary_struct.size,
-                (0, 0, 0), crop_box_index,
-            )
-            results_prob[structure_name] = paste(
-                template_prob, probability_img, probability_img.size,
-                (0, 0, 0), crop_box_index,
-            )
+                if prob_full_stack is None:
+                    prob_full_stack = paste_stack(
+                        jnp.stack([
+                            combined_label_dict[s].array.astype(jnp.float32)
+                            for s in vote_structures
+                        ]),
+                        img.spatial_shape, crop_box_index, dtype=jnp.float32,
+                    )
+                results_prob[structure_name] = img.with_array(
+                    prob_full_stack[k_struct]
+                )
 
             if (not settings["return_atlas_guide_structure"]) and (
                 guide_structure is not None
@@ -888,14 +907,24 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             int(postprocessing_settings["binaryfillhole_mm"] / sp) for sp in img.spacing
         ]
 
-        for structure_name in postprocessing_settings["structures_for_binaryfillhole"]:
-            if structure_name not in results.keys():
-                continue
-            contour_s = results[structure_name]
-            largest = contour_s.with_array(
-                (keep_largest_component(contour_s).array > 0).astype(jnp.uint8)
+        # keep-largest + closing for every structure in two batched passes
+        # (one stacked pull/push for the host CC, one closing program) —
+        # unlike multiatlas, largest-component is NOT a no-op here: vessel
+        # and geometric structures did not pass through the fusion fill
+        fillhole_structs = [
+            s for s in postprocessing_settings["structures_for_binaryfillhole"]
+            if s in results
+        ]
+        if fillhole_structs:
+            from platipy_tpu.core.components import keep_largest_component_stack
+            from platipy_tpu.core.morphology import binary_closing_batched
+
+            largest_stack = keep_largest_component_stack(
+                jnp.stack([results[s].array for s in fillhole_structs])
             )
-            results[structure_name] = binary_closing(largest, binaryfillhole_img)
+            closed = binary_closing_batched(largest_stack, binaryfillhole_img)
+            for k, s in enumerate(fillhole_structs):
+                results[s] = results[s].with_array(closed[k].astype(jnp.uint8))
 
         input_overlap = {
             s: results[s]

@@ -25,11 +25,8 @@ import numpy as np
 
 from platipy_tpu.core.image import Image
 from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST
-from platipy_tpu.core.components import (
-    keep_largest_component,
-)
-from platipy_tpu.core.morphology import binary_closing
-from platipy_tpu.label.fusion import process_probability_image, weighted_voting_batched
+from platipy_tpu.core.morphology import binary_closing_batched
+from platipy_tpu.label.fusion import weighted_voting_batched
 from platipy_tpu.label.utils import correct_volume_overlap
 from platipy_tpu.parallel.atlas import (
     atlas_mesh,
@@ -45,7 +42,7 @@ from platipy_tpu.registration.linear import (
     linear_registration,
     linear_registration_batched,
 )
-from platipy_tpu.utils.crop import crop_to_roi, label_to_roi, pad_roi_to_multiple, paste
+from platipy_tpu.utils.crop import crop_to_roi, label_to_roi, pad_roi_to_multiple
 
 logger = logging.getLogger(__name__)
 
@@ -135,6 +132,36 @@ def _load_atlas_set(settings) -> Dict:
 
 
 from platipy_tpu.parallel.atlas import combine_for_crop as _combine_for_crop
+
+
+# --- batched stage programs (one dispatch for all structures) ---------------
+# Over a remote-device link each dispatch/sync costs tens of ms; the
+# per-structure loops of reference run.py:352-437 pay that 3-4x per structure.
+# These module-level jitted programs process the whole structure stack at once
+# and persist in the compile cache across cases.
+
+import functools as _functools
+
+from platipy_tpu.core import filters as _filters
+
+
+@_functools.partial(jax.jit, static_argnames=("kernel_key",))
+def _fuse_structures_stack(weight_stack, struct_stack, kernel_key):
+    """Vote + smooth + rescale + floor for every structure in one program.
+
+    ``weight_stack``: [N,z,y,x]; ``struct_stack``: [S,N,z,y,x] ->
+    [S,z,y,x] probability maps (reference fusion semantics, run.py:352-364).
+    """
+    kernels = [np.asarray(k) for k in kernel_key]
+
+    def one(sstack):
+        combined = weighted_voting_batched(weight_stack, sstack)
+        sm = _filters.convolve_separable(combined, kernels)
+        lo, hi = jnp.min(sm), jnp.max(sm)
+        arr = (sm - lo) / jnp.maximum(hi - lo, 1e-12)
+        return jnp.where(arr >= 1e-4, arr, 0.0).astype(jnp.float32)
+
+    return jax.vmap(one)(struct_stack)
 
 
 def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
@@ -379,42 +406,43 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
     for k, atlas_id in enumerate(atlas_id_list):
         atlas_set[atlas_id]["DIR"]["Weight Map"] = img_crop.with_array(weight_stack[k])
 
-    from platipy_tpu.core import filters as _filters
-
-    combined_label_dict = {}
-    for s in atlas_structure_list:
-        combined = weighted_voting_batched(weight_stack, dir_structs[s])
-        prob = img_crop.with_array(combined)
-        prob = _filters.discrete_gaussian(prob, 1.0)
-        arr = prob.array
-        lo, hi = jnp.min(arr), jnp.max(arr)
-        arr = (arr - lo) / jnp.maximum(hi - lo, 1e-12)
-        arr = jnp.where(arr >= 1e-4, arr, 0.0)
-        combined_label_dict[s] = img_crop.with_array(arr.astype(jnp.float32))
+    # smoothing kernels for sitk.DiscreteGaussian(combined, 1.0) parity
+    _var_vox = 1.0 / np.asarray(img_crop.spacing) ** 2
+    fusion_kernel_key = tuple(
+        tuple(float(v) for v in _filters.discrete_gaussian_kernel1d(_var_vox[a], 0.01, 32))
+        for a in (2, 1, 0)
+    )
+    struct_stack_all = jnp.stack([dir_structs[s] for s in atlas_structure_list])
+    prob_stack = _fuse_structures_stack(weight_stack, struct_stack_all,
+                                        fusion_kernel_key)
+    combined_label_dict = {
+        s: img_crop.with_array(prob_stack[k])
+        for k, s in enumerate(atlas_structure_list)
+    }
 
     if timer:
         timer.lap("fusion", sync=combined_label_dict[atlas_structure_list[-1]])
 
     # --- step 5: paste into original space (reference :366-404) --------------
     logger.info("Generating binary segmentations.")
-    template_img_binary = img.with_array(jnp.zeros(img.spatial_shape, jnp.uint8))
-    template_img_prob = img.with_array(jnp.zeros(img.spatial_shape, jnp.float32))
 
-    for structure_name in atlas_structure_list:
-        probability_map = combined_label_dict[structure_name]
-        optimal_threshold = settings["label_fusion_settings"]["optimal_threshold"].get(
-            structure_name, 0.5
-        )
-        binary_struct = process_probability_image(probability_map, optimal_threshold)
+    from platipy_tpu.label.fusion import process_probability_stack
+    from platipy_tpu.utils.crop import paste_stack
 
-        results[structure_name] = paste(
-            template_img_binary, binary_struct,
-            binary_struct.size, (0, 0, 0), crop_box_index,
-        )
-        results_prob[structure_name] = paste(
-            template_img_prob, probability_map,
-            probability_map.size, (0, 0, 0), crop_box_index,
-        )
+    thresholds = [
+        settings["label_fusion_settings"]["optimal_threshold"].get(s, 0.5)
+        for s in atlas_structure_list
+    ]
+    # whole structure stack crosses the device link once each way
+    proc = process_probability_stack(prob_stack, thresholds)
+    bin_full = paste_stack(proc, img.spatial_shape, crop_box_index,
+                           dtype=jnp.uint8)
+    prob_full = paste_stack(prob_stack, img.spatial_shape, crop_box_index,
+                            dtype=jnp.float32)
+
+    for k, structure_name in enumerate(atlas_structure_list):
+        results[structure_name] = img.with_array(bin_full[k])
+        results_prob[structure_name] = img.with_array(prob_full[k])
 
     if timer:
         timer.lap("paste_threshold", sync=results[atlas_structure_list[-1]])
@@ -423,18 +451,25 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
     postprocessing_settings = settings["postprocessing_settings"]
     if postprocessing_settings["run_postprocessing"]:
         logger.info("Running post-processing.")
-        binaryfillhole_img = [
+        binaryfillhole_img = tuple(
             int(postprocessing_settings["binaryfillhole_mm"] / sp) for sp in img.spacing
-        ]
+        )
 
-        for structure_name in postprocessing_settings["structures_for_binaryfillhole"]:
-            if structure_name not in results:
-                continue
-            contour_s = results[structure_name]
-            largest = contour_s.with_array(
-                (keep_largest_component(contour_s).array > 0).astype(jnp.uint8)
+        # step 5's masks are single-component by construction (fill-holes +
+        # keep-largest ran before the paste, which adds nothing), so the
+        # reference's keep-largest here (run.py:424-431) is an identity —
+        # only the closing remains, batched over structures in one program
+        fillhole_structs = [
+            s for s in postprocessing_settings["structures_for_binaryfillhole"]
+            if s in results
+        ]
+        if fillhole_structs:
+            closed = binary_closing_batched(
+                jnp.stack([results[s].array for s in fillhole_structs]),
+                binaryfillhole_img,
             )
-            results[structure_name] = binary_closing(largest, binaryfillhole_img)
+            for k, s in enumerate(fillhole_structs):
+                results[s] = results[s].with_array(closed[k].astype(jnp.uint8))
 
         if len(postprocessing_settings["structures_for_overlap_correction"]) >= 2:
             input_overlap = {

@@ -7,15 +7,17 @@ are preserved.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from platipy_tpu.core.image import Image
 
 __all__ = ["label_to_roi", "crop_to_roi", "crop_to_label_extent", "paste",
-           "pad_roi_to_multiple"]
+           "paste_stack", "pad_roi_to_multiple"]
 
 
 def pad_roi_to_multiple(size, index, image_size, multiple: int = 32):
@@ -40,6 +42,19 @@ def pad_roi_to_multiple(size, index, image_size, multiple: int = 32):
     return [int(v) for v in target], [int(v) for v in new_index]
 
 
+@jax.jit
+def _axis_any_profiles(m):
+    """[3, max(nz,ny,nx)] bool: any-occupancy per x/y/z index (rows 0/1/2)."""
+    m = m > 0
+    nz, ny, nx = m.shape
+    n = max(nz, ny, nx)
+    px = jnp.any(m, axis=(0, 1))
+    py = jnp.any(m, axis=(0, 2))
+    pz = jnp.any(m, axis=(1, 2))
+    pad = lambda p: jnp.pad(p, (0, n - p.shape[0]))
+    return jnp.stack([pad(px), pad(py), pad(pz)])
+
+
 def label_to_roi(label, expansion_mm=(0, 0, 0), return_as_list: bool = False):
     """Bounding box of a label (or union of labels), optionally expanded (mm).
 
@@ -49,17 +64,32 @@ def label_to_roi(label, expansion_mm=(0, 0, 0), return_as_list: bool = False):
     """
     if isinstance(label, (list, tuple)):
         ref = label[0]
-        arr = np.zeros(ref.spatial_shape, dtype=bool)
-        for item in label:
-            arr |= np.asarray(item.array) > 0
-        reference_label = Image(jnp.asarray(arr), ref.origin, ref.spacing, ref.direction)
+        items = [jnp.asarray(item.array) for item in label]
+        on_device = all(isinstance(a, jax.Array) for a in items)
+        m = items[0] > 0
+        for a in items[1:]:
+            m = m | (a > 0)
+        reference_label = Image(m, ref.origin, ref.spacing, ref.direction)
     else:
         reference_label = label
-        arr = np.asarray(reference_label.array) > 0
+        m = reference_label.array
+        on_device = isinstance(m, jax.Array)
+
+    if on_device:
+        # the bounding box needs only the three axis any-profiles: reduce on
+        # device and pull ONE small array instead of the full volume (a
+        # full-volume fetch over a remote-device link is latency+size bound)
+        profs = np.asarray(_axis_any_profiles(m))
+        nz_, ny_, nx_ = reference_label.spatial_shape
+        xx = np.nonzero(profs[0, :nx_])[0]
+        yy = np.nonzero(profs[1, :ny_])[0]
+        zz = np.nonzero(profs[2, :nz_])[0]
+    else:
+        arr = np.asarray(m) > 0
+        zz, yy, xx = np.nonzero(arr)
 
     image_spacing = np.array(reference_label.spacing)
 
-    zz, yy, xx = np.nonzero(arr)
     if xx.size == 0:
         size_xyz = reference_label.size
         if return_as_list:
@@ -131,3 +161,32 @@ def paste(
         destination.array, block.astype(destination.array.dtype), (diz, diy, dix)
     )
     return destination.with_array(out)
+
+
+def paste_stack(stack, full_shape, index_xyz, dtype=None):
+    """Paste a [S,z,y,x] stack into zeroed [S, *full_shape] volumes in ONE
+    program (the batched form of per-structure ``paste`` into a zero
+    template, reference multiatlas run.py:366-404).
+
+    ``index_xyz`` is the (x, y, z) destination index, matching ``paste``.
+    The index is a DYNAMIC operand: per-case crop indices vary even when the
+    bucketed sizes repeat, and a static index would recompile the program
+    for every new case.
+    """
+    full_shape = tuple(int(v) for v in full_shape)
+    index_zyx = jnp.asarray(
+        [int(index_xyz[2]), int(index_xyz[1]), int(index_xyz[0])], jnp.int32
+    )
+    if dtype is None:
+        dtype = stack.dtype
+    return _paste_stack_jit(stack, index_zyx, full_shape, jnp.dtype(dtype).name)
+
+
+@functools.partial(jax.jit, static_argnames=("full_shape", "dtype_key"))
+def _paste_stack_jit(stack, index_zyx, full_shape, dtype_key):
+    dest = jnp.zeros((stack.shape[0],) + full_shape, jnp.dtype(dtype_key))
+    zero = jnp.zeros((), jnp.int32)
+    return jax.lax.dynamic_update_slice(
+        dest, stack.astype(dest.dtype),
+        (zero, index_zyx[0], index_zyx[1], index_zyx[2]),
+    )
