@@ -201,7 +201,10 @@ def main():
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache EVERY program: the many small (<0.5 s compile) programs are
+    # exactly the ones whose per-process remote recompiles dominated cold
+    # starts (~0.4-1 s each over the tunnel, hundreds of programs)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     rng = np.random.RandomState(7)
     ct0, masks0 = build_phantom()

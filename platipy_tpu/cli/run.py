@@ -23,7 +23,7 @@ def _configure_compilation_cache():
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception as err:  # cache is an optimisation, never fatal
         logger.debug("Compilation cache unavailable: %s", err)
 
