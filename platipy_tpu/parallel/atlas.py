@@ -395,6 +395,21 @@ def _demons_level_batched(
     return dvf_total
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_warp_by_dvf(spacing, interp, default_value):
+    # a fresh ``@jax.jit`` closure per call re-traced + re-lowered the warp
+    # on EVERY warm case (~0.3 s each of pure host work); the cached wrapper
+    # traces once per (spacing, interp, default) and dispatches on the fast
+    # path thereafter
+    @jax.jit
+    def run(s, d):
+        return jax.vmap(
+            lambda a, f: _warp_arr(a, f, spacing, interp=interp, default_value=default_value)
+        )(s, d)
+
+    return run
+
+
 def batched_warp_by_dvf(
     stack: jnp.ndarray,
     dvf_stack: jnp.ndarray,
@@ -404,14 +419,9 @@ def batched_warp_by_dvf(
 ) -> jnp.ndarray:
     """Warp a [N,z,y,x] stack by per-atlas DVFs on the same grid."""
     spacing = tuple(float(s) for s in spacing_xyz)
-
-    @jax.jit
-    def run(s, d):
-        return jax.vmap(
-            lambda a, f: _warp_arr(a, f, spacing, interp=interp, default_value=default_value)
-        )(s, d)
-
-    return run(stack, dvf_stack)
+    return _cached_warp_by_dvf(spacing, int(interp), float(default_value))(
+        stack, dvf_stack
+    )
 
 
 def batched_weight_maps(
