@@ -8,6 +8,7 @@ softmax accumulated in one pass.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -77,10 +78,32 @@ def sliding_window_inference(
             ax_starts.append(n - t)
         starts.append(sorted(set(ax_starts)))
 
+    tile_forward, accumulate = _cached_tile_programs(
+        apply_fn, tile_shape, int(num_classes)
+    )
+
+    acc = jnp.zeros(vol_shape + (num_classes,), jnp.float32)
+    wacc = jnp.zeros(vol_shape, jnp.float32)
+    for z0 in starts[0]:
+        for y0 in starts[1]:
+            for x0 in starts[2]:
+                probs = tile_forward(params, volume, z0, y0, x0)
+                acc, wacc = accumulate(acc, wacc, probs, z0, y0, x0)
+
+    return acc / jnp.maximum(wacc[..., None], 1e-6)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_tile_programs(apply_fn, tile_shape, num_classes):
+    """jitted tile programs, built once per (model apply, tile shape, classes).
+
+    Function-local ``@jax.jit`` closures re-trace on every
+    ``sliding_window_inference`` call; params are an explicit argument so
+    loading a different checkpoint reuses the same compiled program."""
     weight = jnp.asarray(_gaussian_importance(tile_shape))
 
     @jax.jit
-    def tile_forward(vol, z0, y0, x0):
+    def tile_forward(params, vol, z0, y0, x0):
         tile = jax.lax.dynamic_slice(vol, (z0, y0, x0), tile_shape)
         logits = apply_fn(params, tile[None, ..., None])[0]
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -101,15 +124,7 @@ def sliding_window_inference(
         )
         return acc, wacc
 
-    acc = jnp.zeros(vol_shape + (num_classes,), jnp.float32)
-    wacc = jnp.zeros(vol_shape, jnp.float32)
-    for z0 in starts[0]:
-        for y0 in starts[1]:
-            for x0 in starts[2]:
-                probs = tile_forward(volume, z0, y0, x0)
-                acc, wacc = accumulate(acc, wacc, probs, z0, y0, x0)
-
-    return acc / jnp.maximum(wacc[..., None], 1e-6)
+    return tile_forward, accumulate
 
 
 def predict_image(
