@@ -16,7 +16,7 @@ WORKDIR /platipy_tpu
 COPY pyproject.toml setup.py ./
 RUN pip install --no-cache-dir "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
     || pip install --no-cache-dir jax
-RUN pip install --no-cache-dir flax optax numpy
+RUN pip install --no-cache-dir flax optax numpy scipy click matplotlib pandas
 
 COPY platipy_tpu ./platipy_tpu
 RUN pip install --no-cache-dir -e . --no-deps

@@ -27,8 +27,16 @@ else
     echo "Running without SSL, not suitable for production use."
 fi
 
+# Docker CMD semantics: the image's default CMD is a bare "manage" sentinel
+# selecting the full serve command below; any more specific command (e.g. the
+# compose worker's `manage run --port 8000`) is exec'd as-is — appending CMD
+# to the complete default line would hand click an unexpected extra argument.
+if [ "$#" -gt 1 ] || { [ "$#" -eq 1 ] && [ "$1" != "manage" ]; }; then
+    exec "$@"
+fi
+
 # service.py in the WORKDIR defines the app (algorithm registration);
 # `manage run` imports it, starts the DICOM listener task and the task
 # runner threads, then serves the REST API.
 exec manage run --host 0.0.0.0 --port 8000 --database "$DB" \
-    --service service $SSL_ARGS "$@"
+    --service service $SSL_ARGS

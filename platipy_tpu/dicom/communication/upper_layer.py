@@ -152,6 +152,12 @@ def parse_associate(body: bytes, with_roles: bool = False):
                     max_pdu = struct.unpack(">I", sub)[0]
                 elif st == 0x54 and len(sub) >= 4:
                     (uid_len,) = struct.unpack(">H", sub[:2])
+                    if len(sub) < 4 + uid_len:
+                        # truncated/malformed role item: the two role bytes
+                        # after the UID are absent — skip rather than IndexError
+                        logger.warning("truncated SCP/SCU role item (len %d, "
+                                       "uid_len %d)", len(sub), uid_len)
+                        continue
                     uid = sub[2 : 2 + uid_len].rstrip(b"\x00").decode("ascii")
                     roles[uid] = (sub[2 + uid_len], sub[3 + uid_len])
     if with_roles:
@@ -274,8 +280,13 @@ def _qr_rsp(sop_class: str, field: int, message_id: int, status: int,
 # -- association (SCU side) ----------------------------------------------------
 
 
-class ReleaseRequested(Exception):
-    """Peer sent A-RELEASE-RQ while a DIMSE message was awaited."""
+class ReleaseRequested(ConnectionError):
+    """Peer sent A-RELEASE-RQ while a DIMSE message was awaited.
+
+    A ``ConnectionError`` subclass so callers whose error contract is "the
+    exchange did not complete" (``DicomConnector.verify``/``send_dcm``
+    catch ``ConnectionError``) degrade to their failure return instead of
+    crashing when a peer releases mid-exchange."""
 
 
 class _DimseTransport:
@@ -840,12 +851,24 @@ class QueryRetrieveSCP(StorageSCP):
         counts = {"remaining": len(files), "completed": 0, "failed": 0,
                   "warning": 0}
         sop_classes = sorted({ds[(0x0008, 0x0016)].value for _p, ds in files})
-        sub = Association(
-            dest[0], dest[1], calling=self.ae_title, called=dest_aet,
-            contexts=[(sc, [EXPLICIT_VR_LE, IMPLICIT_VR_LE])
-                      for sc in sop_classes] or
-                     [(VERIFICATION_SOP, [IMPLICIT_VR_LE])],
-        )
+        try:
+            sub = Association(
+                dest[0], dest[1], calling=self.ae_title, called=dest_aet,
+                contexts=[(sc, [EXPLICIT_VR_LE, IMPLICIT_VR_LE])
+                          for sc in sop_classes] or
+                         [(VERIFICATION_SOP, [IMPLICIT_VR_LE])],
+            )
+        except (ConnectionError, OSError) as exc:
+            # destination registered but unreachable: answer the requester
+            # with a failed C-MOVE-RSP instead of dropping the association
+            logger.warning("C-MOVE destination %r unreachable: %s",
+                           dest_aet, exc)
+            counts["failed"] = len(files)
+            counts["remaining"] = 0
+            assoc.send_dimse(
+                ctx_id, _qr_rsp(sop, 0x8021, msg_id, 0xA801, counts=counts)
+            )
+            return
         try:
             def ctx_lookup(sop_class):
                 try:

@@ -118,6 +118,10 @@ def _template_naming_info(ds, name_format: str) -> Dict[str, object]:
         for part in name_format.split("}")
         if "{" in part
     ]
+    # str.format looks fields up by name alone — strip any format spec /
+    # conversion ("{SeriesNumber:04d}", "{PatientName!s}") before resolving,
+    # or the .format(**info) call KeyErrors on the bare name
+    fields = [f.split(":", 1)[0].split("!", 1)[0] for f in fields]
     return {
         f: _resolve_keyword(ds, f)
         for f in fields if f not in _SPECIAL_NAME_FIELDS

@@ -743,7 +743,6 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     # --- step 7: paste into original space ---------------------------------------
     logger.info("Generating binary segmentations.")
     template_img_binary = img.with_array(jnp.zeros(img.spatial_shape, jnp.uint8))
-    template_img_prob = img.with_array(jnp.zeros(img.spatial_shape, jnp.float32))
 
     vote_structures = settings["label_fusion_settings"]["optimal_threshold"].keys()
     vote_structures = [i for i in vote_structures if i in atlas_structure_list]

@@ -496,7 +496,11 @@ class ImageVisualiser:
 
     def _render_vectors(self, panes):
         if self.__projection and self.__vector_overlays:
-            raise Warning("Vector overlay is not implemented in projection mode.")
+            # warn and skip the layer — raising here would abort show() with
+            # the base panes already rendered and a dangling half-built figure
+            warnings.warn("Vector overlay is not implemented in projection "
+                          "mode; skipping vector layers.")
+            return
         spacing_zyx = self.__image.spacing_zyx
         for vector_index, vector in enumerate(self.__vector_overlays):
             v_arr = np.asarray(vector.image.array)  # [z,y,x,3], (x,y,z) comps
@@ -677,7 +681,9 @@ class ImageVisualiser:
         approx_font_scaling = self.__figure_size / n_items
         fontsize = min(10, 16 * approx_font_scaling)
 
-        if len(self.__figure.axes) >= 4:  # ortho layout
+        # detect the ortho layout by the configured axis, NOT by axes count —
+        # a single-view figure with 3+ colorbars also has >= 4 axes
+        if self.__axis == "ortho":
             ax_ax = self.__figure.axes[0]
             pos = ax_ax.get_position()
             y_pos = (pos.ymax + pos.ymin) / 2

@@ -583,6 +583,13 @@ def test_query_retrieve_find_get_move_roundtrip(tmp_path):
         # unknown C-MOVE destination reports failure, not a hang
         counts = conn.move_series(series_uid, move_aet="NOSUCHAE")
         assert counts["completed"] == 0
+
+        # registered but UNREACHABLE destination (listener shut down above):
+        # the SCP must answer a failed C-MOVE-RSP with sub-op counts instead
+        # of dropping the requester's association
+        counts = conn.move_series(series_uid, move_aet="DESTAE")
+        assert counts["completed"] == 0
+        assert counts["failed"] == len(files)
     finally:
         qr.shutdown()
 
