@@ -17,10 +17,26 @@ if _os.environ.get("JAX_PLATFORMS"):
     # JAX_PLATFORMS environment variable; apply it through the config API so
     # the documented env var always works (subprocess tests and CLI runs set
     # JAX_PLATFORMS=cpu and must NOT fall through to a device tunnel).
+    #
+    # The env var may only NARROW the current platform list, never redirect
+    # it: a caller that already ran jax.config.update("jax_platforms", "cpu")
+    # before importing this package must keep cpu even when the login profile
+    # exports JAX_PLATFORMS=<device tunnel> (clobbering that to the tunnel
+    # platform hangs every op during tunnel outages).
     import jax as _jax
 
     try:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        _env_platforms = [
+            p.strip().lower()
+            for p in _os.environ["JAX_PLATFORMS"].split(",")
+            if p.strip()
+        ]
+        _current = _jax.config.jax_platforms or ""
+        _current_platforms = {
+            p.strip().lower() for p in _current.split(",") if p.strip()
+        }
+        if not _current_platforms or set(_env_platforms) <= _current_platforms:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:  # pragma: no cover - unknown platform string
         pass
 
