@@ -50,7 +50,13 @@ from platipy_tpu.utils.conduction import (
     geometric_atrioventricularnode,
     geometric_sinoatrialnode,
 )
-from platipy_tpu.utils.crop import crop_to_roi, label_to_roi, pad_roi_to_multiple, paste
+from platipy_tpu.utils.crop import (
+    crop_to_roi,
+    label_to_roi,
+    pad_roi_to_multiple,
+    paste,
+    snap_roi_to_seen_bucket,
+)
 from platipy_tpu.utils.valve import (
     generate_valve_from_great_vessel,
     generate_valve_using_cylinder,
@@ -451,6 +457,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         crop_box_size, crop_box_index = pad_roi_to_multiple(
             crop_box_size, crop_box_index, img.size, 32
         )
+        crop_box_size, crop_box_index = snap_roi_to_seen_bucket(
+            crop_box_size, crop_box_index, img.size
+        )
         img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
         guide_structure = crop_to_roi(guide_structure, crop_box_size, crop_box_index)
         target_reg_structure = convert_mask_to_reg_structure(guide_structure, expansion=2)
@@ -483,6 +492,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         crop_box_size, crop_box_index = label_to_roi(combined_image, expansion_mm=expansion_mm)
         crop_box_size, crop_box_index = pad_roi_to_multiple(
             crop_box_size, crop_box_index, img.size, 32
+        )
+        crop_box_size, crop_box_index = snap_roi_to_seen_bucket(
+            crop_box_size, crop_box_index, img.size
         )
         img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
 

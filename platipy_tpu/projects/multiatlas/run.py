@@ -42,7 +42,12 @@ from platipy_tpu.registration.linear import (
     linear_registration,
     linear_registration_batched,
 )
-from platipy_tpu.utils.crop import crop_to_roi, label_to_roi, pad_roi_to_multiple
+from platipy_tpu.utils.crop import (
+    crop_to_roi,
+    label_to_roi,
+    pad_roi_to_multiple,
+    snap_roi_to_seen_bucket,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -249,6 +254,12 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         # bucket the crop shape so compiled programs are reused across cases
         crop_box_size, crop_box_index = pad_roi_to_multiple(
             crop_box_size, crop_box_index, img.size, 32
+        )
+        # ...and snap to a bucket this process has already compiled for, if
+        # one fits: per-case boxes straddle bucket steps as they track the
+        # anatomy, and each fresh size recompiles the whole pipeline
+        crop_box_size, crop_box_index = snap_roi_to_seen_bucket(
+            crop_box_size, crop_box_index, img.size
         )
         ckpt.save("cropbox", meta={"size": list(crop_box_size),
                                    "index": list(crop_box_index)})

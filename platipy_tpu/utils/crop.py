@@ -17,7 +17,8 @@ import numpy as np
 from platipy_tpu.core.image import Image
 
 __all__ = ["label_to_roi", "crop_to_roi", "crop_to_label_extent", "paste",
-           "paste_stack", "pad_roi_to_multiple"]
+           "paste_stack", "pad_roi_to_multiple", "snap_roi_to_seen_bucket",
+           "reset_roi_buckets"]
 
 
 def pad_roi_to_multiple(size, index, image_size, multiple: int = 32):
@@ -40,6 +41,50 @@ def pad_roi_to_multiple(size, index, image_size, multiple: int = 32):
     new_index = np.maximum(index - grow // 2, 0)
     new_index = np.minimum(new_index, image_size - target)
     return [int(v) for v in target], [int(v) for v in new_index]
+
+
+# Crop-box sizes already handed out in this process.  Different cases produce
+# crop boxes a bucket step apart (the box tracks anatomy), and every new size
+# recompiles the whole pipeline (~20-90 s over the remote compile service).
+# Reusing a slightly-larger seen bucket trades a few percent more voxels for
+# zero recompiles — the right trade for a serving process.
+_SEEN_ROI_BUCKETS: List[Tuple[int, int, int]] = []
+
+
+def reset_roi_buckets() -> None:
+    """Forget previously seen crop-box sizes (tests / atlas-set switches)."""
+    _SEEN_ROI_BUCKETS.clear()
+
+
+def snap_roi_to_seen_bucket(size, index, image_size, max_overhead: float = 1.6):
+    """Snap an (x,y,z) crop box to a previously returned box size when one
+    fits, so every compiled program in the pipeline is reused across cases.
+
+    A seen bucket is reused iff it contains the needed box, fits inside the
+    image, and costs at most ``max_overhead``x the needed voxel count.  The
+    needed size is registered otherwise.  Use AFTER pad_roi_to_multiple.
+    """
+    size_a = np.asarray(size, dtype=np.int64)
+    index_a = np.asarray(index, dtype=np.int64)
+    image_size_a = np.asarray(image_size, dtype=np.int64)
+
+    best = None
+    for bucket in _SEEN_ROI_BUCKETS:
+        b = np.asarray(bucket, dtype=np.int64)
+        if np.all(b >= size_a) and np.all(b <= image_size_a):
+            overhead = float(np.prod(b)) / max(float(np.prod(size_a)), 1.0)
+            if overhead <= max_overhead and (
+                best is None or np.prod(b) < np.prod(best)
+            ):
+                best = b
+    if best is None:
+        _SEEN_ROI_BUCKETS.append(tuple(int(v) for v in size_a))
+        return [int(v) for v in size_a], [int(v) for v in index_a]
+
+    grow = best - size_a
+    new_index = np.maximum(index_a - grow // 2, 0)
+    new_index = np.minimum(new_index, image_size_a - best)
+    return [int(v) for v in best], [int(v) for v in new_index]
 
 
 @jax.jit

@@ -175,3 +175,40 @@ def test_tcia_fetch_data_offline(tmp_path, monkeypatch):
     result2 = tcia.fetch_data("TEST-COLL", patient_ids=["TCIA-PAT-1"],
                               output_directory=str(tmp_path / "out"))
     assert result2 == result
+
+
+def test_snap_roi_to_seen_bucket_reuses_and_registers():
+    from platipy_tpu.utils.crop import (
+        pad_roi_to_multiple,
+        reset_roi_buckets,
+        snap_roi_to_seen_bucket,
+    )
+
+    reset_roi_buckets()
+    image_size = (160, 160, 96)
+
+    # first case registers its bucket unchanged
+    s1, i1 = pad_roi_to_multiple((117, 130, 70), (10, 12, 8), image_size, 32)
+    s1b, i1b = snap_roi_to_seen_bucket(s1, i1, image_size)
+    assert s1b == s1 and i1b == i1
+
+    # a smaller box (one bucket step down on z) snaps to the seen bucket
+    s2, i2 = pad_roi_to_multiple((117, 130, 60), (20, 15, 10), image_size, 32)
+    s2b, i2b = snap_roi_to_seen_bucket(s2, i2, image_size)
+    assert s2b == s1b
+    # snapped box still contains the needed box and stays in bounds
+    for ax in range(3):
+        assert i2b[ax] <= i2[ax]
+        assert i2b[ax] + s2b[ax] >= i2[ax] + s2[ax]
+        assert i2b[ax] >= 0 and i2b[ax] + s2b[ax] <= image_size[ax]
+
+    # a bigger box cannot reuse the smaller bucket: registers a new one
+    s3, i3 = pad_roi_to_multiple((150, 150, 90), (2, 2, 2), image_size, 32)
+    s3b, _ = snap_roi_to_seen_bucket(s3, i3, image_size)
+    assert s3b == s3
+
+    # overhead cap: a tiny box does NOT balloon to a huge seen bucket
+    s4, i4 = pad_roi_to_multiple((30, 30, 30), (40, 40, 30), image_size, 32)
+    s4b, _ = snap_roi_to_seen_bucket(s4, i4, image_size)
+    assert s4b == s4
+    reset_roi_buckets()
