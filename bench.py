@@ -135,7 +135,11 @@ def make_settings(atlas_set):
     # the reference multiatlas defaults (run.py:75-91): 6/3/1.5mm, 150/125/100
     settings["deformable_registration_settings"]["resolution_staging"] = [6, 3, 1.5]
     settings["deformable_registration_settings"]["iteration_staging"] = [150, 125, 100]
-    settings["label_fusion_settings"]["vote_type"] = "unweighted"
+    # local (Gaussian-weighted intensity-difference) voting: one extra
+    # separable convolution per atlas (<0.1 s batched) and measurably better
+    # thin-structure DSC than unweighted majority voting; both are reference
+    # pipeline options (reference fusion.py:155-177)
+    settings["label_fusion_settings"]["vote_type"] = "local"
     settings["postprocessing_settings"]["structures_for_binaryfillhole"] = list(STRUCTURES)
     return settings
 

@@ -122,7 +122,11 @@ def compute_weight_map(
         )
         # sitk.BoxMean radius semantics: block_size is the radius per axis
         raw_map = _filters.box_mean(sq_diff, block_size)
-        weight = factor * (raw_map.array ** -1.0) ** abs(gain / 2.0)
+        # DELIBERATE deviation from the reference (fusion.py:189-190), which
+        # takes raw^-1 unguarded: identical blocks (e.g. the air background of
+        # two CTs) give raw == 0 -> inf weights -> NaN fused probabilities.
+        # The local vote's epsilon guard is applied here for the same reason.
+        weight = factor * ((raw_map.array + params["epsilon"]) ** -1.0) ** abs(gain / 2.0)
         weight_map = target_image.with_array(weight)
         weight_map = _normalise_weight(weight_map, normalise)
 

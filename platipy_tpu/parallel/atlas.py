@@ -470,6 +470,8 @@ def batched_weight_maps(
                    (block[2], block[1], block[0])]
         sq = (stack - target[None]) ** 2
         raw = _filters.convolve_separable(sq, kernels, axes=(1, 2, 3))
-        return params["factor"] * (raw ** -1.0) ** abs(params["gain"] / 2.0)
+        # epsilon guard as in fusion.compute_weight_map: raw == 0 on identical
+        # blocks would give inf weights and NaN fused probabilities
+        return params["factor"] * ((raw + params["epsilon"]) ** -1.0) ** abs(params["gain"] / 2.0)
 
     raise ValueError(f"Unsupported batched vote_type {vote_type!r}")

@@ -137,6 +137,12 @@ def test_weight_maps():
     assert np.asarray(w_l.array).min() > 0
     w_b = compute_weight_map(target, moving, "block")
     assert np.isfinite(np.asarray(w_b.array)).all()
+    # identical images: sq-diff is exactly 0, weights must stay finite (the
+    # reference's unguarded raw^-1 returns inf here and fusion goes NaN)
+    w_b0 = compute_weight_map(target, target, "block")
+    assert np.isfinite(np.asarray(w_b0.array)).all()
+    w_l0 = compute_weight_map(target, target, "local")
+    assert np.isfinite(np.asarray(w_l0.array)).all()
     w_p = compute_weight_map(target, moving, "patch_correlation")
     # identical-ish images: correlation+1 should be ~2 in the interior
     assert np.asarray(w_p.array).max() > 1.5
