@@ -99,6 +99,10 @@ CARDIAC_SETTINGS_DEFAULTS = {
         "metric": "mean_squares",
         "optimiser": "gradient_descent_line_search",
         "verbose": False,
+        # TPU extension: stop a level once every atlas's relative metric
+        # improvement stays < 1e-6 for this many iterations (ITK v4-style
+        # convergence; number_of_iterations remains the hard cap)
+        "convergence_window": 5,
     },
     "structure_guided_registration_settings": {
         "isotropic_resample": True,
@@ -471,6 +475,7 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             "sampling_rate": 0.75,
             "default_value": -1000,
             "number_of_iterations": 25,
+            "convergence_window": 5,
             "final_interp": INTERP_LINEAR,
             "metric": "mean_squares",
             "optimiser": "gradient_descent_line_search",

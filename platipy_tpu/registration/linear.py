@@ -162,6 +162,7 @@ def _make_level_loss(metric_name, shape_zyx, has_fmask, has_mmask):
     jax.jit,
     static_argnames=(
         "metric_name", "optimiser", "iterations", "shape_zyx", "has_fmask", "has_mmask",
+        "convergence_window", "convergence_tolerance",
     ),
 )
 def _register_level(
@@ -183,6 +184,8 @@ def _register_level(
     shape_zyx,
     has_fmask: bool,
     has_mmask: bool,
+    convergence_window: int = 0,
+    convergence_tolerance: float = 1e-6,
 ):
     """One multi-resolution level's optimisation as a single XLA program.
 
@@ -219,8 +222,37 @@ def _register_level(
     v0, g0 = value_and_grad(params)
     lr0 = estimated_lr(g0)
 
+    # Convergence stopping (opt-in): end a level once the relative metric
+    # improvement has stayed below ``convergence_tolerance`` for
+    # ``convergence_window`` consecutive iterations.  ITK's v4 optimisers
+    # stop on a convergence-window energy slope the same way, so fixed trip
+    # counts actually OVERSHOOT reference behaviour; under vmap the
+    # while_loop runs until every atlas lane converges, so the saving is
+    # real wall-clock on the batched pipelines.
+    def _run_with_convergence(one_step, carry0):
+        """one_step(carry) -> carry where carry[-1] is the current loss."""
+        W = int(convergence_window)
+        tol = jnp.float32(convergence_tolerance)
+
+        def cond(state):
+            i, stall, carry = state
+            return (i < iterations) & (stall < W)
+
+        def body(state):
+            i, stall, carry = state
+            new_carry = one_step(carry)
+            v_prev, v_new = carry[-1], new_carry[-1]
+            rel = (v_prev - v_new) / jnp.maximum(jnp.abs(v_prev), 1e-12)
+            stall = jnp.where(rel <= tol, stall + 1, 0)
+            return i + 1, stall, new_carry
+
+        _, _, carry = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(0), carry0)
+        )
+        return carry
+
     if optimiser in ("gradient_descent", "cgls"):
-        def body(_, carry):
+        def gd_step(carry):
             p, lr, v = carry
             _, g = value_and_grad(p)
             g = scaled(g)
@@ -232,7 +264,12 @@ def _register_level(
             lr = jnp.where(accept, lr * 1.1, lr * 0.5)
             return p, lr, v
 
-        p_opt, _, final = jax.lax.fori_loop(0, iterations, body, (params, lr0, v0))
+        if convergence_window:
+            p_opt, _, final = _run_with_convergence(gd_step, (params, lr0, v0))
+        else:
+            p_opt, _, final = jax.lax.fori_loop(
+                0, iterations, lambda _, c: gd_step(c), (params, lr0, v0)
+            )
 
     elif optimiser == "gradient_descent_line_search":
         # parallel line search: evaluate all candidate step lengths in ONE
@@ -241,7 +278,7 @@ def _register_level(
         ls_factors = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125],
                                  jnp.float32)
 
-        def body(_, carry):
+        def gdls_step(carry):
             p, v = carry
             _, g = value_and_grad(p)
             g = scaled(g)
@@ -262,7 +299,12 @@ def _register_level(
             )
             return p_new, jnp.where(accept, vc, v)
 
-        p_opt, final = jax.lax.fori_loop(0, iterations, body, (params, v0))
+        if convergence_window:
+            p_opt, final = _run_with_convergence(gdls_step, (params, v0))
+        else:
+            p_opt, final = jax.lax.fori_loop(
+                0, iterations, lambda _, c: gdls_step(c), (params, v0)
+            )
 
     elif optimiser in ("lbfgsb", "lbfgs", "lbfgs2"):
         import optax
@@ -452,8 +494,15 @@ def linear_registration_batched(
     number_of_iterations: int = 50,
     default_value=None,
     verbose: bool = False,
+    convergence_window: int = 0,
 ):
     """Register N moving images to one fixed image as ONE batched program.
+
+    ``convergence_window`` > 0 ends each level early once every atlas's
+    relative metric improvement has stayed below 1e-6 for that many
+    consecutive iterations (ITK v4 optimisers converge the same way;
+    ``number_of_iterations`` stays the hard cap).  0 keeps the exact
+    fixed-trip-count behaviour.
 
     The atlas-parallel counterpart of :func:`linear_registration`: all moving
     images must share a grid (shape/spacing/origin/direction); pyramids,
@@ -619,7 +668,7 @@ def linear_registration_batched(
 
         batched = _cached_batched_level(
             metric.lower(), optimiser.lower(), int(number_of_iterations),
-            f_arr_lvl.shape,
+            f_arr_lvl.shape, int(convergence_window),
         )
         opt_stack, losses = batched(
             opt_stack, initial_stack, f_arr_lvl,
@@ -758,7 +807,8 @@ def _apply_batched_jit(tfm_stack, stack, ref_i2p, mov_p2i, *, shape_zyx,
 
 
 @functools.lru_cache(maxsize=None)
-def _cached_batched_level(metric_name, optimiser, iterations, shape_zyx):
+def _cached_batched_level(metric_name, optimiser, iterations, shape_zyx,
+                          convergence_window=0):
     """Module-cached jit(vmap(register_level)): a fresh jit-of-vmap closure
     per call re-traces the whole level program (~0.5s of Python) every case;
     caching by the static config makes steady-state calls pure dispatches."""
@@ -766,6 +816,7 @@ def _cached_batched_level(metric_name, optimiser, iterations, shape_zyx):
         _register_level,
         metric_name=metric_name, optimiser=optimiser, iterations=iterations,
         shape_zyx=shape_zyx, has_fmask=False, has_mmask=False,
+        convergence_window=convergence_window,
     )
 
     def call(t, init, f_arr, m, scales, ref_i2p, mov_p2i, max_sp):

@@ -127,6 +127,8 @@ def optimise(
     scales: dict | None = None,
     max_step_physical: float = 1.0,
     verbose: bool = False,
+    convergence_window: int = 0,
+    convergence_tolerance: float = 1e-6,
 ):
     """Minimise ``loss_fn(transform) -> scalar`` over the transform parameters.
 
@@ -134,6 +136,12 @@ def optimise(
     estimated ONCE so the first scaled step moves sample points by about
     ``max_step_physical`` mm (ITK estimateLearningRate=Once default), then
     ``learning_rate`` multiplies that estimate.
+
+    ``convergence_window`` > 0 stops the gradient-descent loops early once
+    the relative loss improvement stays below ``convergence_tolerance`` for
+    that many consecutive iterations (ITK v4 convergence-window semantics);
+    ``number_of_iterations`` remains the hard cap.  0 (default) keeps the
+    exact fixed trip count.
 
     Returns (optimised_transform, final_loss).
     """
@@ -157,6 +165,34 @@ def optimise(
         shift = jnp.sqrt(jnp.maximum(sq, 1e-20))
         return learning_rate * max_step_physical / shift
 
+    def _loop(one_step, carry0):
+        """fori_loop for exact fixed trip counts; while_loop with a
+        convergence window otherwise.  carry[-1] must be the current loss."""
+        if not convergence_window:
+            return jax.lax.fori_loop(
+                0, number_of_iterations, lambda _, c: one_step(c), carry0
+            )
+        W = int(convergence_window)
+        tol = jnp.float32(convergence_tolerance)
+
+        def cond(state):
+            i, stall, _ = state
+            return (i < number_of_iterations) & (stall < W)
+
+        def body(state):
+            i, stall, carry = state
+            new_carry = one_step(carry)
+            rel = (carry[-1] - new_carry[-1]) / jnp.maximum(
+                jnp.abs(carry[-1]), 1e-12
+            )
+            stall = jnp.where(rel <= tol, stall + 1, 0)
+            return i + 1, stall, new_carry
+
+        _, _, carry = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(0), carry0)
+        )
+        return carry
+
     if optimiser in ("gradient_descent", "cgls"):
         # monotone (regular-step) descent: reject steps that increase the
         # metric and halve the step; grow it gently on acceptance.  Strictly
@@ -167,7 +203,7 @@ def optimise(
             v0, g0 = value_and_grad(p0)
             lr0 = _estimated_lr(g0)
 
-            def body(_, carry):
+            def step(carry):
                 p, lr, v = carry
                 _, g = value_and_grad(p)
                 if scales is not None:
@@ -182,9 +218,7 @@ def optimise(
                 lr = jnp.where(accept, lr * 1.1, lr * 0.5)
                 return p, lr, v
 
-            p, _, v = jax.lax.fori_loop(
-                0, number_of_iterations, body, (p0, lr0, v0)
-            )
+            p, _, v = _loop(step, (p0, lr0, v0))
             return p, v
 
         p_opt, final = run(params)
@@ -195,7 +229,7 @@ def optimise(
             v_init, g_init = value_and_grad(p0)
             lr0 = _estimated_lr(g_init)
 
-            def body(_, carry):
+            def body(carry):
                 p, _ = carry
                 v, g = value_and_grad(p)
                 if scales is not None:
@@ -225,9 +259,11 @@ def optimise(
                 )
                 return p_new, jnp.where(accept, vc, v)
 
-            return jax.lax.fori_loop(
-                0, number_of_iterations, body, (p0, jnp.asarray(0.0, jnp.float32))
-            )
+            # seed with the true initial loss so the convergence window sees
+            # a valid previous value on iteration 1 (the fixed path ignores
+            # the carried loss — body recomputes it — so this is behaviour-
+            # identical when convergence_window == 0)
+            return _loop(body, (p0, v_init))
 
         p_opt, final = run(params)
 

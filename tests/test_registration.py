@@ -153,3 +153,31 @@ def test_demons_dvf_transform_propagates_structure():
                         interp="nearest", default_value=0.0)
     fixed_struct = np.asarray(fixed.array) > 0
     assert _dsc(fixed_struct, np.asarray(warped.array)) > 0.9
+
+
+def test_batched_convergence_window_matches_fixed_iterations():
+    """Early-stopped batched registration lands on the same optimum as the
+    fixed-trip-count loop (the window only trims post-convergence iterations)."""
+    from platipy_tpu.registration.linear import linear_registration_batched
+
+    base = np.zeros((24, 36, 36), np.float32) - 1000
+    zz, yy, xx = np.mgrid[:24, :36, :36]
+    base += 1100 * ((((zz - 12) / 8.0) ** 2 + ((yy - 18) / 10.0) ** 2
+                     + ((xx - 18) / 10.0) ** 2) < 1)
+    fixed = from_array(base, spacing=(2.0, 2.0, 3.0))
+    mov = np.roll(base, (0, 3, 4), axis=(0, 1, 2)).astype(np.float32)
+    movings = [from_array(mov, spacing=(2.0, 2.0, 3.0))] * 2
+
+    outs = {}
+    for cw in (0, 5):
+        regs, _ = linear_registration_batched(
+            fixed, movings, reg_method="rigid", metric="mean_squares",
+            optimiser="gradient_descent_line_search", shrink_factors=[4, 2],
+            smooth_sigmas=[0, 0], sampling_rate=1.0, number_of_iterations=30,
+            convergence_window=cw,
+        )
+        outs[cw] = np.asarray(regs[0].array)
+    err_fixed = np.abs(outs[0] - base).mean()
+    err_early = np.abs(outs[5] - base).mean()
+    assert err_early <= err_fixed + 1.0  # same optimum (small residual jitter)
+    assert err_early < 15.0  # and the registration genuinely converged
