@@ -29,6 +29,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compile cache: XLA:CPU compiles (3D convs especially) dominate
+# suite wall-clock on this box, and the CLI tests spawn subprocesses that
+# would otherwise recompile everything from scratch.  min_compile_time 0
+# caches even sub-0.5s programs — hundreds of them add up (see bench.py).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -12,6 +12,12 @@ import numpy as np
 def _run_cli(args, cwd=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # share the suite's persistent compile cache (tests/conftest.py): each
+    # subprocess otherwise recompiles every program from scratch
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.dirname(__file__), ".jax_test_cache"
+    )
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
     return subprocess.run(
         [sys.executable, "-m", "platipy_tpu.cli.run", *args],
         # platipy_tpu/__init__ forces the JAX_PLATFORMS=cpu env through the
