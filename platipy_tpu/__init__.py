@@ -18,11 +18,16 @@ if _os.environ.get("JAX_PLATFORMS"):
     # the documented env var always works (subprocess tests and CLI runs set
     # JAX_PLATFORMS=cpu and must NOT fall through to a device tunnel).
     #
-    # The env var may only NARROW the current platform list, never redirect
-    # it: a caller that already ran jax.config.update("jax_platforms", "cpu")
-    # before importing this package must keep cpu even when the login profile
-    # exports JAX_PLATFORMS=<device tunnel> (clobbering that to the tunnel
-    # platform hangs every op during tunnel outages).
+    # The env var may NARROW the current platform list, or redirect it to
+    # exactly "cpu" — the always-present local backend that cannot hang, and
+    # the documented escape hatch (jax seeds its config from the env var at
+    # import, so a process that imported jax under the profile's
+    # JAX_PLATFORMS=<tunnel> and then sets JAX_PLATFORMS=cpu must still land
+    # on cpu).  It must never WIDEN or swap toward a device tunnel: a caller
+    # that already ran jax.config.update("jax_platforms", "cpu") before
+    # importing this package keeps cpu even when the login profile exports
+    # the tunnel platform (clobbering that to the tunnel hangs every op
+    # during tunnel outages).
     import jax as _jax
 
     try:
@@ -35,7 +40,9 @@ if _os.environ.get("JAX_PLATFORMS"):
         _current_platforms = {
             p.strip().lower() for p in _current.split(",") if p.strip()
         }
-        if not _current_platforms or set(_env_platforms) <= _current_platforms:
+        if (not _current_platforms
+                or set(_env_platforms) <= _current_platforms
+                or _env_platforms == ["cpu"]):
             _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:  # pragma: no cover - unknown platform string
         pass

@@ -224,32 +224,20 @@ def _register_level(
 
     # Convergence stopping (opt-in): end a level once the relative metric
     # improvement has stayed below ``convergence_tolerance`` for
-    # ``convergence_window`` consecutive iterations.  ITK's v4 optimisers
-    # stop on a convergence-window energy slope the same way, so fixed trip
-    # counts actually OVERSHOOT reference behaviour; under vmap the
-    # while_loop runs until every atlas lane converges, so the saving is
-    # real wall-clock on the batched pipelines.
-    def _run_with_convergence(one_step, carry0):
-        """one_step(carry) -> carry where carry[-1] is the current loss."""
-        W = int(convergence_window)
-        tol = jnp.float32(convergence_tolerance)
+    # ``convergence_window`` consecutive effective iterations.  ITK's v4
+    # optimisers stop on a convergence-window energy slope the same way, so
+    # fixed trip counts actually OVERSHOOT reference behaviour; under vmap
+    # the while_loop runs until every atlas lane converges, so the saving is
+    # real wall-clock on the batched pipelines.  The loop (and its
+    # rejected-step stall accounting) is shared with the eager path:
+    # optimise.windowed_loop.
+    from platipy_tpu.registration.optimise import windowed_loop
 
-        def cond(state):
-            i, stall, carry = state
-            return (i < iterations) & (stall < W)
-
-        def body(state):
-            i, stall, carry = state
-            new_carry = one_step(carry)
-            v_prev, v_new = carry[-1], new_carry[-1]
-            rel = (v_prev - v_new) / jnp.maximum(jnp.abs(v_prev), 1e-12)
-            stall = jnp.where(rel <= tol, stall + 1, 0)
-            return i + 1, stall, new_carry
-
-        _, _, carry = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.int32(0), carry0)
+    def _loop(one_step, carry0):
+        return windowed_loop(
+            one_step, carry0, iterations, convergence_window,
+            convergence_tolerance,
         )
-        return carry
 
     if optimiser in ("gradient_descent", "cgls"):
         def gd_step(carry):
@@ -264,12 +252,7 @@ def _register_level(
             lr = jnp.where(accept, lr * 1.1, lr * 0.5)
             return p, lr, v
 
-        if convergence_window:
-            p_opt, _, final = _run_with_convergence(gd_step, (params, lr0, v0))
-        else:
-            p_opt, _, final = jax.lax.fori_loop(
-                0, iterations, lambda _, c: gd_step(c), (params, lr0, v0)
-            )
+        p_opt, _, final = _loop(gd_step, (params, lr0, v0))
 
     elif optimiser == "gradient_descent_line_search":
         # parallel line search: evaluate all candidate step lengths in ONE
@@ -299,12 +282,7 @@ def _register_level(
             )
             return p_new, jnp.where(accept, vc, v)
 
-        if convergence_window:
-            p_opt, final = _run_with_convergence(gdls_step, (params, v0))
-        else:
-            p_opt, final = jax.lax.fori_loop(
-                0, iterations, lambda _, c: gdls_step(c), (params, v0)
-            )
+        p_opt, final = _loop(gdls_step, (params, v0))
 
     elif optimiser in ("lbfgsb", "lbfgs", "lbfgs2"):
         import optax
@@ -326,14 +304,14 @@ def _register_level(
         state0 = opt.init(q0)
         vq0, gq0 = vg_q(q0)
 
-        def body(_, carry):
-            q, state, v, g = carry
+        def body(carry):
+            q, state, g, v = carry
             updates, state = opt.update(g, state, q, value=v, grad=g, value_fn=loss_q)
             q = optax.apply_updates(q, updates)
             v, g = vg_q(q)
-            return q, state, v, g
+            return q, state, g, v
 
-        q, _, final, _ = jax.lax.fori_loop(0, iterations, body, (q0, state0, vq0, gq0))
+        q, _, _, final = _loop(body, (q0, state0, gq0, vq0))
         p_opt = from_q(q)
 
     else:
@@ -357,8 +335,15 @@ def linear_registration(
     number_of_iterations: int = 50,
     default_value=None,
     verbose: bool = False,
+    convergence_window: int = 0,
+    convergence_tolerance: float = 1e-6,
 ):
     """Multi-resolution linear registration (reference linear.py:50-260).
+
+    ``convergence_window`` > 0 ends each level early once the relative
+    metric improvement has stayed below ``convergence_tolerance`` for that
+    many consecutive effective iterations (see ``optimise.windowed_loop``);
+    0 keeps the exact fixed trip count.
 
     ``sampling_rate`` maps ITK's REGULAR 25% sampling onto a strided metric
     grid: the y/x axes of the fixed level are subsampled by deterministic
@@ -453,6 +438,8 @@ def linear_registration(
             shape_zyx=f_arr_lvl.shape,
             has_fmask=f_mask_level is not None,
             has_mmask=m_mask_level is not None,
+            convergence_window=int(convergence_window),
+            convergence_tolerance=float(convergence_tolerance),
         )
         if verbose:
             print(f"level {level} (shrink {shrink}): metric = {float(final_loss):.6f}")
@@ -538,6 +525,7 @@ def linear_registration_batched(
                 final_interp=final_interp,
                 number_of_iterations=number_of_iterations,
                 default_value=default_value, verbose=verbose,
+                convergence_window=convergence_window,
             )
             for m in moving_images
         ]

@@ -25,7 +25,52 @@ __all__ = [
     "physical_shift_scales",
     "optimise",
     "split_trainable",
+    "windowed_loop",
 ]
+
+
+def windowed_loop(one_step, carry0, iterations: int, window: int,
+                  tolerance: float):
+    """Iterate ``one_step(carry) -> carry`` with optional convergence stop.
+
+    ``carry[-1]`` must hold the current loss.  ``window == 0`` keeps an exact
+    ``iterations`` trip count (fori_loop); otherwise the loop ends once the
+    loss has stalled for ``window`` consecutive *effective* iterations
+    (ITK v4 convergence-window semantics), with ``iterations`` the hard cap.
+
+    Stall accounting: an iteration that leaves the loss exactly unchanged (a
+    rejected step while the optimiser is still adapting its step size)
+    neither increments nor resets the counter — counting rejections as
+    stalls could end a level after W early overshoots with the transform
+    completely unoptimised.  A step that changes the loss increments the
+    counter when |relative change| <= tolerance and resets it otherwise.
+    """
+    if not window:
+        return jax.lax.fori_loop(
+            0, iterations, lambda _, c: one_step(c), carry0
+        )
+    W = int(window)
+    tol = jnp.float32(tolerance)
+
+    def cond(state):
+        i, stall, _ = state
+        return (i < iterations) & (stall < W)
+
+    def body(state):
+        i, stall, carry = state
+        new_carry = one_step(carry)
+        v_prev, v_new = carry[-1], new_carry[-1]
+        rel = jnp.abs(v_prev - v_new) / jnp.maximum(jnp.abs(v_prev), 1e-12)
+        changed = v_new != v_prev
+        stall = jnp.where(
+            rel > tol, 0, jnp.where(changed, stall + 1, stall)
+        )
+        return i + 1, stall, new_carry
+
+    _, _, carry = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), carry0)
+    )
+    return carry
 
 
 def split_trainable(transform):
@@ -137,9 +182,11 @@ def optimise(
     ``max_step_physical`` mm (ITK estimateLearningRate=Once default), then
     ``learning_rate`` multiplies that estimate.
 
-    ``convergence_window`` > 0 stops the gradient-descent loops early once
-    the relative loss improvement stays below ``convergence_tolerance`` for
-    that many consecutive iterations (ITK v4 convergence-window semantics);
+    ``convergence_window`` > 0 stops the iterative optimisers (gradient
+    descent, line search, cgls, lbfgs) early once the relative loss
+    improvement stays below ``convergence_tolerance`` for that many
+    consecutive effective iterations (ITK v4 convergence-window semantics;
+    see :func:`windowed_loop` for the rejected-step accounting);
     ``number_of_iterations`` remains the hard cap.  0 (default) keeps the
     exact fixed trip count.
 
@@ -166,32 +213,10 @@ def optimise(
         return learning_rate * max_step_physical / shift
 
     def _loop(one_step, carry0):
-        """fori_loop for exact fixed trip counts; while_loop with a
-        convergence window otherwise.  carry[-1] must be the current loss."""
-        if not convergence_window:
-            return jax.lax.fori_loop(
-                0, number_of_iterations, lambda _, c: one_step(c), carry0
-            )
-        W = int(convergence_window)
-        tol = jnp.float32(convergence_tolerance)
-
-        def cond(state):
-            i, stall, _ = state
-            return (i < number_of_iterations) & (stall < W)
-
-        def body(state):
-            i, stall, carry = state
-            new_carry = one_step(carry)
-            rel = (carry[-1] - new_carry[-1]) / jnp.maximum(
-                jnp.abs(carry[-1]), 1e-12
-            )
-            stall = jnp.where(rel <= tol, stall + 1, 0)
-            return i + 1, stall, new_carry
-
-        _, _, carry = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.int32(0), carry0)
+        return windowed_loop(
+            one_step, carry0, number_of_iterations,
+            convergence_window, convergence_tolerance,
         )
-        return carry
 
     if optimiser in ("gradient_descent", "cgls"):
         # monotone (regular-step) descent: reject steps that increase the
@@ -293,18 +318,16 @@ def optimise(
             state0 = opt.init(q0)
             v0, g0 = vg_q(q0)
 
-            def body(_, carry):
-                q, state, v, g = carry
+            def body(carry):
+                q, state, g, v = carry
                 updates, state = opt.update(
                     g, state, q, value=v, grad=g, value_fn=loss_q
                 )
                 q = optax.apply_updates(q, updates)
                 v, g = vg_q(q)
-                return q, state, v, g
+                return q, state, g, v
 
-            q, _, v, _ = jax.lax.fori_loop(
-                0, number_of_iterations, body, (q0, state0, v0, g0)
-            )
+            q, _, _, v = _loop(body, (q0, state0, g0, v0))
             return from_q(q), v
 
         p_opt, final = run(params)

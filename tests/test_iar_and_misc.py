@@ -212,3 +212,29 @@ def test_snap_roi_to_seen_bucket_reuses_and_registers():
     s4b, _ = snap_roi_to_seen_bucket(s4, i4, image_size)
     assert s4b == s4
     reset_roi_buckets()
+
+
+def test_jax_platforms_cpu_redirect_after_tunnel_seeded_import():
+    """platipy_tpu honours a JAX_PLATFORMS=cpu redirect even when jax was
+    imported under a profile that exported a tunnel platform (jax seeds its
+    config from the env var at import time): redirecting TO the local cpu
+    backend can never hang and is the documented escape hatch."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'notaplatform'\n"
+        "import jax\n"  # config seeded with the bogus tunnel-like platform
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import platipy_tpu\n"
+        "assert jax.config.jax_platforms == 'cpu', jax.config.jax_platforms\n"
+        "print('ok', len(jax.devices()))\n"
+    )
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.startswith("ok")

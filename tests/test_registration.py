@@ -181,3 +181,61 @@ def test_batched_convergence_window_matches_fixed_iterations():
     err_early = np.abs(outs[5] - base).mean()
     assert err_early <= err_fixed + 1.0  # same optimum (small residual jitter)
     assert err_early < 15.0  # and the registration genuinely converged
+
+
+def test_windowed_loop_rejected_steps_do_not_stall():
+    """A run of step-rejections (loss unchanged while the optimiser halves
+    its learning rate) must not trip the convergence window: only effective
+    iterations (loss changed, |rel| <= tol) count toward the stall window."""
+    import jax
+
+    from platipy_tpu.registration.optimise import windowed_loop
+
+    # carry = (i, loss): the first 6 "iterations" reject (loss unchanged),
+    # then each step improves the loss by 10% until it converges.
+    def one_step(carry):
+        i, v = carry
+        v_new = jnp.where(i < 6, v, v * 0.9)
+        return i + 1, v_new
+
+    _, v_final = jax.jit(
+        lambda c: windowed_loop(one_step, c, 40, 3, 1e-6)
+    )((jnp.int32(0), jnp.float32(100.0)))
+    # with the buggy accounting the loop exits after 3 rejections at v=100;
+    # correct accounting reaches the improvement phase and descends
+    assert float(v_final) < 10.0
+
+    # and genuine stalls still stop early: constant tiny improvement below
+    # tolerance for `window` consecutive iterations ends the loop
+    def tiny_step(carry):
+        i, v = carry
+        # representable change (float32) well below the 1e-6 tolerance
+        return i + 1, v * (1.0 - 2e-7)
+
+    i_final, _ = jax.jit(
+        lambda c: windowed_loop(tiny_step, c, 1000, 3, 1e-6)
+    )((jnp.int32(0), jnp.float32(1.0)))
+    assert int(i_final) <= 5
+
+
+def test_optimise_lbfgs_honours_convergence_window():
+    """convergence_window now applies to the lbfgs loop too (it was silently
+    ignored): early-stopped lbfgs matches the fixed-trip-count optimum."""
+    from platipy_tpu.core.transform import TranslationTransform as _T
+    from platipy_tpu.registration.optimise import optimise
+
+    target = jnp.asarray([3.0, -2.0, 1.0], jnp.float32)
+
+    def loss_fn(tfm):
+        return jnp.sum((tfm.translation - target) ** 2)
+
+    t0 = _T(translation=jnp.zeros(3, jnp.float32))
+    t_fixed, v_fixed = optimise(loss_fn, t0, optimiser="lbfgs",
+                                number_of_iterations=50)
+    t_early, v_early = optimise(loss_fn, t0, optimiser="lbfgs",
+                                number_of_iterations=50,
+                                convergence_window=5)
+    assert v_early < 1e-4
+    assert abs(v_early - v_fixed) < 1e-4
+    np.testing.assert_allclose(np.asarray(t_early.translation),
+                               np.asarray(t_fixed.translation), atol=1e-3)
