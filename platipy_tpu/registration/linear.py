@@ -233,10 +233,10 @@ def _register_level(
     # optimise.windowed_loop.
     from platipy_tpu.registration.optimise import windowed_loop
 
-    def _loop(one_step, carry0):
+    def _loop(one_step, carry0, done_fn=None):
         return windowed_loop(
             one_step, carry0, iterations, convergence_window,
-            convergence_tolerance,
+            convergence_tolerance, done_fn=done_fn,
         )
 
     if optimiser in ("gradient_descent", "cgls"):
@@ -252,7 +252,10 @@ def _register_level(
             lr = jnp.where(accept, lr * 1.1, lr * 0.5)
             return p, lr, v
 
-        p_opt, _, final = _loop(gd_step, (params, lr0, v0))
+        # step length collapsed (ITK regular-step minStep analogue): a lane
+        # parked at its optimum rejects every candidate and must still end
+        p_opt, _, final = _loop(gd_step, (params, lr0, v0),
+                                done_fn=lambda c: c[1] < lr0 * 1e-5)
 
     elif optimiser == "gradient_descent_line_search":
         # parallel line search: evaluate all candidate step lengths in ONE
@@ -262,7 +265,7 @@ def _register_level(
                                  jnp.float32)
 
         def gdls_step(carry):
-            p, v = carry
+            p, rej, v = carry
             _, g = value_and_grad(p)
             g = scaled(g)
 
@@ -280,9 +283,14 @@ def _register_level(
             p_new = jax.tree_util.tree_map(
                 lambda x, gi: jnp.where(accept, x - lr_best * gi, x), p, g
             )
-            return p_new, jnp.where(accept, vc, v)
+            rej = jnp.where(accept, 0, rej + 1)
+            return p_new, rej, jnp.where(accept, vc, v)
 
-        p_opt, final = _loop(gdls_step, (params, v0))
+        # a rejected line search repeats deterministically (same p, same lr
+        # ladder), so two consecutive rejections mean the lane is stuck at
+        # its optimum — end it rather than run to the hard cap
+        p_opt, _, final = _loop(gdls_step, (params, jnp.int32(0), v0),
+                                done_fn=lambda c: c[1] >= 2)
 
     elif optimiser in ("lbfgsb", "lbfgs", "lbfgs2"):
         import optax

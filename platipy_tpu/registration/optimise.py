@@ -30,7 +30,7 @@ __all__ = [
 
 
 def windowed_loop(one_step, carry0, iterations: int, window: int,
-                  tolerance: float):
+                  tolerance: float, done_fn=None):
     """Iterate ``one_step(carry) -> carry`` with optional convergence stop.
 
     ``carry[-1]`` must hold the current loss.  ``window == 0`` keeps an exact
@@ -44,6 +44,12 @@ def windowed_loop(one_step, carry0, iterations: int, window: int,
     stalls could end a level after W early overshoots with the transform
     completely unoptimised.  A step that changes the loss increments the
     counter when |relative change| <= tolerance and resets it otherwise.
+
+    ``done_fn(carry) -> bool`` (optional, window > 0 only) adds an
+    optimiser-specific termination test evaluated on the carry — the
+    ITK-regular-step analogue of "step length collapsed" — so a lane parked
+    at its optimum (every candidate step rejected, loss frozen) still ends
+    the level instead of running to the hard cap.
     """
     if not window:
         return jax.lax.fori_loop(
@@ -53,8 +59,11 @@ def windowed_loop(one_step, carry0, iterations: int, window: int,
     tol = jnp.float32(tolerance)
 
     def cond(state):
-        i, stall, _ = state
-        return (i < iterations) & (stall < W)
+        i, stall, carry = state
+        alive = (i < iterations) & (stall < W)
+        if done_fn is not None:
+            alive = alive & jnp.logical_not(done_fn(carry))
+        return alive
 
     def body(state):
         i, stall, carry = state
@@ -212,10 +221,10 @@ def optimise(
         shift = jnp.sqrt(jnp.maximum(sq, 1e-20))
         return learning_rate * max_step_physical / shift
 
-    def _loop(one_step, carry0):
+    def _loop(one_step, carry0, done_fn=None):
         return windowed_loop(
             one_step, carry0, number_of_iterations,
-            convergence_window, convergence_tolerance,
+            convergence_window, convergence_tolerance, done_fn=done_fn,
         )
 
     if optimiser in ("gradient_descent", "cgls"):
@@ -243,7 +252,10 @@ def optimise(
                 lr = jnp.where(accept, lr * 1.1, lr * 0.5)
                 return p, lr, v
 
-            p, _, v = _loop(step, (p0, lr0, v0))
+            # step length collapsed (ITK regular-step minStep analogue):
+            # the lane is parked at its optimum rejecting every candidate
+            p, _, v = _loop(step, (p0, lr0, v0),
+                            done_fn=lambda c: c[1] < lr0 * 1e-5)
             return p, v
 
         p_opt, final = run(params)
@@ -255,7 +267,7 @@ def optimise(
             lr0 = _estimated_lr(g_init)
 
             def body(carry):
-                p, _ = carry
+                p, rej, _ = carry
                 v, g = value_and_grad(p)
                 if scales is not None:
                     g = _tree_scale(g, scales)
@@ -282,15 +294,20 @@ def optimise(
                 p_new = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(accept, a, b), cand, p
                 )
-                return p_new, jnp.where(accept, vc, v)
+                rej = jnp.where(accept, 0, rej + 1)
+                return p_new, rej, jnp.where(accept, vc, v)
 
             # seed with the true initial loss so the convergence window sees
             # a valid previous value on iteration 1 (the fixed path ignores
             # the carried loss — body recomputes it — so this is behaviour-
-            # identical when convergence_window == 0)
-            return _loop(body, (p0, v_init))
+            # identical when convergence_window == 0).  A rejected full line
+            # search repeats deterministically (same p, same lr ladder), so
+            # two consecutive rejections mean the lane is permanently stuck
+            # at its optimum — end it rather than run to the hard cap.
+            return _loop(body, (p0, jnp.int32(0), v_init),
+                         done_fn=lambda c: c[1] >= 2)
 
-        p_opt, final = run(params)
+        p_opt, _, final = run(params)
 
     elif optimiser in ("lbfgsb", "lbfgs", "lbfgs2"):
         # precondition by sqrt(scales) so rotation/translation parameters are

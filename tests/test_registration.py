@@ -217,6 +217,18 @@ def test_windowed_loop_rejected_steps_do_not_stall():
     )((jnp.int32(0), jnp.float32(1.0)))
     assert int(i_final) <= 5
 
+    # a lane parked at its optimum (every step rejected, loss frozen, lr
+    # halving) must still terminate via done_fn instead of the hard cap
+    def reject_step(carry):
+        i, lr, v = carry
+        return i + 1, lr * 0.5, v
+
+    i_done, _, _ = jax.jit(
+        lambda c: windowed_loop(reject_step, c, 1000, 3, 1e-6,
+                                done_fn=lambda c: c[1] < 1e-5)
+    )((jnp.int32(0), jnp.float32(1.0), jnp.float32(42.0)))
+    assert int(i_done) < 25
+
 
 def test_optimise_lbfgs_honours_convergence_window():
     """convergence_window now applies to the lbfgs loop too (it was silently
