@@ -195,8 +195,42 @@ def stream_bandwidth_gbps():
     return bytes_moved / dt / 1e9
 
 
+def _wait_for_healthy_device(budget_s=1500):
+    """Block until a trivial device op succeeds in a SUBPROCESS (or the budget
+    runs out).  Tunnelled TPU platforms flap: a backend init attempted during
+    a bad window burns ~30 minutes in internal retries and then dies, while a
+    run started from a healthy window completes.  Subprocess probes are cheap
+    and killable; the in-process backend is only initialised once one
+    succeeds.  On locally-attached hardware the single probe costs ~5 s."""
+    import subprocess
+    import sys
+
+    t0 = time.time()
+    while True:
+        try:
+            # import platipy_tpu first: it applies any JAX_PLATFORMS env
+            # redirect through the config API (some plugin platforms ignore
+            # the raw env var), so the probe inits the same backend the
+            # benchmark will
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import platipy_tpu, jax, jax.numpy as j;"
+                 " print(float(j.sum(j.ones((8, 8)))))"],
+                capture_output=True, timeout=120, text=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > budget_s:
+            return False  # last-ditch: let the real run try anyway
+        time.sleep(120)
+
+
 def main():
     import os
+
+    _wait_for_healthy_device()
 
     import jax
 
