@@ -249,8 +249,14 @@ def batched_multiscale_demons(
     regularisation_kernel_mm: float = 1.5,
     max_step_vox: float = 0.5,
     within_level_disp_vox: int = 4,
+    maximum_rms_error=None,
 ) -> jnp.ndarray:
     """Multiscale demons of every atlas against the fixed image(s), batched.
+
+    ``maximum_rms_error`` (mm): ITK PDE-framework per-level convergence (the
+    reference's filter inherits default 0.99 mm); under vmap the level's
+    while_loop runs until every atlas lane converges.  None keeps exact
+    fixed trip counts.
 
     fixed_arr: [z,y,x] (shared) or [N,z,y,x] (per-atlas fixed, e.g. the
     cardiac pipeline's HU-gated masked targets); moving_stack: [N,z,y,x] on
@@ -289,6 +295,8 @@ def batched_multiscale_demons(
             reg_kernel_vox=reg_kernel_vox,
             max_step_vox=float(max_step_vox),
             within_level_disp_vox=int(within_level_disp_vox),
+            max_rms_error=(None if maximum_rms_error is None
+                           else float(maximum_rms_error)),
         )
         prev_shape, prev_spacing = lvl_shape, lvl_spacing
 
@@ -305,6 +313,7 @@ def batched_multiscale_demons(
         "full_shape", "full_spacing", "prev_shape", "prev_spacing",
         "lvl_shape", "lvl_spacing", "sigma_key", "iterations",
         "reg_kernel_vox", "max_step_vox", "within_level_disp_vox",
+        "max_rms_error",
     ),
 )
 def _demons_level_batched(
@@ -312,6 +321,7 @@ def _demons_level_batched(
     full_shape, full_spacing, prev_shape, prev_spacing,
     lvl_shape, lvl_spacing, sigma_key, iterations,
     reg_kernel_vox, max_step_vox, within_level_disp_vox=4,
+    max_rms_error=None,
 ):
     # pyramid smoothing kernels (reference DiscreteGaussian semantics)
     pyr_kernels = _smooth_kernels(sigma_key, full_spacing, "discrete")
@@ -368,6 +378,7 @@ def _demons_level_batched(
         # bf16 in-loop image warp: DSC-neutral on the atlas pipelines and
         # ~7% off the finest demons level (see _demons_level_impl)
         warp_dtype_key="bfloat16",
+        max_rms_error=max_rms_error,
     )
     zero_field = jnp.zeros(lvl_shape + (3,), jnp.float32)
     if fixed_batched:

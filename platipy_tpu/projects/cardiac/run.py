@@ -112,6 +112,9 @@ CARDIAC_SETTINGS_DEFAULTS = {
         "ncores": 8,
         "default_value": 0,
         "verbose": False,
+        # TPU extension: ITK PDE per-level RMS-change stop (mm); the
+        # reference's ITK filter inherits default 0.99.  None = fixed trips.
+        "maximum_rms_error": None,
     },
     "deformable_registration_settings": {
         "isotropic_resample": True,
@@ -121,6 +124,7 @@ CARDIAC_SETTINGS_DEFAULTS = {
         "ncores": 8,
         "default_value": 0,
         "verbose": False,
+        "maximum_rms_error": None,
     },
     "iar_settings": {
         "reference_structure": False,
@@ -635,6 +639,7 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             iteration_staging=sgr["iteration_staging"],
             smoothing_sigmas=sgr.get("smoothing_sigmas") or sgr["resolution_staging"],
             isotropic_resample=sgr["isotropic_resample"],
+            maximum_rms_error=sgr.get("maximum_rms_error"),
         )
 
         ct_stack = _stack("RIR", "CT Image")
@@ -703,6 +708,7 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         smoothing_sigmas=deformable_registration_settings.get("smoothing_sigmas")
         or deformable_registration_settings["resolution_staging"],
         isotropic_resample=deformable_registration_settings["isotropic_resample"],
+        maximum_rms_error=deformable_registration_settings.get("maximum_rms_error"),
     )
 
     dir_images = batched_warp_by_dvf(ct_stack, dvf_stack, spacing,

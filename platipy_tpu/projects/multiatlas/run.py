@@ -89,6 +89,11 @@ MUTLIATLAS_SETTINGS_DEFAULTS = {
         "ncores": 8,
         "default_value": None,
         "verbose": False,
+        # TPU extension: ITK PDE-framework per-level convergence — stop a
+        # demons level once every atlas's RMS field change per iteration
+        # drops below this (mm).  The reference's ITK filter inherits this
+        # stop with default 0.99 mm; None keeps exact fixed trip counts.
+        "maximum_rms_error": None,
     },
     "label_fusion_settings": {
         "vote_type": "unweighted",
@@ -379,6 +384,7 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             smoothing_sigmas=smoothing_sigmas,
             isotropic_resample=deformable_settings["isotropic_resample"],
             regularisation_kernel_mm=deformable_settings.get("regularisation_kernel_mm", 1.5),
+            maximum_rms_error=deformable_settings.get("maximum_rms_error"),
         )
         if ckpt.enabled:
             ckpt.save("dvf", arrays={"dvf_stack": np.asarray(dvf_stack)})

@@ -88,6 +88,7 @@ def _vector_smooth(field: jnp.ndarray, kernels_zyx) -> jnp.ndarray:
         "max_step_vox",
         "max_disp_vox",
         "warp_dtype_key",
+        "max_rms_error",
     ),
 )
 def _demons_level_impl(
@@ -102,6 +103,7 @@ def _demons_level_impl(
     max_step_vox: float,
     max_disp_vox: Tuple[int, int, int] = (16, 16, 16),
     warp_dtype_key: str = "float32",
+    max_rms_error=None,
 ):
     spacing_arr = np.asarray(spacing, dtype=np.float64)
     # ITK ESM normaliser: bound of s*J/(|J|^2 + s^2/K) is sqrt(K)/2, so
@@ -155,7 +157,32 @@ def _demons_level_impl(
         field = _vector_smooth(field, std_kernels)
         return field
 
-    return jax.lax.fori_loop(0, iterations, body, init_field)
+    if max_rms_error is None:
+        return jax.lax.fori_loop(0, iterations, body, init_field)
+
+    # ITK PDE-framework convergence (PDEDeformableRegistrationFilter, which
+    # the reference's FastSymmetricForcesDemonsRegistrationFilter inherits
+    # with MaximumRMSError default 0.99 mm, never overridden at reference
+    # deformable.py:244-257): stop the level once the RMS change of the
+    # displacement field between successive iterations drops below the
+    # threshold.  ``iterations`` remains the hard cap.
+    thresh = jnp.float32(max_rms_error)
+
+    def cond(state):
+        i, rms, _ = state
+        return (i < iterations) & (rms >= thresh)
+
+    def wbody(state):
+        i, _, field = state
+        new_field = body(None, field)
+        delta = new_field - field
+        rms = jnp.sqrt(jnp.mean(jnp.sum(delta * delta, axis=-1)))
+        return i + 1, rms, new_field
+
+    _, _, field = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), jnp.float32(jnp.inf), init_field)
+    )
+    return field
 
 
 def demons_level(
@@ -168,8 +195,14 @@ def demons_level(
     max_step_vox: float = 0.5,
     smooth_displacement_field: bool = True,
     smooth_update_field: bool = True,
+    maximum_rms_error=None,
 ) -> Image:
-    """Run demons at one resolution level; returns the incremental DVF (mm)."""
+    """Run demons at one resolution level; returns the incremental DVF (mm).
+
+    ``maximum_rms_error`` (mm): ITK PDE-framework convergence — stop the
+    level once the RMS field change per iteration drops below it (the
+    reference's ITK filter inherits this with default 0.99 mm).  None keeps
+    the exact fixed trip count."""
     if init_field is None:
         init_field = identity_dvf(fixed)
 
@@ -203,6 +236,7 @@ def demons_level(
         update_kernels_key=kernels(update_std_vox, smooth_update_field),
         max_step_vox=float(max_step_vox),
         max_disp_vox=max_disp,
+        max_rms_error=None if maximum_rms_error is None else float(maximum_rms_error),
     )
     return fixed.with_array(out)
 
@@ -225,6 +259,7 @@ def multiscale_demons(
     update_std_vox=(1.0, 1.0, 1.0),
     max_step_vox: float = 0.5,
     verbose: bool = False,
+    maximum_rms_error=None,
 ) -> Image:
     """Multi-resolution demons; returns the total DVF on the fixed grid."""
     fixed_images: List[Image] = []
@@ -269,6 +304,7 @@ def multiscale_demons(
             std_devs_vox=regularisation_kernel_vox,
             update_std_vox=update_std_vox,
             max_step_vox=max_step_vox,
+            maximum_rms_error=maximum_rms_error,
         )
 
         # compose: dvf_total(x) += dvf_iter(x + dvf_total(x))   [ref :154]
@@ -305,6 +341,7 @@ def fast_symmetric_forces_demons_registration(
     ncores: int = 1,
     interp_order=INTERP_LINEAR,
     verbose: bool = False,
+    maximum_rms_error=None,
 ):
     """Drop-in mirror of reference deformable.py:190-306.
 
@@ -334,6 +371,7 @@ def fast_symmetric_forces_demons_registration(
         interp_order=interp_order,
         regularisation_kernel_vox=tuple(regularisation_kernel_vox.tolist()),
         verbose=verbose,
+        maximum_rms_error=maximum_rms_error,
     )
 
     if default_value is None:

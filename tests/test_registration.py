@@ -251,3 +251,59 @@ def test_optimise_lbfgs_honours_convergence_window():
     assert abs(v_early - v_fixed) < 1e-4
     np.testing.assert_allclose(np.asarray(t_early.translation),
                                np.asarray(t_fixed.translation), atol=1e-3)
+
+
+def test_demons_rms_convergence_stop():
+    """maximum_rms_error reproduces ITK's PDE-framework per-level stop: a
+    huge threshold stops after one iteration, threshold 0 never stops (bit-
+    identical to the fixed-trip-count fori path), and the reference-default
+    0.99 mm still registers the spheres."""
+    from platipy_tpu.registration.deformable import demons_level
+
+    fixed = _sphere(r=11)
+    moving = _sphere(r=9)
+
+    full = demons_level(fixed, moving, iterations=12)
+    one = demons_level(fixed, moving, iterations=1)
+    big = demons_level(fixed, moving, iterations=12, maximum_rms_error=1e6)
+    np.testing.assert_allclose(np.asarray(big.array), np.asarray(one.array),
+                               atol=1e-6)
+    zero = demons_level(fixed, moving, iterations=12, maximum_rms_error=0.0)
+    np.testing.assert_allclose(np.asarray(zero.array), np.asarray(full.array),
+                               atol=1e-6)
+
+    registered, _, _ = fast_symmetric_forces_demons_registration(
+        fixed, moving, resolution_staging=[4, 2], iteration_staging=[15, 15],
+        isotropic_resample=True, regularisation_kernel_mm=1.5,
+        maximum_rms_error=0.99,
+    )
+    mask_f = np.asarray(fixed.array) > -500
+    d1 = _dsc(mask_f, np.asarray(registered.array) > -500)
+    assert d1 > 0.95
+
+
+def test_batched_demons_rms_stop_matches_quality():
+    """The batched demons path accepts maximum_rms_error and still recovers
+    the deformation (wall-clock drops; quality within tolerance)."""
+    import jax.numpy as jnp
+
+    from platipy_tpu.parallel.atlas import batched_multiscale_demons
+    from platipy_tpu.core.resample import warp_image
+
+    fixed = _sphere(r=11)
+    moving = _sphere(r=9)
+    moving_stack = jnp.stack([moving.array.astype(jnp.float32)] * 2)
+    dvfs = batched_multiscale_demons(
+        fixed.array.astype(jnp.float32), moving_stack,
+        spacing_xyz=fixed.spacing, resolution_staging=[4, 2],
+        iteration_staging=[15, 15], smoothing_sigmas=[4, 2],
+        isotropic_resample=True, maximum_rms_error=0.99,
+    )
+    dvf0 = fixed.with_array(dvfs[0])
+    warped = warp_image(moving, dvf0, reference=fixed, interp="linear",
+                        default_value=-1000.0)
+    mask_f = np.asarray(fixed.array) > -500
+    d1 = _dsc(mask_f, np.asarray(warped.array) > -500)
+    d0 = _dsc(mask_f, np.asarray(moving.array) > -500)
+    assert d1 > d0
+    assert d1 > 0.95
