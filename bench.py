@@ -206,7 +206,9 @@ def _wait_for_healthy_device(budget_s=1500):
     import sys
 
     t0 = time.time()
+    fast_failures = 0
     while True:
+        t_probe = time.time()
         try:
             # import platipy_tpu first: it applies any JAX_PLATFORMS env
             # redirect through the config API (some plugin platforms ignore
@@ -220,8 +222,19 @@ def _wait_for_healthy_device(budget_s=1500):
             )
             if r.returncode == 0:
                 return True
+            print(f"device probe failed (rc={r.returncode}): "
+                  f"{r.stderr.strip()[-500:]}", file=sys.stderr)
+            # a probe that fails in seconds is a broken environment, not a
+            # flapping tunnel — retrying for the whole budget just hides the
+            # error for 25 minutes
+            if time.time() - t_probe < 10:
+                fast_failures += 1
+                if fast_failures >= 3:
+                    return False
         except subprocess.TimeoutExpired:
-            pass
+            fast_failures = 0
+            print("device probe timed out (tunnel flap?); retrying",
+                  file=sys.stderr)
         if time.time() - t0 > budget_s:
             return False  # last-ditch: let the real run try anyway
         time.sleep(120)

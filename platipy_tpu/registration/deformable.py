@@ -139,7 +139,7 @@ def _demons_level_impl(
             max_disp_vox=max_disp_vox, default_value=0.0,
         )
 
-    def body(_, field):
+    def smoothed_update(field):
         m_w = warp_by_field(moving_lp, field).astype(jnp.float32)
         grad_m = _filters.gradient(m_w, spacing)
         diff = fixed - m_w
@@ -152,7 +152,10 @@ def _demons_level_impl(
         valid = (jnp.abs(diff) > 1e-3) & (denom > 1e-9)
         scale = jnp.where(valid, diff / jnp.maximum(denom, 1e-9), 0.0)
         update = j * scale[..., None]
-        update = _vector_smooth(update, update_kernels)
+        return _vector_smooth(update, update_kernels)
+
+    def body(_, field):
+        update = smoothed_update(field)
         field = field + update
         field = _vector_smooth(field, std_kernels)
         return field
@@ -163,9 +166,12 @@ def _demons_level_impl(
     # ITK PDE-framework convergence (PDEDeformableRegistrationFilter, which
     # the reference's FastSymmetricForcesDemonsRegistrationFilter inherits
     # with MaximumRMSError default 0.99 mm, never overridden at reference
-    # deformable.py:244-257): stop the level once the RMS change of the
-    # displacement field between successive iterations drops below the
-    # threshold.  ``iterations`` remains the hard cap.
+    # deformable.py:244-257): stop the level once the RMS magnitude of the
+    # APPLIED update drops below the threshold.  ITK computes RMSChange from
+    # the update buffer before the displacement-field smoothing — measuring
+    # field_new - field_old instead would fold the regulariser's contraction
+    # of the accumulated field into "change" and a tight threshold could
+    # then never fire.  ``iterations`` remains the hard cap.
     thresh = jnp.float32(max_rms_error)
 
     def cond(state):
@@ -174,10 +180,10 @@ def _demons_level_impl(
 
     def wbody(state):
         i, _, field = state
-        new_field = body(None, field)
-        delta = new_field - field
-        rms = jnp.sqrt(jnp.mean(jnp.sum(delta * delta, axis=-1)))
-        return i + 1, rms, new_field
+        update = smoothed_update(field)
+        rms = jnp.sqrt(jnp.mean(jnp.sum(update * update, axis=-1)))
+        field = _vector_smooth(field + update, std_kernels)
+        return i + 1, rms, field
 
     _, _, field = jax.lax.while_loop(
         cond, wbody, (jnp.int32(0), jnp.float32(jnp.inf), init_field)
