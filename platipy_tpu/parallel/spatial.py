@@ -106,8 +106,14 @@ def demons_level_spatial(
     update_kernels_key,
     max_step_vox: float = 1.25,
     max_disp_vox: Tuple[int, int, int] = (8, 8, 8),
+    max_rms_error=None,
 ) -> jnp.ndarray:
     """Fast-symmetric-forces demons level with the volume z-sharded.
+
+    ``max_rms_error`` (mm): ITK PDE-framework convergence — stop once the
+    global RMS magnitude of the applied update (interior slabs, reduced
+    over the mesh with psum) drops below the threshold; None keeps the
+    exact fixed trip count.
 
     Same semantics as ``registration.deformable._demons_level_impl`` (ESM
     force, intensity-difference threshold, per-iteration update/field
@@ -193,7 +199,7 @@ def demons_level_spatial(
             )
             return a
 
-        def body(_, field_loc):
+        def step(field_loc):
             field = _exchange_z(field_loc, halo, n_shards)
             m_w = rep_band(warp_by_field(m_ext, field))
             grad_m = _filters.gradient(m_w, spacing)
@@ -209,8 +215,35 @@ def demons_level_spatial(
             # program edge-pads (field + smoothed update), not its addends
             field = rep_band(field + update)
             field = _filters.convolve_separable(field, std_kernels)
-            return field[halo : field.shape[0] - halo]
+            return field[halo : field.shape[0] - halo], update
 
-        return jax.lax.fori_loop(0, iterations, body, field_l)
+        if max_rms_error is None:
+            return jax.lax.fori_loop(
+                0, iterations, lambda _, f: step(f)[0], field_l
+            )
+
+        # global RMS of the APPLIED update (ITK RMSChange semantics, see
+        # registration.deformable._demons_level_impl): each shard sums its
+        # interior band — every global voxel exactly once — and psum makes
+        # the while condition replicated across the mesh
+        thresh = jnp.float32(max_rms_error)
+        n_global = jnp.float32(nz_global * fixed_l.shape[1] * fixed_l.shape[2])
+
+        def cond(state):
+            i, rms, _ = state
+            return (i < iterations) & (rms >= thresh)
+
+        def wbody(state):
+            i, _, field_loc = state
+            new_field, update = step(field_loc)
+            interior = update[halo : update.shape[0] - halo]
+            sumsq = jax.lax.psum(jnp.sum(interior * interior), "spatial")
+            rms = jnp.sqrt(sumsq / n_global)
+            return i + 1, rms, new_field
+
+        _, _, out = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), jnp.float32(jnp.inf), field_l)
+        )
+        return out
 
     return run(fixed, moving, init_field)

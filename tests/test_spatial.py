@@ -103,3 +103,35 @@ def test_demons_level_spatial_realistic_long_run(mesh):
     peak = float(jnp.max(jnp.abs(ref)))
     d = float(jnp.max(jnp.abs(jnp.asarray(out) - ref)))
     assert d < 0.05 * peak + 1e-3, (d, peak)
+
+
+def test_demons_level_spatial_rms_stop(mesh):
+    """max_rms_error on the sharded path: threshold 0 matches the fixed-trip
+    fori result exactly; a huge threshold stops after one iteration and
+    matches the sharded 1-iteration run."""
+    rng = np.random.RandomState(2)
+    shape = (96, 24, 24)
+    fixed = jnp.asarray(rng.rand(*shape).astype(np.float32) * 1000 - 500)
+    moving = jnp.asarray(rng.rand(*shape).astype(np.float32) * 1000 - 500)
+    field0 = jnp.zeros(shape + (3,), jnp.float32)
+    taps = tuple(
+        tuple(float(v) for v in F.discrete_gaussian_kernel1d(1.0, 0.1, 30))
+        for _ in range(3)
+    )
+    kw = dict(spacing=(1.5, 1.5, 1.5), std_kernels_key=taps,
+              update_kernels_key=taps, max_step_vox=1.25, max_disp_vox=(4, 4, 4))
+
+    def run(**extra):
+        return jnp.asarray(demons_level_spatial(
+            shard_over_z(fixed, mesh), shard_over_z(moving, mesh),
+            shard_over_z(field0, mesh), mesh, **kw, **extra,
+        ))
+
+    full = run(iterations=4)
+    zero_thresh = run(iterations=4, max_rms_error=0.0)
+    np.testing.assert_allclose(np.asarray(zero_thresh), np.asarray(full),
+                               atol=1e-6)
+    one = run(iterations=1)
+    big_thresh = run(iterations=4, max_rms_error=1e6)
+    np.testing.assert_allclose(np.asarray(big_thresh), np.asarray(one),
+                               atol=1e-6)
