@@ -379,7 +379,22 @@ def extract_features(image, mask,
     if "gldm" in classes:
         for k, v in extract_gldm(image, mask, bins=bins).items():
             out[f"original_gldm_{k}"] = v
+    if "custom" in classes:
+        for k, v in extract_custom(image, mask).items():
+            out[f"original_custom_{k}"] = v
     return out
+
+
+def extract_custom(image, mask) -> Dict[str, float]:
+    """The reference's RadiomicsCustom class: 25th/75th intensity percentiles
+    (reference services/radiomics/radiomics_custom.py:26-32)."""
+    vals = _roi_values(image, mask)
+    if vals.size == 0:
+        return {}
+    return {
+        "25Percentile": float(np.percentile(vals, 25)),
+        "75Percentile": float(np.percentile(vals, 75)),
+    }
 
 
 # ---------------------------------------------------------------------------

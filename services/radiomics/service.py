@@ -18,7 +18,8 @@ logger = logging.getLogger(__name__)
 
 RADIOMICS_SETTINGS_DEFAULTS = {
     # feature classes to extract (reference service's "radiomics" dict keys)
-    "classes": ["firstorder", "shape", "glcm", "glrlm", "glszm", "ngtdm", "gldm"],
+    "classes": ["firstorder", "shape", "glcm", "glrlm", "glszm", "ngtdm", "gldm",
+                "custom"],  # custom = 25/75 percentiles (radiomics_custom.py)
     "bins": 32,
 }
 

@@ -139,3 +139,17 @@ def test_extract_features_all_seven_classes(ball):
     assert prefixes >= {"firstorder", "shape", "glcm", "glrlm", "glszm",
                         "ngtdm", "gldm"}
     assert len(f) >= 85
+
+
+def test_extract_custom_percentiles(ball):
+    """The reference's RadiomicsCustom features: 25th/75th ROI percentiles
+    (reference services/radiomics/radiomics_custom.py:26-32)."""
+    rng = np.random.RandomState(3)
+    arr = rng.rand(40, 40, 40).astype(np.float32)
+    img = from_array(arr)
+    f = extract_features(img, ball, classes=("custom",))
+    vals = arr[np.asarray(ball.array) > 0]
+    assert f["original_custom_25Percentile"] == pytest.approx(
+        np.percentile(vals, 25))
+    assert f["original_custom_75Percentile"] == pytest.approx(
+        np.percentile(vals, 75))
