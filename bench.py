@@ -252,11 +252,11 @@ def main():
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     cache_dir = os.path.join(repo_dir, ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    # seed from the committed cache artifact: .jax_cache itself is untracked
-    # and gets wiped with the working tree, which would re-pay ~200 s of
-    # remote compiles on every fresh checkout.  The seed holds the compiled
-    # programs of exactly this benchmark (v5e); stale/foreign entries are
-    # simply cache misses.
+    # seed from a committed cache artifact IF one exists (.jax_cache itself is
+    # untracked and gets wiped with the working tree, which re-pays remote
+    # compiles on every fresh checkout).  The seed directory is optional —
+    # when absent this block is a no-op and the first run compiles cold.
+    # Stale/foreign entries in a seed are simply cache misses.
     seed_dir = os.path.join(repo_dir, "artifacts", "xla_cache_seed")
     if os.path.isdir(seed_dir):
         import shutil

@@ -129,9 +129,11 @@ def calculate_d_cc_x(dvh: pd.DataFrame, x, label=None, index_cols=None) -> pd.Da
         x = [x]
 
     metrics = []
-    for idx in dvh.groupby(index_cols).groups.keys():
-        if isinstance(idx, str):
-            idx = [idx]
+    # drop_duplicates instead of groupby().groups: pandas is changing the key
+    # type for single-column list groupbys (scalar -> 1-tuple), and only the
+    # distinct key combinations are needed here
+    for idx in dvh[index_cols].drop_duplicates().itertuples(index=False):
+        idx = tuple(idx)
         m = {}
         group = dvh
         for i, col in enumerate(index_cols):

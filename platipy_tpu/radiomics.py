@@ -387,7 +387,11 @@ def extract_features(image, mask,
 
 def extract_custom(image, mask) -> Dict[str, float]:
     """The reference's RadiomicsCustom class: 25th/75th intensity percentiles
-    (reference services/radiomics/radiomics_custom.py:26-32)."""
+    (reference services/radiomics/radiomics_custom.py:26-32).
+
+    Deliberate divergence: an EMPTY ROI returns {} (the two percentile keys
+    absent) where the reference raises from np.percentile on an empty array —
+    consumers must not rely on the keys always being present."""
     vals = _roi_values(image, mask)
     if vals.size == 0:
         return {}

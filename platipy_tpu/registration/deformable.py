@@ -51,10 +51,26 @@ from platipy_tpu.registration.utils import smooth_and_resample
 
 __all__ = [
     "bspline_registration",
+    "compose_displacement_fields",
     "demons_level",
     "multiscale_demons",
     "fast_symmetric_forces_demons_registration",
 ]
+
+
+def compose_displacement_fields(dvf_total: Image, dvf_iter: Image) -> Image:
+    """Compose a per-level increment ONTO a running total field:
+
+        u_new(x) = u_total(x) + u_iter(x + u_total(x))
+
+    i.e. the increment is resampled *through the running transform* before
+    accumulation — the reference's exact composition at deformable.py:151-154
+    (``dvf_total += Resample(dvf_iter, tfm_total)``).  Both fields live on the
+    same grid; [z,y,x,3] physical-mm (x,y,z) components.
+    """
+    dvf_iter_pulled = warp_image(dvf_iter, dvf_total, reference=dvf_total,
+                                 interp=INTERP_LINEAR, default_value=0.0)
+    return dvf_total.with_array(dvf_total.array + dvf_iter_pulled.array)
 
 
 # ---------------------------------------------------------------------------
@@ -314,9 +330,7 @@ def multiscale_demons(
         )
 
         # compose: dvf_total(x) += dvf_iter(x + dvf_total(x))   [ref :154]
-        dvf_iter_pulled = warp_image(dvf_iter, dvf_total, reference=f_image,
-                                     interp=INTERP_LINEAR, default_value=0.0)
-        dvf_total = dvf_total.with_array(dvf_total.array + dvf_iter_pulled.array)
+        dvf_total = compose_displacement_fields(dvf_total, dvf_iter)
 
         # reference quirk: voxel-unit sigmas fed to the physical-unit smoother
         sigma = np.asarray(regularisation_kernel_vox, dtype=np.float64).reshape(-1)

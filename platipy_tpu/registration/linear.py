@@ -511,6 +511,16 @@ def linear_registration_batched(
     from platipy_tpu.core import filters as _filters
     from platipy_tpu.core.interp import resample_separable
 
+    # opt-in sub-stage attribution (PLATIPY_TPU_PROFILE=1): laps land in
+    # module-level LAST_LINEAR_SUBSTAGES for bench.py-style reporting
+    import os as _os
+
+    timer = None
+    if _os.environ.get("PLATIPY_TPU_PROFILE") == "1":
+        from platipy_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+
     moving_images = list(moving_images)
     n = len(moving_images)
     ref0 = moving_images[0]
@@ -565,6 +575,8 @@ def linear_registration_batched(
     # dispatch the CT-sniff reduction now; its fetch below overlaps with the
     # level dispatches instead of costing a dedicated ~0.4s tunnel round trip
     stack_min = jnp.min(moving_stack) if default_value is None else None
+    if timer:
+        timer.lap("stack_staging", sync=moving_stack)
 
     initials = [
         centered_transform_initializer(fixed32, m, "euler", moments=False)
@@ -573,6 +585,8 @@ def linear_registration_batched(
     initial_stack = jax.tree_util.tree_map(
         lambda *leaves: jnp.stack(leaves), *initials
     )
+    if timer:
+        timer.lap("initials", sync=initial_stack)
 
     if not isinstance(reg_method, str):
         raise ValueError("batched registration requires a string reg_method")
@@ -673,6 +687,8 @@ def linear_registration_batched(
         )
         if verbose:
             print(f"batched level {level}: losses = {np.asarray(losses)}")
+        if timer:
+            timer.lap(f"level_{level}_shrink{shrink}", sync=losses)
 
     if default_value is None:
         default_value = 0
@@ -701,6 +717,11 @@ def linear_registration_batched(
         fixed32.spatial_shape, interp_code, float(default_value)
     )(opt_stack, initial_stack, moving_stack, ref_i2p_full, mov_p2i_full)
 
+    if timer:
+        timer.lap("final_warp", sync=registered_stack)
+        import sys
+
+        sys.modules[__name__].LAST_LINEAR_SUBSTAGES = dict(timer.times)
 
     opt_list = [
         jax.tree_util.tree_map(lambda leaf: leaf[k], opt_stack) for k in range(n)

@@ -17,9 +17,11 @@ from platipy_tpu.radiomics import extract_features
 logger = logging.getLogger(__name__)
 
 RADIOMICS_SETTINGS_DEFAULTS = {
-    # feature classes to extract (reference service's "radiomics" dict keys)
-    "classes": ["firstorder", "shape", "glcm", "glrlm", "glszm", "ngtdm", "gldm",
-                "custom"],  # custom = 25/75 percentiles (radiomics_custom.py)
+    # feature classes to extract (reference service's "radiomics" dict keys).
+    # "custom" (25/75 percentiles, radiomics_custom.py) is available but NOT a
+    # default: the reference service only computes RadiomicsCustom when
+    # explicitly requested in the settings.
+    "classes": ["firstorder", "shape", "glcm", "glrlm", "glszm", "ngtdm", "gldm"],
     "bins": 32,
 }
 

@@ -88,6 +88,42 @@ def test_multiatlas_sharded_over_mesh(eight_cpu_devices):
     assert dsc > 0.9, f"sharded multi-atlas DSC too low: {dsc}"
 
 
+@pytest.mark.slow
+def test_multiatlas_sharded_pipeline_matches_unsharded(
+    eight_cpu_devices, monkeypatch
+):
+    """run_segmentation's OWN shard branch (run.py:347-358): 10 atlases on 8
+    devices — non-divisible, so pad_atlas_axis pads to 16 lanes and
+    atlas_validity_mask must zero the 6 padded lanes out of the fusion.
+    PLATIPY_TPU_SHARD_ON_CPU=1 forces the branch on the CPU backend
+    (parallel/atlas.py sharding_enabled); outputs must match the unsharded
+    run on the same inputs."""
+    target_img, target_mask = _pseudo_ct((12, 24, 24), 8)
+    settings = _make_settings(n_atlases=10)
+
+    monkeypatch.delenv("PLATIPY_TPU_SHARD_ON_CPU", raising=False)
+    results_ref, prob_ref = run_segmentation(
+        target_img, copy.deepcopy(settings)
+    )
+
+    monkeypatch.setenv("PLATIPY_TPU_SHARD_ON_CPU", "1")
+    results_sh, prob_sh = run_segmentation(target_img, copy.deepcopy(settings))
+
+    dsc = compute_metric_dsc(target_mask, results_sh["WHOLEHEART"])
+    assert dsc > 0.9, f"sharded pipeline DSC too low: {dsc}"
+
+    p_ref = np.asarray(prob_ref["WHOLEHEART"].array)
+    p_sh = np.asarray(prob_sh["WHOLEHEART"].array)
+    # identical math up to cross-lane reduction order (16 lanes incl. 6
+    # zero-weighted pads vs 10): probabilities agree to fp32 reduction noise
+    np.testing.assert_allclose(p_sh, p_ref, atol=1e-4)
+
+    b_ref = np.asarray(results_ref["WHOLEHEART"].array)
+    b_sh = np.asarray(results_sh["WHOLEHEART"].array)
+    n_diff = int((b_ref != b_sh).sum())
+    assert n_diff == 0, f"{n_diff} binary voxels differ sharded vs unsharded"
+
+
 def test_nifti_roundtrip(tmp_path):
     from platipy_tpu.nifti.io import read_image, write_image
 
