@@ -47,8 +47,12 @@ def combine_for_crop(arrays):
     """Mean of the quick-registered atlas volumes thresholded at air, as ONE
     device program — fetching each registered volume to host for the combine
     costs ~0.3 s per volume over a remote-device link (shared by the
-    multiatlas and cardiac auto-crop stages)."""
-    stack = jnp.stack([a.astype(jnp.float32) for a in arrays])
+    multiatlas and cardiac auto-crop stages).  Accepts a list of [z,y,x]
+    volumes or one already-stacked [N,z,y,x] array."""
+    if isinstance(arrays, (list, tuple)):
+        stack = jnp.stack([a.astype(jnp.float32) for a in arrays])
+    else:
+        stack = arrays.astype(jnp.float32)
     return (jnp.mean(stack, axis=0) > -1000).astype(jnp.uint8)
 
 

@@ -487,17 +487,15 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         logger.info("Running initial similarity transform to crop image volume")
         crop_ids = atlas_id_list[: min(8, len(atlas_id_list))]
         crop_movings = [atlas_set[i]["Original"]["CT Image"] for i in crop_ids]
-        reg_images, _ = linear_registration_batched(
-            img, crop_movings,
+        reg_stack, _ = linear_registration_batched(
+            img, crop_movings, as_stack=True,
             **{k: v for k, v in quick_reg_settings.items() if k != "verbose"},
         )
         # combine on device: one program + one uint8 fetch inside label_to_roi
         # instead of eight full float32 volume pulls over the device link
         from platipy_tpu.parallel.atlas import combine_for_crop
 
-        combined_image = img.with_array(
-            combine_for_crop([i.array for i in reg_images])
-        )
+        combined_image = img.with_array(combine_for_crop(reg_stack))
         crop_box_size, crop_box_index = label_to_roi(combined_image, expansion_mm=expansion_mm)
         crop_box_size, crop_box_index = pad_roi_to_multiple(
             crop_box_size, crop_box_index, img.size, 32

@@ -247,16 +247,14 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         logger.info("Running initial similarity transform to crop image volume")
         crop_ids = atlas_id_list[: min(8, len(atlas_id_list))]
         crop_movings = [atlas_set[i]["Original"]["CT Image"] for i in crop_ids]
-        registered_crop_images, _ = linear_registration_batched(
-            img, crop_movings,
+        registered_crop_stack, _ = linear_registration_batched(
+            img, crop_movings, as_stack=True,
             **{k: v for k, v in quick_reg_settings.items() if k != "verbose"},
         )
         # combine on device in ONE dispatch: N full-volume fetches over a
         # remote-device link cost ~0.3s each and N eager adds pay per-op
         # dispatch latency; the union mask crosses host once in label_to_roi
-        combined_image = img.with_array(
-            _combine_for_crop([i.array for i in registered_crop_images])
-        )
+        combined_image = img.with_array(_combine_for_crop(registered_crop_stack))
 
         crop_box_size, crop_box_index = label_to_roi(
             combined_image, expansion_mm=expansion_mm
@@ -293,40 +291,34 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         )
 
         reg_movings = [atlas_set[i]["Original"]["CT Image"] for i in atlas_id_list]
-        registered_images, batched_tfms = linear_registration_batched(
-            img_crop, reg_movings,
+        moving_stack, batched_tfms = linear_registration_batched(
+            img_crop, reg_movings, as_stack=True,
             **{k: v for k, v in linear_registration_settings.items() if k != "verbose"},
         )
-        # reuse the batched final warps (default -1000 linear, as the reference's
-        # per-atlas sitk.Resample at run.py:283-290) and batch all structure warps
-        # into one dispatch per structure
-        for atlas_id, initial_tfm, reg_img in zip(
-            atlas_id_list, batched_tfms, registered_images
-        ):
-            atlas_set[atlas_id]["RIR"] = {
-                "Transform": initial_tfm,
-                "CT Image": reg_img.astype(jnp.float32),
-            }
-        for struct in atlas_structure_list:
-            warped = apply_transforms_batched(
-                batched_tfms,
-                [atlas_set[i]["Original"][struct] for i in atlas_id_list],
-                img_crop, interpolator=INTERP_NEAREST, default_value=0,
-            )
-            for atlas_id, w in zip(atlas_id_list, warped):
-                atlas_set[atlas_id]["RIR"][struct] = w
+        # ALL structure warps (S structures x N atlases) in ONE batched
+        # dispatch — NN, default 0, as the reference's per-atlas sitk.Resample
+        # loop at run.py:291-299; per-structure eager calls paid a dispatch
+        # round trip each over a tunnelled device link
+        n_atlases = len(atlas_id_list)
+        struct_imgs = [
+            atlas_set[i]["Original"][s]
+            for s in atlas_structure_list
+            for i in atlas_id_list
+        ]
+        warped_flat = apply_transforms_batched(
+            list(batched_tfms) * len(atlas_structure_list), struct_imgs,
+            img_crop, interpolator=INTERP_NEAREST, default_value=0,
+            as_stack=True,
+        )
+        warped_all = warped_flat.reshape(
+            (len(atlas_structure_list), n_atlases) + img_crop.spatial_shape
+        )
+        struct_stacks = {
+            s: warped_all[k] for k, s in enumerate(atlas_structure_list)
+        }
         for atlas_id in atlas_id_list:
             atlas_set[atlas_id]["Original"] = None
 
-        moving_stack = jnp.stack(
-            [atlas_set[i]["RIR"]["CT Image"].array.astype(jnp.float32) for i in atlas_id_list]
-        )
-        struct_stacks = {
-            s: jnp.stack(
-                [atlas_set[i]["RIR"][s].array.astype(jnp.float32) for i in atlas_id_list]
-            )
-            for s in atlas_structure_list
-        }
         if ckpt.enabled:
             ckpt.save("rir", arrays={
                 "moving_stack": np.asarray(moving_stack),
@@ -401,13 +393,9 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         for s in atlas_structure_list
     }
 
-    for k, atlas_id in enumerate(atlas_id_list):
-        atlas_set[atlas_id]["DIR"] = {
-            "CT Image": img_crop.with_array(dir_images[k]),
-        }
-        for s in atlas_structure_list:
-            atlas_set[atlas_id]["DIR"][s] = img_crop.with_array(dir_structs[s][k])
-        atlas_set[atlas_id]["RIR"] = None
+    # (the reference stores per-atlas "DIR" images back into atlas_set here,
+    # run.py:306-347 — this pipeline keeps the stacks; per-atlas device
+    # slices would pay a dispatch each and nothing downstream reads them)
 
     if timer:
         timer.lap("demons_dir", sync=dir_images)
@@ -425,8 +413,6 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         weight_stack = weight_stack * atlas_validity_mask(
             n_valid, weight_stack.shape[0]
         )[:, None, None, None]
-    for k, atlas_id in enumerate(atlas_id_list):
-        atlas_set[atlas_id]["DIR"]["Weight Map"] = img_crop.with_array(weight_stack[k])
 
     # smoothing kernels for sitk.DiscreteGaussian(combined, 1.0) parity
     _var_vox = 1.0 / np.asarray(img_crop.spacing) ** 2

@@ -536,7 +536,15 @@ def bspline_registration(
             weight = valid.array
             if _fm is not None:
                 weight = weight * (_fm.array > 0.5).astype(jnp.float32)
-            return metric_fn(_fa, warped.array, weight)
+            metric_value = metric_fn(_fa, warped.array, weight)
+            # Valid-count-normalised metrics make "everything maps outside"
+            # a degenerate global minimum (weight sum -> 0, loss -> 0); ITK
+            # raises "too many samples map outside the moving image buffer"
+            # instead.  The jit-compatible equivalent: a huge finite penalty
+            # once under 25% of reference points land inside, so line
+            # searches backtrack out of the degenerate basin.
+            frac_inside = jnp.mean(valid.array)
+            return jnp.where(frac_inside < 0.25, jnp.float32(1e30), metric_value)
 
         transform, final_loss = optimise(
             loss_fn,

@@ -335,17 +335,30 @@ def optimise(
             state0 = opt.init(q0)
             v0, g0 = vg_q(q0)
 
+            # best-iterate safeguard: optax.lbfgs's zoom linesearch can fail
+            # on ill-conditioned FFD landscapes and run away (observed: the
+            # same registration converging or exploding depending on XLA:CPU
+            # thread partitioning).  Track the best (finite) iterate and
+            # return THAT — a diverged tail then wastes iterations instead of
+            # corrupting the result, matching ITK's monotone safeguards.
             def body(carry):
-                q, state, g, v = carry
+                q, state, g, best_q, best_v, v = carry
                 updates, state = opt.update(
                     g, state, q, value=v, grad=g, value_fn=loss_q
                 )
                 q = optax.apply_updates(q, updates)
                 v, g = vg_q(q)
-                return q, state, g, v
+                better = jnp.isfinite(v) & (v < best_v)
+                best_q = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(better, a, b), q, best_q
+                )
+                best_v = jnp.where(better, v, best_v)
+                return q, state, g, best_q, best_v, v
 
-            q, _, _, v = _loop(body, (q0, state0, g0, v0))
-            return from_q(q), v
+            carry = _loop(body, (q0, state0, g0, q0, v0, v0),
+                          done_fn=lambda c: jnp.logical_not(jnp.isfinite(c[-1])))
+            _, _, _, best_q, best_v, _ = carry
+            return from_q(best_q), best_v
 
         p_opt, final = run(params)
 

@@ -218,3 +218,182 @@ def test_reference_published_cardiac_case():
                                        output["WHOLEHEART"]))
         logger.info("reference-case WHOLEHEART DSC: %.5f", dsc)
         assert dsc > 0.99
+
+
+# ---------------------------------------------------------------------------
+# Round-3 oracles: the subtlest ITK-semantics corners, pinned analytically
+# (VERDICT r2 item 8)
+# ---------------------------------------------------------------------------
+
+
+def test_mattes_mi_closed_form_on_correlated_gaussians():
+    """Parzen-binned Mattes MI vs the bivariate-Gaussian closed form
+    MI = -0.5 ln(1 - rho^2) — ground truth independent of both this
+    implementation and ITK's (reference metric selection linear.py:141-148).
+
+    The estimator carries the known Parzen-window smoothing bias
+    (underestimates, growing with rho); tolerances bracket that bias at
+    bins=50, n=200k (measured -0.0007/-0.0038/-0.0497 nats)."""
+    import jax.numpy as jnp
+
+    from platipy_tpu.registration.metrics import mattes_mi
+
+    rng = np.random.RandomState(3)
+    n = 200_000
+    z1 = rng.randn(n).astype(np.float32)
+    z2 = rng.randn(n).astype(np.float32)
+
+    estimates = {}
+    for rho, tol in ((0.3, 0.012), (0.6, 0.02), (0.9, 0.08)):
+        f = z1
+        m = rho * z1 + np.sqrt(1 - rho * rho) * z2
+        analytic = -0.5 * np.log(1 - rho * rho)
+        est = -float(mattes_mi(jnp.asarray(f), jnp.asarray(m), bins=50))
+        estimates[rho] = est
+        assert abs(est - analytic) < tol, (rho, est, analytic)
+        # Parzen smoothing can only LOSE information
+        assert est < analytic + 1e-3, (rho, est, analytic)
+
+    # strictly monotone in dependence strength
+    assert estimates[0.3] < estimates[0.6] < estimates[0.9]
+
+    # MI is invariant under affine intensity remapping (the property that
+    # makes it the multi-modality metric)
+    f = z1
+    m = 0.9 * z1 + np.sqrt(1 - 0.81) * z2
+    est1 = -float(mattes_mi(jnp.asarray(f), jnp.asarray(m), bins=50))
+    est2 = -float(
+        mattes_mi(jnp.asarray(2.5 * f + 100), jnp.asarray(-3.0 * m + 7), bins=50)
+    )
+    assert abs(est1 - est2) < 5e-3, (est1, est2)
+
+
+def test_displacement_field_composition_order_oracle():
+    """The multiscale driver's composition (reference deformable.py:151-154)
+    pulls the per-level increment through the running transform BEFORE
+    accumulating:  u_new(x) = u1(x) + u2(x + u1(x)).
+
+    Oracle: u1 constant, u2 linear — the composition has the closed form
+    u1 + B((x + u1) - c), exact under trilinear interpolation.  The naive
+    additive accumulation u1 + u2 must NOT match (guards against regressing
+    the order subtlety)."""
+    import jax.numpy as jnp
+
+    from platipy_tpu.registration.deformable import compose_displacement_fields
+
+    shape = (16, 20, 24)
+    spacing = (1.5, 2.0, 2.5)
+    img0 = from_array(np.zeros(shape, np.float32), spacing=spacing)
+    zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]].astype(np.float32)
+    P = np.stack([xx * spacing[0], yy * spacing[1], zz * spacing[2]], axis=-1)
+
+    a = np.array([2.0, -1.5, 1.0], np.float32)
+    B = np.array(
+        [[0.05, 0.02, 0.0], [0.0, -0.04, 0.01], [0.02, 0.0, 0.03]], np.float32
+    )
+    c = np.array([20.0, 15.0, 10.0], np.float32)
+    u1 = np.broadcast_to(a, P.shape).astype(np.float32)
+    u2 = ((P - c) @ B.T).astype(np.float32)
+
+    tot = compose_displacement_fields(
+        img0.with_array(jnp.asarray(u1.copy())), img0.with_array(jnp.asarray(u2))
+    )
+    expected = u1 + ((P + u1) - c) @ B.T
+    interior = (slice(2, -2),) * 3
+    got = np.asarray(tot.array)
+    np.testing.assert_allclose(got[interior], expected[interior], atol=1e-5)
+
+    naive = u1 + u2
+    assert np.abs(naive[interior] - expected[interior]).max() > 0.05
+
+
+@pytest.mark.slow
+def test_bspline_ffd_recovers_known_coefficient_grid():
+    """bspline_registration must recover a KNOWN synthetic FFD (reference
+    deformable.py:309-547): a ~3 mm-peak smooth coefficient grid deforms a
+    textured volume; the registered transform's displacement field is compared
+    against the known one at textured points (where the metric has signal)."""
+    from scipy.ndimage import gaussian_filter
+    import jax.numpy as jnp
+
+    from platipy_tpu.core.transform import BSplineTransform
+    from platipy_tpu.registration.deformable import bspline_registration
+    from platipy_tpu.registration.utils import apply_transform
+
+    shape = (32, 48, 48)
+    spacing = (2.0, 2.0, 2.0)
+    zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]].astype(np.float32)
+    tex = (
+        100 * np.sin(0.35 * xx) * np.cos(0.28 * yy)
+        + 80 * np.sin(0.22 * zz + 0.15 * xx)
+        + 60 * np.cos(0.3 * yy + 0.2 * zz)
+    )
+    body = np.exp(
+        -(((xx - 24) / 20) ** 2 + ((yy - 24) / 20) ** 2 + ((zz - 16) / 13) ** 2)
+    )
+    moving = from_array((tex * body).astype(np.float32), spacing=spacing)
+
+    extent = np.array([shape[2], shape[1], shape[0]]) * np.array(spacing)
+    mesh = np.maximum((extent / 24.0).astype(int), 1)
+    grid_spacing = extent / mesh
+    grid_origin = -grid_spacing
+    grid_shape = (int(mesh[2]) + 3, int(mesh[1]) + 3, int(mesh[0]) + 3)
+
+    rngc = np.random.RandomState(11)
+    coeffs = rngc.randn(*grid_shape, 3).astype(np.float32)
+    for ch in range(3):
+        coeffs[..., ch] = gaussian_filter(coeffs[..., ch], 1.2)
+    probe = np.stack(
+        np.meshgrid(
+            np.arange(0, 96, 4.0), np.arange(0, 96, 4.0), np.arange(0, 64, 4.0),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 3).astype(np.float32)
+    t_tmp = BSplineTransform(jnp.asarray(coeffs), grid_origin, grid_spacing)
+    peak = np.abs(np.asarray(t_tmp.displacement(jnp.asarray(probe)))).max()
+    coeffs *= 3.0 / peak
+    t_known = BSplineTransform(jnp.asarray(coeffs), grid_origin, grid_spacing)
+
+    fixed = apply_transform(
+        moving, transform=t_known, default_value=0.0, interpolator=2
+    )
+
+    _, t_rec = bspline_registration(
+        fixed,
+        moving,
+        resolution_staging=(4, 2),
+        smooth_sigmas=(2, 0),
+        grid_scale_factors=(1, 1),
+        initial_grid_spacing=24,
+        number_of_iterations=80,
+        optimiser="LBFGS",
+        metric="mean_squares",
+        default_value=0.0,
+    )
+
+    pts = np.stack(
+        np.meshgrid(
+            np.arange(12, 84, 4.0), np.arange(12, 84, 4.0), np.arange(8, 56, 4.0),
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 3).astype(np.float32)
+    bw = np.exp(
+        -(((pts[:, 0] / 2 - 24) / 20) ** 2
+          + ((pts[:, 1] / 2 - 24) / 20) ** 2
+          + ((pts[:, 2] / 2 - 16) / 13) ** 2)
+    )
+    pts = pts[bw > 0.3]
+    d_known = np.asarray(t_known.displacement(jnp.asarray(pts)))
+    d_rec = np.asarray(t_rec.displacement(jnp.asarray(pts)))
+    err = np.linalg.norm(d_known - d_rec, axis=1)
+    mean_disp = np.linalg.norm(d_known, axis=1).mean()
+    logger.info(
+        "FFD recovery: field mean %.2f mm; err mean %.3f p95 %.3f max %.3f",
+        mean_disp, err.mean(), np.percentile(err, 95), err.max(),
+    )
+    # measured on the pinned inputs: mean 0.228, p95 0.473, max 0.902
+    assert err.mean() < 0.35
+    assert np.percentile(err, 95) < 0.7
+    assert err.max() < 1.2
