@@ -1,11 +1,12 @@
-"""North-star benchmark: 10-atlas multi-atlas segmentation (register + fuse).
+"""North-star benchmark: 10-atlas cardiac segmentation (register + fuse).
 
-Runs the full pipeline — auto-crop, batched per-atlas linear registration,
-batched multiscale demons (6/3/1.5 mm, 150/125/100 iterations), multi-structure
-fusion, paste + post-processing — on a textured, synthetically DEFORMED
-multi-structure phantom (body + chamber + vessel), with per-atlas grid
-variation, on whatever accelerator JAX finds (the real TPU chip under the
-driver).
+Runs the CARDIAC pipeline at full reference staging — auto-crop, batched
+per-atlas linear registration, batched multiscale demons (6/3/1.5 mm,
+200/150/100 iterations), IAR, vessel splining (the reference's thin-structure
+recipe), multi-structure fusion with per-structure thresholds, paste +
+post-processing — on a textured, synthetically DEFORMED multi-structure
+phantom (body + chamber + vessel), with per-atlas grid variation, on whatever
+accelerator JAX finds (the real TPU chip under the driver).
 
 Atlas/target generation is host-side numpy/scipy (smooth random DVFs via
 gaussian-filtered noise + map_coordinates) so the measured region is purely
@@ -126,29 +127,51 @@ def to_images(ct, masks, crop=None, origin_shift=(0.0, 0.0, 0.0)):
 
 
 def make_settings(atlas_set):
-    from platipy_tpu.projects.multiatlas.run import MUTLIATLAS_SETTINGS_DEFAULTS
+    """Cardiac-pipeline settings (the reference's flagship recipe,
+    cardiac/run.py:75-270): full deformable staging 6/3/1.5 mm at
+    200/150/100 iterations, IAR, and vessel SPLINING for the thin VESSEL
+    tube — the reference's answer to thin structures
+    (reference utils/vessel.py:336-435), where voted fusion tops out near
+    DSC 0.9 (BENCH_r02's failure mode)."""
+    from platipy_tpu.projects.cardiac.run import CARDIAC_SETTINGS_DEFAULTS
 
-    settings = copy.deepcopy(MUTLIATLAS_SETTINGS_DEFAULTS)
-    settings["atlas_settings"]["atlas_set"] = atlas_set
-    settings["atlas_settings"]["atlas_id_list"] = list(atlas_set.keys())
-    settings["atlas_settings"]["atlas_structure_list"] = list(STRUCTURES)
-    # the reference multiatlas defaults (run.py:75-91): 6/3/1.5mm, 150/125/100
-    settings["deformable_registration_settings"]["resolution_staging"] = [6, 3, 1.5]
-    settings["deformable_registration_settings"]["iteration_staging"] = [150, 125, 100]
+    settings = copy.deepcopy(CARDIAC_SETTINGS_DEFAULTS)
+    a = settings["atlas_settings"]
+    a["atlas_set"] = atlas_set
+    a["atlas_id_list"] = list(atlas_set.keys())
+    a["atlas_structure_list"] = list(STRUCTURES)
+    a["guide_structure_name"] = None
+
+    settings["iar_settings"]["reference_structure"] = "WHOLEHEART"
     # local (Gaussian-weighted intensity-difference) voting: one extra
-    # separable convolution per atlas (<0.1 s batched) and measurably better
-    # thin-structure DSC than unweighted majority voting; both are reference
-    # pipeline options (reference fusion.py:155-177)
+    # separable convolution per atlas and measurably better DSC than
+    # unweighted majority voting; both are reference options (fusion.py:155-177)
     settings["label_fusion_settings"]["vote_type"] = "local"
-    settings["postprocessing_settings"]["structures_for_binaryfillhole"] = list(STRUCTURES)
+    settings["label_fusion_settings"]["optimal_threshold"] = {
+        "WHOLEHEART": 0.5,
+        "CHAMBER": 0.5,
+    }
+    settings["vessel_spline_settings"] = {
+        "vessel_name_list": ["VESSEL"],
+        "vessel_radius_mm_dict": {"VESSEL": 5},
+        "scan_direction_dict": {"VESSEL": "z"},
+        "stop_condition_type_dict": {"VESSEL": "count"},
+        "stop_condition_value_dict": {"VESSEL": 2},
+    }
+    # the phantom has no 4-chamber anatomy for valve/conduction geometry
+    settings["geometric_segmentation_settings"]["run_geometric_algorithms"] = False
+    settings["postprocessing_settings"]["structures_for_binaryfillhole"] = [
+        "WHOLEHEART", "CHAMBER",
+    ]
+    settings["postprocessing_settings"]["structures_for_overlap_correction"] = []
     return settings
 
 
 def run_case(img, settings):
-    from platipy_tpu.projects.multiatlas.run import run_segmentation
+    from platipy_tpu.projects.cardiac.run import run_cardiac_segmentation
 
     t0 = time.time()
-    results, _ = run_segmentation(img, settings)
+    results, _ = run_cardiac_segmentation(img, settings=settings)
     for s in STRUCTURES:
         np.asarray(results[s].array)  # force full execution (tunnel-safe sync)
     return results, time.time() - t0
@@ -423,11 +446,11 @@ def main():
     # stage breakdown: ONE extra profiled run (stage sync points serialize
     # the pipeline, so this is kept out of the headline timing)
     os.environ["PLATIPY_TPU_PROFILE"] = "1"
-    from platipy_tpu.projects.multiatlas import run as ma_run
+    from platipy_tpu.projects.cardiac import run as card_run
 
     _ = run_case(cases[1][0], settings)
     stage_s = {k: round(v, 2) for k, v in
-               getattr(ma_run, "LAST_STAGE_TIMES", {}).items()}
+               getattr(card_run, "LAST_STAGE_TIMES", {}).items()}
     from platipy_tpu.registration import linear as _lin
 
     linear_sub = {k: round(v, 2) for k, v in
@@ -439,7 +462,7 @@ def main():
 
     baseline_s = 300.0  # reference hybrid cardiac pipeline ~5 min per case
     print(json.dumps({
-        "metric": "multiatlas_10atlas_3struct_register_fuse_per_case",
+        "metric": "cardiac_10atlas_3struct_segmentation_per_case",
         "value": round(warm_s, 2),
         "unit": "s",
         "vs_baseline": round(warm_s / baseline_s, 4),

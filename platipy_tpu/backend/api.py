@@ -384,12 +384,49 @@ class ApiHandler(BaseHTTPRequestHandler):
     # -- routing ------------------------------------------------------------------
     def _dispatch(self, method):
         path = urlparse(self.path).path.rstrip("/")
-        if method == "get" and path in ("", "/"):
-            from platipy_tpu.backend.views import render_status_page
+        if method == "get":
+            page = self._dashboard_route(path)
+            if page is not None:
+                return page
+        return self._dispatch_api(method, path)
 
-            page = render_status_page(self.app).encode("utf-8")
-            return self._send(200, raw=page, content_type="text/html")
+    def _dashboard_route(self, path):
+        """Dashboard pages + static assets (reference backend/views.py:26-112
+        renders Flask templates; same URLs here).  Returns None when the path
+        is not a dashboard route (falls through to the JSON API)."""
+        from platipy_tpu.backend import views as _views
 
+        def html_page(text):
+            return self._send(200, raw=text.encode("utf-8"),
+                              content_type="text/html")
+
+        if path in ("", "/"):
+            return html_page(_views.render_status_page(self.app))
+        if path == "/logs":
+            return html_page(_views.render_log_page(self.app))
+        if path == "/endpoint/add":
+            return html_page(_views.render_endpoint_add_page(self.app))
+        if path.startswith("/endpoint/"):
+            from urllib.parse import unquote
+
+            return html_page(
+                _views.render_endpoint_page(
+                    self.app, unquote(path[len("/endpoint/"):])
+                )
+            )
+        if path == "/dashboard/status":
+            return self._send(200, {"tasks": _views.task_rows(self.app)})
+        if path == "/dashboard/log":
+            return self._send(200, _views.fetch_log())
+        if path.startswith("/static/"):
+            resolved = _views.static_file(path[len("/static/"):])
+            if resolved is None:
+                return self._send(404, {"error": "not found"})
+            blob, ctype = resolved
+            return self._send(200, raw=blob, content_type=ctype)
+        return None
+
+    def _dispatch_api(self, method, path):
         for pattern, resource_cls in API_RESOURCES:
             m = re.fullmatch(pattern, path)
             if not m:

@@ -7,7 +7,6 @@ log tail.
 
 from __future__ import annotations
 
-import html
 import logging
 from pathlib import Path
 
@@ -15,6 +14,11 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "render_status_page",
+    "render_log_page",
+    "render_endpoint_page",
+    "render_endpoint_add_page",
+    "render_template",
+    "static_file",
     "system_status",
     "log_tail",
     "dashboard",
@@ -117,31 +121,109 @@ def add_endpoint(app=None) -> dict:
     return {"algorithms": list(app.algorithms)}
 
 
-def render_status_page(app) -> str:
-    """The dashboard HTML (algorithms, tasks, system)."""
-    rows = []
-    for task_id, task in list(app.task_runner.tasks.items()):
-        rows.append(
-            f"<tr><td>{html.escape(task_id)}</td>"
-            f"<td>{html.escape(str(task.get('algorithm', '')))}</td>"
-            f"<td>{html.escape(str(task.get('state', '')))}</td>"
-            f"<td>{html.escape(str(task.get('error', '')))}</td></tr>"
+TEMPLATES_DIR = Path(__file__).parent / "templates"
+STATIC_DIR = Path(__file__).parent / "static"
+
+_JINJA_ENV = None
+
+
+def _jinja_env():
+    """Lazy jinja2 Environment over backend/templates (parity with the
+    reference's Flask template rendering, backend/views.py:26-112)."""
+    global _JINJA_ENV
+    if _JINJA_ENV is None:
+        import jinja2
+
+        _JINJA_ENV = jinja2.Environment(
+            loader=jinja2.FileSystemLoader(str(TEMPLATES_DIR)),
+            autoescape=True,
         )
-    algos = "".join(
-        f"<li>{html.escape(a.name)}</li>" for a in app.algorithms.values()
+    return _JINJA_ENV
+
+
+def _base_context(app) -> dict:
+    return {
+        "app_name": app.name,
+        "worker": app.task_runner is not None,
+        "algorithms": [
+            {"name": a.name} for a in app.algorithms.values()
+        ],
+    }
+
+
+def render_template(name: str, app, **context) -> str:
+    ctx = _base_context(app)
+    ctx.update(context)
+    return _jinja_env().get_template(name).render(**ctx)
+
+
+def task_rows(app):
+    return [
+        {
+            "id": task_id,
+            "algorithm": str(task.get("algorithm", "")),
+            "state": str(task.get("state", "")),
+            "error": str(task.get("error", "") or ""),
+        }
+        for task_id, task in list(app.task_runner.tasks.items())
+    ]
+
+
+def render_status_page(app) -> str:
+    """The dashboard status page (reference templates/status.html)."""
+    context = fetch_status(app)
+    return render_template(
+        "status.html", app,
+        active="status",
+        system=system_status(),
+        dicom_listener=context["dicom_listener"],
+        applications=context["applications"],
+        tasks=task_rows(app),
     )
-    status = "".join(
-        f"<li>{html.escape(k)}: {v}</li>" for k, v in system_status().items()
+
+
+def render_log_page(app, log_file="service.log") -> str:
+    """The live log view (reference templates/dashboard.html log panel)."""
+    return render_template(
+        "dashboard.html", app, active="logs", log=log_tail(log_file)
     )
-    return f"""<!DOCTYPE html>
-<html><head><title>{html.escape(app.name)} service</title>
-<style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
-td,th{{border:1px solid #ccc;padding:4px 8px}}</style></head>
-<body>
-<h1>{html.escape(app.name)} segmentation service</h1>
-<h2>Algorithms</h2><ul>{algos}</ul>
-<h2>System</h2><ul>{status}</ul>
-<h2>Tasks</h2>
-<table><tr><th>Task</th><th>Algorithm</th><th>State</th><th>Error</th></tr>
-{''.join(rows)}</table>
-</body></html>"""
+
+
+def render_endpoint_page(app, endpoint_id) -> str:
+    import json as _json
+
+    info = view_endpoint(app, endpoint_id)
+    if "error" in info:
+        return render_template(
+            "endpoint_add.html", app, active="add",
+            algorithms=list(app.algorithms),
+        )
+    info = dict(info)
+    info["default_settings_json"] = _json.dumps(
+        info.get("default_settings"), indent=2, default=str
+    )
+    return render_template("endpoint_view.html", app, endpoint=info)
+
+
+def render_endpoint_add_page(app) -> str:
+    return render_template(
+        "endpoint_add.html", app, active="add", algorithms=list(app.algorithms)
+    )
+
+
+def static_file(path: str):
+    """Resolve a /static/<path> request to (bytes, content_type) or None.
+
+    Path-traversal safe: the resolved path must stay inside STATIC_DIR.
+    """
+    import mimetypes
+
+    target = (STATIC_DIR / path.lstrip("/")).resolve()
+    try:
+        target.relative_to(STATIC_DIR.resolve())
+    except ValueError:
+        return None
+    if not target.is_file():
+        return None
+    ctype = mimetypes.guess_type(str(target))[0] or "application/octet-stream"
+    return target.read_bytes(), ctype

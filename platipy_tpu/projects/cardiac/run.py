@@ -962,6 +962,10 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     if timer:
         timer.lap("geometric_and_postprocessing")
         timer.report()
+        # expose per-stage seconds for bench.py-style reporting
+        import sys
+
+        sys.modules[__name__].LAST_STAGE_TIMES = dict(timer.times)
 
     logger.info("Done!")
     return results, results_prob

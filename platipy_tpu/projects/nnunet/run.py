@@ -45,7 +45,13 @@ MODELS_PATH = os.environ.get(
     str(Path.home().joinpath(".platipy_tpu", "models")),
 )
 
-# provenance registry (reference nnunet/run.py:13-38)
+# provenance registry (reference nnunet/run.py:13-38).  "features"/"strides"
+# pin the nnU-Net v1 Generic_UNet architecture the checkpoint was trained
+# with (ExperimentPlanner defaults: base 32 features doubling to the 320 cap,
+# conv_per_stage=2, five pool steps with the final pool anisotropic [1,2,2]
+# for the short z axis) — ``convert_nnunet_statedict`` itself is
+# plan-agnostic, these let ``build_registry_unet`` construct the matching
+# Flax model without the plan pickle.
 NNUNET_MODEL_REGISTRY = {
     "Task400_OPEN_HEART_1FOLD": {
         "url": "https://zenodo.org/record/6585664/files/Task400_OPEN_HEART_1FOLD.zip?download=1",
@@ -53,8 +59,28 @@ NNUNET_MODEL_REGISTRY = {
         "num_classes": 2,
         "target_spacing": (1.5, 1.5, 2.0),
         "tile_shape": (32, 128, 128),
+        "features": (32, 64, 128, 256, 320, 320),
+        "strides": (
+            (1, 1, 1), (2, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2), (1, 2, 2),
+        ),
     },
 }
+
+
+def build_registry_unet(task: str, deep_supervision: bool = False,
+                        compute_dtype=jnp.bfloat16):
+    """UNet3D matching a registry entry's pinned Generic_UNet architecture
+    (use with ``convert_nnunet_statedict(sd, n_stages=len(features))``)."""
+    from platipy_tpu.projects.nnunet.model import UNet3D
+
+    entry = NNUNET_MODEL_REGISTRY[task]
+    return UNet3D(
+        num_classes=entry["num_classes"],
+        features=tuple(entry["features"]),
+        strides=tuple(entry["strides"]),
+        deep_supervision=deep_supervision,
+        compute_dtype=compute_dtype,
+    )
 
 NNUNET_SETTINGS_DEFAULTS = {
     "task": "Task400_OPEN_HEART_1FOLD",

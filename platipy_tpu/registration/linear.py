@@ -755,18 +755,11 @@ def apply_transforms_batched(
     moving_dtype = mov0.array.dtype
     # moving images may live on different grids (per-atlas crops): pad to a
     # common shape with the resample's default value (out-of-domain points
-    # would return it anyway) and stack per-image physical->index matrices
-    shapes = np.array([m.array.shape for m in moving_images])
-    pad_shape = shapes.max(axis=0)
-
-    def _pad_to(a):
-        pads = [(0, int(t - s)) for t, s in zip(pad_shape, a.shape)]
-        if not any(p[1] for p in pads):
-            return a
-        return jnp.pad(a, pads, constant_values=jnp.float32(default_value))
-
-    stack = jnp.stack([_pad_to(m.array.astype(jnp.float32)) for m in moving_images])
-    tfm_stack = jax.tree_util.tree_map(lambda *l: jnp.stack(l), *transforms)
+    # would return it anyway) and stack per-image physical->index matrices.
+    # Padding + stacking (of images AND transform pytrees) happens INSIDE the
+    # cached program: the eager per-image pad/stack chain paid ~40 dispatches
+    # (~0.6 s over a tunnelled device link) per pipeline call.
+    shapes = tuple(tuple(int(v) for v in m.array.shape) for m in moving_images)
     ref = reference_image
     ref_i2p = jnp.asarray(
         index_to_physical_matrix(ref.origin, ref.spacing, ref.direction), jnp.float32
@@ -782,10 +775,10 @@ def apply_transforms_batched(
 
     interp_code = interpolator if isinstance(interpolator, int) else interp_name(interpolator)
 
-    out = _apply_batched_jit(
-        tfm_stack, stack, ref_i2p, mov_p2i,
-        shape_zyx=ref.spatial_shape, interp_code=interp_code,
-        default_value=float(default_value),
+    out = _apply_batched_full(shapes, ref.spatial_shape, int(interp_code),
+                              float(default_value))(
+        tuple(m.array for m in moving_images), tuple(transforms),
+        ref_i2p, mov_p2i,
     )
     if as_stack:
         return out
@@ -815,6 +808,31 @@ def _apply_batched_jit(tfm_stack, stack, ref_i2p, mov_p2i, *, shape_zyx,
         )
 
     return jax.vmap(warp_one, in_axes=(0, 0, 0))(tfm_stack, stack, mov_p2i)
+
+
+@functools.lru_cache(maxsize=None)
+def _apply_batched_full(moving_shapes, ref_shape, interp_code, default_value):
+    """ONE program: pad each image to the common shape, stack images and
+    transform pytrees, and run the batched warp (see apply_transforms_batched)."""
+    pad_shape = tuple(int(v) for v in np.max(np.array(moving_shapes), axis=0))
+
+    def fn(moving_arrs, transforms, ref_i2p, mov_p2i):
+        padded = []
+        for m in moving_arrs:
+            m = m.astype(jnp.float32)
+            pads = [(0, t - s) for t, s in zip(pad_shape, m.shape)]
+            if any(p[1] for p in pads):
+                m = jnp.pad(m, pads, constant_values=jnp.float32(default_value))
+            padded.append(m)
+        stack = jnp.stack(padded)
+        tfm_stack = jax.tree_util.tree_map(lambda *l: jnp.stack(l), *transforms)
+        return _apply_batched_jit(
+            tfm_stack, stack, ref_i2p, mov_p2i,
+            shape_zyx=ref_shape, interp_code=interp_code,
+            default_value=default_value,
+        )
+
+    return jax.jit(fn)
 
 
 def _sample_points_np(size_xyz, origin, spacing, direction, n_per_axis: int = 4):

@@ -396,3 +396,51 @@ def test_all_service_shims_register(tmp_path):
         objs, str(tmp_path), {"exportModalities": ["CT"], "exportSeriesUIDs": []}
     )
     assert out == []
+
+
+def test_dashboard_pages_and_static(service):
+    """Dashboard parity (reference backend/templates + backend/static,
+    views.py:26-112): styled template pages, JSON polling endpoints, and
+    static assets served with correct content types."""
+    import json
+    import urllib.request
+
+    app, api_key, port = service
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path) as r:
+            return r.status, r.headers.get("Content-Type", ""), r.read()
+
+    status, ctype, body = get("/")
+    assert status == 200 and "text/html" in ctype
+    page = body.decode()
+    assert "Test Threshold" in page            # registered algorithm listed
+    assert "/static/css/dashboard.css" in page  # styled via the template
+
+    status, ctype, body = get("/logs")
+    assert status == 200 and "text/html" in ctype
+
+    status, ctype, body = get("/endpoint/Test Threshold".replace(" ", "%20"))
+    assert status == 200 and b"threshold" in body
+
+    status, ctype, body = get("/static/css/dashboard.css")
+    assert status == 200 and "text/css" in ctype and b"--accent" in body
+    status, ctype, body = get("/static/js/dashboard.js")
+    assert status == 200 and b"pollTaskTable" in body
+
+    # path traversal must not escape the static root
+    import urllib.error
+
+    try:
+        status, _, _ = get("/static/../api.py")
+        assert status == 404
+    except urllib.error.HTTPError as err:
+        assert err.code == 404
+
+    status, _, body = get("/dashboard/status")
+    assert status == 200
+    assert "tasks" in json.loads(body)
+    status, _, body = get("/dashboard/log")
+    assert status == 200
+    assert "log" in json.loads(body)
