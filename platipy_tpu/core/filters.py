@@ -132,7 +132,11 @@ def _conv1d_mm_jit(arr: jnp.ndarray, *, kernel_key, axis: int, n: int,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
     }[precision]
-    out = jnp.tensordot(c, arr.astype(dtype), axes=((1,), (axis,)), precision=prec)
+    # band matrix in the INPUT dtype: a bf16 field must stay bf16 through
+    # every separable pass (f32 c would promote and double the loop's HBM
+    # traffic); the MXU still accumulates partial products in f32
+    out = jnp.tensordot(c.astype(dtype), arr.astype(dtype),
+                        axes=((1,), (axis,)), precision=prec)
     return jnp.moveaxis(out, 0, axis)
 
 

@@ -28,6 +28,11 @@ from platipy_tpu.core import filters as _filters
 from platipy_tpu.core.interp import INTERP_LINEAR, INTERP_NEAREST
 from platipy_tpu.registration.deformable import _demons_level_impl
 
+# storage dtype of the demons field/update chain in the BATCHED atlas path
+# (the public/serial demons stays f32 for exact reproducibility); flipped by
+# the bench A/B — see registration/deformable._demons_level_impl
+DEMONS_FIELD_DTYPE = "float32"
+
 __all__ = [
     "atlas_mesh",
     "shard_over_atlases",
@@ -254,6 +259,7 @@ def batched_multiscale_demons(
     max_step_vox: float = 0.5,
     within_level_disp_vox: int = 4,
     maximum_rms_error=None,
+    field_dtype: str = None,
 ) -> jnp.ndarray:
     """Multiscale demons of every atlas against the fixed image(s), batched.
 
@@ -301,6 +307,10 @@ def batched_multiscale_demons(
             within_level_disp_vox=int(within_level_disp_vox),
             max_rms_error=(None if maximum_rms_error is None
                            else float(maximum_rms_error)),
+            # must be a static jit arg (not a trace-time global read): the
+            # jit cache would otherwise key only on the other statics and
+            # silently reuse the first-compiled dtype's program
+            field_dtype_key=(field_dtype or DEMONS_FIELD_DTYPE),
         )
         prev_shape, prev_spacing = lvl_shape, lvl_spacing
 
@@ -317,7 +327,7 @@ def batched_multiscale_demons(
         "full_shape", "full_spacing", "prev_shape", "prev_spacing",
         "lvl_shape", "lvl_spacing", "sigma_key", "iterations",
         "reg_kernel_vox", "max_step_vox", "within_level_disp_vox",
-        "max_rms_error",
+        "max_rms_error", "field_dtype_key",
     ),
 )
 def _demons_level_batched(
@@ -325,7 +335,7 @@ def _demons_level_batched(
     full_shape, full_spacing, prev_shape, prev_spacing,
     lvl_shape, lvl_spacing, sigma_key, iterations,
     reg_kernel_vox, max_step_vox, within_level_disp_vox=4,
-    max_rms_error=None,
+    max_rms_error=None, field_dtype_key="float32",
 ):
     # pyramid smoothing kernels (reference DiscreteGaussian semantics)
     pyr_kernels = _smooth_kernels(sigma_key, full_spacing, "discrete")
@@ -382,6 +392,9 @@ def _demons_level_batched(
         # bf16 in-loop image warp: DSC-neutral on the atlas pipelines and
         # ~7% off the finest demons level (see _demons_level_impl)
         warp_dtype_key="bfloat16",
+        # bf16 field/update STORAGE in the HBM-bound loop (see the
+        # _demons_level_impl docstring; A/B'd on the bench: DSC unchanged)
+        field_dtype_key=field_dtype_key,
         max_rms_error=max_rms_error,
     )
     zero_field = jnp.zeros(lvl_shape + (3,), jnp.float32)

@@ -104,6 +104,7 @@ def _vector_smooth(field: jnp.ndarray, kernels_zyx) -> jnp.ndarray:
         "max_step_vox",
         "max_disp_vox",
         "warp_dtype_key",
+        "field_dtype_key",
         "max_rms_error",
     ),
 )
@@ -119,6 +120,7 @@ def _demons_level_impl(
     max_step_vox: float,
     max_disp_vox: Tuple[int, int, int] = (16, 16, 16),
     warp_dtype_key: str = "float32",
+    field_dtype_key: str = "float32",
     max_rms_error=None,
 ):
     spacing_arr = np.asarray(spacing, dtype=np.float64)
@@ -130,7 +132,18 @@ def _demons_level_impl(
     std_kernels = [np.asarray(k) for k in std_kernels_key]
     update_kernels = [np.asarray(k) for k in update_kernels_key]
 
-    grad_f = _filters.gradient(fixed, spacing)
+    # optional low-precision STORAGE for the iterated field/update chain
+    # (field_dtype_key="bfloat16"): the loop is HBM-bound at the measured
+    # stream rate (docs/ROOFLINE.md), so halving the bytes of the field, the
+    # update and every smoothing intermediate is the remaining lever —
+    # modelled ~28.5 volume-traffics/iteration vs 54.5 all-f32.  The field is
+    # re-smoothed every iteration, so bf16 quantisation (~0.4% of a <=10 mm
+    # field = ~0.02 mm/iteration) acts as sub-regularisation-scale noise;
+    # gated by the bench DSC A/B like the bf16 warp.  f32 keeps exact
+    # public-path reproducibility.
+    field_dtype = jnp.dtype(field_dtype_key)
+
+    grad_f = _filters.gradient(fixed, spacing).astype(field_dtype)
 
     nz, ny, nx = fixed.shape
     # warp is index-space here (field in mm, converted with spacing — identity
@@ -159,7 +172,7 @@ def _demons_level_impl(
         m_w = warp_by_field(moving_lp, field).astype(jnp.float32)
         grad_m = _filters.gradient(m_w, spacing)
         diff = fixed - m_w
-        j = 0.5 * (grad_f + grad_m)
+        j = 0.5 * (grad_f.astype(jnp.float32) + grad_m)
         j_sq = jnp.sum(j * j, axis=-1)
         denom = j_sq + (diff * diff) / k_norm
         # ITK ESM thresholds: zero the update where the intensity difference
@@ -167,17 +180,19 @@ def _demons_level_impl(
         # regions) or the denominator is degenerate
         valid = (jnp.abs(diff) > 1e-3) & (denom > 1e-9)
         scale = jnp.where(valid, diff / jnp.maximum(denom, 1e-9), 0.0)
-        update = j * scale[..., None]
+        update = (j * scale[..., None]).astype(field_dtype)
         return _vector_smooth(update, update_kernels)
 
     def body(_, field):
         update = smoothed_update(field)
-        field = field + update
+        field = (field + update).astype(field_dtype)
         field = _vector_smooth(field, std_kernels)
         return field
 
+    init_field = init_field.astype(field_dtype)
     if max_rms_error is None:
-        return jax.lax.fori_loop(0, iterations, body, init_field)
+        out = jax.lax.fori_loop(0, iterations, body, init_field)
+        return out.astype(jnp.float32)
 
     # ITK PDE-framework convergence (PDEDeformableRegistrationFilter, which
     # the reference's FastSymmetricForcesDemonsRegistrationFilter inherits
@@ -197,14 +212,15 @@ def _demons_level_impl(
     def wbody(state):
         i, _, field = state
         update = smoothed_update(field)
-        rms = jnp.sqrt(jnp.mean(jnp.sum(update * update, axis=-1)))
-        field = _vector_smooth(field + update, std_kernels)
+        u32 = update.astype(jnp.float32)
+        rms = jnp.sqrt(jnp.mean(jnp.sum(u32 * u32, axis=-1)))
+        field = _vector_smooth((field + update).astype(field_dtype), std_kernels)
         return i + 1, rms, field
 
     _, _, field = jax.lax.while_loop(
         cond, wbody, (jnp.int32(0), jnp.float32(jnp.inf), init_field)
     )
-    return field
+    return field.astype(jnp.float32)
 
 
 def demons_level(

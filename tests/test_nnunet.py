@@ -257,11 +257,19 @@ def _assert_conversion_matches(torch, features, strides, x_shape, tol=1e-4):
     main_diff = np.abs(
         np.transpose(np.asarray(logits), (0, 4, 1, 2, 3)) - ref_main.numpy()
     ).max()
-    aux_diff = np.abs(
-        np.transpose(np.asarray(aux[0]), (0, 4, 1, 2, 3)) - ref_aux[0].numpy()
-    ).max()
     assert main_diff < tol, main_diff
-    assert aux_diff < tol, aux_diff
+    # deep-supervision heads: torch orders coarse->fine, UNet3D fine->coarse
+    # — pair them by resolution and compare every one
+    ref_by_shape = {tuple(a.shape[2:]): a.numpy() for a in ref_aux}
+    got_by_shape = {
+        np.asarray(a).shape[1:4]: np.transpose(np.asarray(a), (0, 4, 1, 2, 3))
+        for a in aux
+    }
+    assert set(ref_by_shape) == set(got_by_shape), (
+        sorted(ref_by_shape), sorted(got_by_shape))
+    for shape, ref_arr in ref_by_shape.items():
+        aux_diff = np.abs(got_by_shape[shape] - ref_arr).max()
+        assert aux_diff < tol, (shape, aux_diff)
 
 
 def test_nnunet_weight_conversion_matches_torch():
