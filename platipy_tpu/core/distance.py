@@ -27,6 +27,7 @@ __all__ = [
     "squared_edt",
     "edt",
     "signed_maurer_distance_map",
+    "polyline_distance2",
 ]
 
 _INF = 1e10
@@ -88,6 +89,125 @@ def edt(mask, spacing_xyz=(1.0, 1.0, 1.0), max_distance_vox: Optional[int] = Non
     """Euclidean distance to the nearest True voxel (scipy ``distance_transform_edt``
     of the inverted mask, i.e. distances measured *outside* the mask)."""
     return jnp.sqrt(squared_edt(mask, spacing_xyz, max_distance_vox))
+
+
+def _next_bucket(n: int, step: int, minimum: int) -> int:
+    return max(minimum, int(np.ceil(n / step)) * step)
+
+
+@partial(jax.jit, static_argnames=("box_shape", "tile"))
+def _polyline_dist2_jit(box_origin, spacing, seg_a, seg_ab, *, box_shape, tile):
+    """Min squared distance from every voxel of a box grid to a segment set.
+
+    seg_a/seg_ab: [S,3] segment starts / direction vectors in CENTRED mm
+    coordinates (padded segments carry far-away starts so they never win the
+    min).  Two [T,3]x[3,S] matmuls per voxel tile put the inner product on
+    the MXU; HIGHEST precision because mm coordinates need f32.
+    """
+    nz, ny, nx = box_shape
+    zz, yy, xx = jnp.meshgrid(
+        jnp.arange(nz, dtype=jnp.float32),
+        jnp.arange(ny, dtype=jnp.float32),
+        jnp.arange(nx, dtype=jnp.float32),
+        indexing="ij",
+    )
+    px = box_origin[0] + xx * spacing[0]
+    py = box_origin[1] + yy * spacing[1]
+    pz = box_origin[2] + zz * spacing[2]
+    pts = jnp.stack([px.ravel(), py.ravel(), pz.ravel()], axis=-1)  # [V,3]
+    n_vox = pts.shape[0]
+    n_pad = int(np.ceil(n_vox / tile)) * tile
+    pts = jnp.pad(pts, ((0, n_pad - n_vox), (0, 0)))
+
+    ab2 = jnp.maximum(jnp.sum(seg_ab * seg_ab, axis=-1), 1e-12)       # [S]
+    a_ab = jnp.sum(seg_a * seg_ab, axis=-1)                           # [S]
+    a2 = jnp.sum(seg_a * seg_a, axis=-1)                              # [S]
+    prec = jax.lax.Precision.HIGHEST
+
+    def tile_min(p):  # p: [T,3]
+        pa = jnp.dot(p, seg_a.T, precision=prec)                      # [T,S]
+        pab = jnp.dot(p, seg_ab.T, precision=prec)                    # [T,S]
+        p2 = jnp.sum(p * p, axis=-1, keepdims=True)                   # [T,1]
+        num = pab - a_ab[None, :]
+        t = jnp.clip(num / ab2[None, :], 0.0, 1.0)
+        d2 = p2 - 2.0 * pa + a2[None, :] - 2.0 * t * num + t * t * ab2[None, :]
+        return jnp.min(d2, axis=-1)                                   # [T]
+
+    d2 = jax.lax.map(tile_min, pts.reshape(-1, tile, 3)).ravel()[:n_vox]
+    return jnp.maximum(d2, 0.0).reshape(box_shape)
+
+
+def polyline_distance2(
+    points_mm,
+    shape_zyx,
+    origin_xyz,
+    spacing_xyz,
+    max_distance_mm: float,
+):
+    """EXACT squared distance to a polyline, on a bounded box of the volume.
+
+    Replaces seed-voxel-EDT tube stencilling (which quantises the centreline
+    to voxel centres — up to half a voxel of systematic radius error) with
+    true point-to-segment distances.  Returns a full [z,y,x] f32 volume:
+    exact d^2 inside the polyline's bounding box (+``max_distance_mm``
+    margin), ~_INF outside it.  Identity-direction geometry (origin +
+    spacing * index), like the reference's VTK tube path
+    (reference utils/vessel.py:393-434).
+
+    Box dims snap up to multiples of 8 and the segment count pads to a
+    power-of-two bucket, so repeated calls on similar vessels reuse one or
+    two compiled programs.
+    """
+    pts = np.asarray(points_mm, dtype=np.float64).reshape(-1, 3)
+    origin = np.asarray(origin_xyz, dtype=np.float64)
+    spacing = np.asarray(spacing_xyz, dtype=np.float64)
+    nz, ny, nx = (int(v) for v in shape_zyx)
+    out_far = jnp.full((nz, ny, nx), _INF, jnp.float32)
+    if pts.shape[0] == 0:
+        return out_far
+    if pts.shape[0] == 1:
+        pts = np.concatenate([pts, pts], axis=0)
+
+    # bounding box in index space (points are x,y,z; volume is [z,y,x])
+    margin = float(max_distance_mm) + spacing.max()
+    idx_lo = (pts.min(axis=0) - margin - origin) / spacing
+    idx_hi = (pts.max(axis=0) + margin - origin) / spacing
+    lo = np.maximum(np.floor(idx_lo).astype(int), 0)          # (x,y,z)
+    hi = np.minimum(np.ceil(idx_hi).astype(int) + 1, [nx, ny, nz])
+    if np.any(hi <= lo):
+        return out_far
+    ext = hi - lo
+    # snap sizes UP to multiples of 8 (shift lo down at the far boundary)
+    for k, dim in enumerate((nx, ny, nz)):
+        want = min(_next_bucket(int(ext[k]), 8, 8), dim)
+        lo[k] = min(lo[k], dim - want)
+        hi[k] = lo[k] + want
+    box_shape = (int(hi[2] - lo[2]), int(hi[1] - lo[1]), int(hi[0] - lo[0]))
+
+    centre = origin + spacing * (lo + hi) / 2.0
+    box_origin = origin + spacing * lo - centre
+    a = (pts[:-1] - centre).astype(np.float32)
+    ab = (pts[1:] - pts[:-1]).astype(np.float32)
+    n_seg = a.shape[0]
+    s_pad = 64
+    while s_pad < n_seg:
+        s_pad *= 2
+    if s_pad > n_seg:
+        far = np.full((s_pad - n_seg, 3), 1e6, np.float32)
+        a = np.concatenate([a, far], axis=0)
+        ab = np.concatenate([ab, np.zeros((s_pad - n_seg, 3), np.float32)], axis=0)
+
+    d2_box = _polyline_dist2_jit(
+        jnp.asarray(box_origin, jnp.float32),
+        jnp.asarray(spacing, jnp.float32),
+        jnp.asarray(a),
+        jnp.asarray(ab),
+        box_shape=box_shape,
+        tile=8192,
+    )
+    return jax.lax.dynamic_update_slice(
+        out_far, d2_box, (int(lo[2]), int(lo[1]), int(lo[0]))
+    )
 
 
 def signed_maurer_distance_map(

@@ -23,7 +23,7 @@ from typing import Dict, List
 import jax.numpy as jnp
 import numpy as np
 
-from platipy_tpu.core.distance import squared_edt
+from platipy_tpu.core.distance import polyline_distance2
 from platipy_tpu.core.image import Image
 
 logger = logging.getLogger(__name__)
@@ -45,11 +45,18 @@ def com_from_image_list(
     condition_type: str = "count",
     condition_value: float = 0,
     scan_direction: str = "z",
+    subvoxel: bool = True,
 ):
     """Mean slice-wise COM positions across masks (reference vessel.py:33-167).
 
     Physical points are computed with IDENTITY direction (origin + spacing*idx),
     matching the reference's VTK workaround.
+
+    ``subvoxel=True`` (default) keeps the slice COMs at full float precision.
+    DOCUMENTED DIVERGENCE: the reference truncates each COM to int before
+    ``TransformIndexToPhysicalPoint`` (reference vessel.py:98-101,160-163),
+    quantising the centreline by up to one voxel; pass ``subvoxel=False`` for
+    bit-identical reference behaviour.
     """
     reference_image = image_list[0]
     origin = np.asarray(reference_image.origin)
@@ -57,6 +64,9 @@ def com_from_image_list(
 
     def phys(idx_xyz):
         return origin + spacing * np.asarray(idx_xyz, dtype=np.float64)
+
+    def quant(v):
+        return float(v) if subvoxel else int(v)
 
     if scan_direction.lower() == "x":
         ref_arr = np.asarray(reference_image.array)
@@ -90,7 +100,7 @@ def com_from_image_list(
         point_array = []
         for index, com in enumerate(mean_com):
             if np.all(np.isfinite(com)) and np.all(com > 0):
-                point_array.append(phys((index, int(com[1]), int(com[0]))))
+                point_array.append(phys((index, quant(com[1]), quant(com[0]))))
         return point_array
 
     if scan_direction.lower() == "z":
@@ -125,7 +135,7 @@ def com_from_image_list(
         point_array = []
         for index, com in enumerate(mean_com):
             if np.all(np.isfinite(com)) and np.all(com > 0):
-                point_array.append(phys((int(com[1]), int(com[0]), index)))
+                point_array.append(phys((quant(com[1]), quant(com[0]), index)))
         return point_array
 
     raise ValueError("scan_direction must be 'x' or 'z'")
@@ -156,38 +166,20 @@ def spline_centreline(points, samples_per_segment: int = 10) -> np.ndarray:
 def tube_mask_from_points(centreline_points, radius_mm: float, reference_image: Image) -> Image:
     """Voxelise a tube around a polyline: distance-to-centreline <= radius.
 
-    Identity-direction geometry (matching the reference's VTK workaround);
-    runs as a bounded EDT on device.
+    Identity-direction geometry (matching the reference's VTK workaround).
+    EXACT point-to-segment distances on device (no centreline voxel
+    snapping — seed-voxel EDT stencilling costs up to half a voxel of
+    systematic radius error, which on a 2 mm-radius coronary is 25%).
     """
-    origin = np.asarray(reference_image.origin)
-    spacing = np.asarray(reference_image.spacing)
     shape = reference_image.spatial_shape
-
     pts = np.asarray(centreline_points, dtype=np.float64)
     if pts.size == 0:
         return reference_image.with_array(jnp.zeros(shape, jnp.uint8))
 
-    # densify the polyline to sub-voxel spacing so EDT(points) ~= EDT(polyline)
-    min_spacing = float(spacing.min())
-    dense = [pts[0]]
-    for a, b in zip(pts[:-1], pts[1:]):
-        seg_len = np.linalg.norm(b - a)
-        n = max(1, int(np.ceil(seg_len / (0.5 * min_spacing))))
-        for t in np.linspace(0, 1, n + 1)[1:]:
-            dense.append(a + t * (b - a))
-    dense = np.asarray(dense)
-
-    # continuous indices (identity direction)
-    idx = (dense - origin[None, :]) / spacing[None, :]
-    iz = np.clip(np.round(idx[:, 2]).astype(int), 0, shape[0] - 1)
-    iy = np.clip(np.round(idx[:, 1]).astype(int), 0, shape[1] - 1)
-    ix = np.clip(np.round(idx[:, 0]).astype(int), 0, shape[2] - 1)
-
-    seed = np.zeros(shape, dtype=bool)
-    seed[iz, iy, ix] = True
-
-    max_off = int(np.ceil(radius_mm / min_spacing)) + 1
-    d2 = squared_edt(jnp.asarray(seed), tuple(spacing), max_distance_vox=max_off)
+    d2 = polyline_distance2(
+        pts, shape, reference_image.origin, reference_image.spacing,
+        max_distance_mm=float(radius_mm),
+    )
     mask = (d2 <= radius_mm**2).astype(jnp.uint8)
     return reference_image.with_array(mask)
 

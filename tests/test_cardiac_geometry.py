@@ -130,6 +130,57 @@ def test_geometric_atrioventricularnode():
     assert abs(zz.mean() - 47) < 8
 
 
+def test_polyline_distance2_brute_force_oracle():
+    """polyline_distance2 matches brute-force point-to-segment distances
+    exactly (within f32) on an anisotropic grid with a non-zero origin."""
+    from platipy_tpu.core.distance import polyline_distance2
+
+    rng = np.random.RandomState(3)
+    shape = (12, 20, 24)
+    spacing = (1.3, 0.9, 2.1)   # (x, y, z)
+    origin = (-4.0, 2.5, 7.0)
+    pts = np.cumsum(rng.uniform(-3, 3, size=(7, 3)), axis=0) + np.array(
+        [origin[0] + 8, origin[1] + 6, origin[2] + 9]
+    )
+    max_d = 10.0
+    d2 = np.asarray(polyline_distance2(pts, shape, origin, spacing, max_d))
+
+    zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]].astype(np.float64)
+    px = origin[0] + xx * spacing[0]
+    py = origin[1] + yy * spacing[1]
+    pz = origin[2] + zz * spacing[2]
+    p = np.stack([px, py, pz], axis=-1).reshape(-1, 3)
+    best = np.full(p.shape[0], np.inf)
+    for a, b in zip(pts[:-1], pts[1:]):
+        ab = b - a
+        t = np.clip((p - a) @ ab / max(ab @ ab, 1e-12), 0.0, 1.0)
+        proj = a + t[:, None] * ab
+        best = np.minimum(best, np.sum((p - proj) ** 2, axis=-1))
+    best = best.reshape(shape)
+
+    inside = best <= max_d**2  # beyond the margin the kernel may report _INF
+    assert inside.sum() > 200
+    np.testing.assert_allclose(d2[inside], best[inside], rtol=1e-4, atol=1e-3)
+
+
+def test_tube_mask_subvoxel_centreline():
+    """The tube rasteriser keeps sub-voxel centrelines: an off-grid straight
+    line yields the exact analytic disc on every slice (no voxel snapping)."""
+    from platipy_tpu.core.distance import polyline_distance2
+
+    shape = (8, 40, 40)
+    spacing = (1.0, 1.0, 2.0)
+    # line at x=20.37, y=19.73 (mm), spanning z
+    pts = np.array([[20.37, 19.73, -2.0], [20.37, 19.73, 18.0]])
+    d2 = np.asarray(polyline_distance2(pts, shape, (0, 0, 0), spacing, 6.0))
+    yy, xx = np.mgrid[:40, :40].astype(np.float64)
+    analytic = (xx * 1.0 - 20.37) ** 2 + (yy * 1.0 - 19.73) ** 2
+    for z in range(8):
+        got = d2[z] <= 4.5**2
+        want = analytic <= 4.5**2
+        assert np.array_equal(got, want)
+
+
 def test_vessel_spline_generation():
     """Splined vessel from 3 atlases of a bent tube overlaps every atlas
     tube and stays tubular (reference vessel.py:336-435 semantics)."""
