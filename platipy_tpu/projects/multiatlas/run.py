@@ -377,6 +377,7 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             isotropic_resample=deformable_settings["isotropic_resample"],
             regularisation_kernel_mm=deformable_settings.get("regularisation_kernel_mm", 1.5),
             maximum_rms_error=deformable_settings.get("maximum_rms_error"),
+            field_dtype=deformable_settings.get("field_dtype"),
         )
         if ckpt.enabled:
             ckpt.save("dvf", arrays={"dvf_stack": np.asarray(dvf_stack)})

@@ -207,3 +207,27 @@ def test_pipeline_edge_paths(variant):
     gt = np.asarray(mask.array)
     dsc = 2 * (out * gt).sum() / max(out.sum() + gt.sum(), 1)
     assert dsc > 0.8, (variant, dsc)
+
+
+def test_pipeline_settings_plumb_demons_field_dtype(monkeypatch):
+    """deformable_registration_settings["field_dtype"] reaches
+    batched_multiscale_demons inside run_segmentation (bf16 field storage,
+    an HBM-bandwidth lever — see registration/deformable._demons_level_impl)."""
+    from platipy_tpu.projects.multiatlas import run as ma_run
+
+    seen = {}
+    real = ma_run.batched_multiscale_demons
+
+    def spy(*args, **kwargs):
+        seen["field_dtype"] = kwargs.get("field_dtype")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ma_run, "batched_multiscale_demons", spy)
+
+    settings = _make_settings(2)
+    settings["deformable_registration_settings"]["resolution_staging"] = [8]
+    settings["deformable_registration_settings"]["iteration_staging"] = [3]
+    settings["deformable_registration_settings"]["field_dtype"] = "bfloat16"
+    target_img, _ = _pseudo_ct((12, 24, 24), 8)
+    ma_run.run_segmentation(target_img, settings)
+    assert seen.get("field_dtype") == "bfloat16"

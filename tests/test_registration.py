@@ -307,3 +307,38 @@ def test_batched_demons_rms_stop_matches_quality():
     d0 = _dsc(mask_f, np.asarray(moving.array) > -500)
     assert d1 > d0
     assert d1 > 0.95
+
+
+def test_batched_demons_bf16_field_storage_matches_f32():
+    """field_dtype="bfloat16" stores the demons field/update chain in bf16
+    (an HBM-bandwidth lever on TPU); the recovered warp must match the f32
+    run to sub-voxel tolerance and the registration quality bar."""
+    import jax.numpy as jnp
+
+    from platipy_tpu.core.resample import warp_image
+    from platipy_tpu.parallel.atlas import batched_multiscale_demons
+
+    fixed = _sphere(r=11)
+    moving = _sphere(r=9)
+    moving_stack = jnp.stack([moving.array.astype(jnp.float32)] * 2)
+    kwargs = dict(
+        spacing_xyz=fixed.spacing, resolution_staging=[4, 2],
+        iteration_staging=[10, 10], smoothing_sigmas=[4, 2],
+        isotropic_resample=True,
+    )
+    dvf_f32 = batched_multiscale_demons(
+        fixed.array.astype(jnp.float32), moving_stack, **kwargs)
+    dvf_bf16 = batched_multiscale_demons(
+        fixed.array.astype(jnp.float32), moving_stack,
+        field_dtype="bfloat16", **kwargs)
+    assert dvf_bf16.dtype == jnp.float32  # returned field is regridded f32
+    # fields agree to well under a voxel (spacing >= 1 mm here)
+    diff = np.abs(np.asarray(dvf_f32) - np.asarray(dvf_bf16))
+    assert float(np.mean(diff)) < 0.05
+    assert float(np.max(diff)) < 1.0
+    warped = warp_image(moving, fixed.with_array(dvf_bf16[0]),
+                        reference=fixed, interp="linear",
+                        default_value=-1000.0)
+    mask_f = np.asarray(fixed.array) > -500
+    assert _dsc(mask_f, np.asarray(warped.array) > -500) > 0.95
+
