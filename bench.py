@@ -220,10 +220,14 @@ def make_settings(atlas_set):
         "vessel_radius_mm_dict": {"VESSEL": 5},
         "scan_direction_dict": {"VESSEL": "z"},
         "stop_condition_type_dict": {"VESSEL": "count"},
-        # majority (of the 10 atlases): a permissive count overshoots the
-        # tube ends — every atlas's warped vessel stops at a slightly
-        # different slice, and count>2 keeps slices only 3 atlases reach
-        "stop_condition_value_dict": {"VESSEL": 5},
+        # reference-style permissive count (cardiac defaults use 2): the
+        # splining runs AFTER iterative atlas removal, which on this phantom
+        # can prune 10 atlases down to ~4-5 (all are equally good, so the
+        # leave-one-out Q statistics have thin tails and the IQR limit bites
+        # hard) — a "majority of 10" stop value then rejects EVERY slice and
+        # returns an empty vessel.  The tube spans the full z-FOV in every
+        # atlas, so a permissive count costs nothing at the ends.
+        "stop_condition_value_dict": {"VESSEL": 2},
     }
     # the phantom has no 4-chamber anatomy for valve/conduction geometry
     settings["geometric_segmentation_settings"]["run_geometric_algorithms"] = False
@@ -249,6 +253,12 @@ def surface_metrics(gt, auto):
         compute_metric_dsc,
         compute_surface_metrics,
     )
+
+    # an empty prediction (or ground truth) has no surface: report the failure
+    # as DSC 0 / infinite distances instead of crashing the whole benchmark
+    # (ITK's HausdorffDistanceImageFilter likewise errors on empty inputs)
+    if int(np.asarray(auto.array).sum()) == 0 or int(np.asarray(gt.array).sum()) == 0:
+        return {"dsc": 0.0, "hd95_mm": float("inf"), "masd_mm": float("inf")}
 
     sm = compute_surface_metrics(gt, auto)
     return {

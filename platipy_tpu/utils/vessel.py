@@ -220,6 +220,17 @@ def vessel_spline_generation(
             condition_value=stop_condition_value_dict[vessel_name],
             scan_direction=scan_direction_dict[vessel_name],
         )
+        if len(point_array) == 0:
+            # every slice failed the stop condition — typically a
+            # stop_condition_value at or above the number of contributing
+            # atlases (IAR may have pruned the set since the settings were
+            # written); the delineation below will be EMPTY
+            logger.warning(
+                "Vessel %s: no centreline points survive the %s>%s condition "
+                "over %d atlases — returning an empty delineation",
+                vessel_name, stop_condition_type_dict[vessel_name],
+                stop_condition_value_dict[vessel_name], len(image_list),
+            )
         centreline = spline_centreline(point_array)
 
         vessel_delineation = tube_mask_from_points(
