@@ -213,6 +213,26 @@ def test_vessel_spline_generation():
     assert dsc > 0.6
 
 
+def test_vessel_spline_unsatisfiable_stop_condition_returns_empty():
+    """A stop count >= the number of contributing atlases (e.g. after IAR
+    pruned the set) must yield an EMPTY delineation with a warning — not a
+    crash (regression: the bench's cardiac pipeline hit this on-device)."""
+    from platipy_tpu.utils.vessel import vessel_spline_generation
+
+    arr = np.zeros((16, 24, 24), np.uint8)
+    arr[:, 10:14, 10:14] = 1
+    img = from_array(arr, spacing=(1.0, 1.0, 1.0))
+    atlas_set = {str(i): {"DIR": {"V": img}} for i in range(2)}
+    out = vessel_spline_generation(
+        img, atlas_set, ["V"],
+        vessel_radius_mm_dict={"V": 3},
+        stop_condition_type_dict={"V": "count"},
+        stop_condition_value_dict={"V": 5},
+        scan_direction_dict={"V": "z"},
+    )
+    assert int(np.asarray(out["V"].array).sum()) == 0
+
+
 def test_write_nrrd_structure_set():
     """Slicer segmentation NRRD: header fields + gzip payload round-trip.
 
