@@ -228,6 +228,13 @@ def make_settings(atlas_set):
         # returns an empty vessel.  The tube spans the full z-FOV in every
         # atlas, so a permissive count costs nothing at the ends.
         "stop_condition_value_dict": {"VESSEL": 2},
+        # median slice-wise COM combine: robust to the one-or-two poorly
+        # registered atlases that drag a mean centreline sideways
+        "com_combine": "median",
+        # smoothing spline (1 mm²/point residual budget): the per-slice COM
+        # estimates carry registration noise an interpolating spline would
+        # reproduce wiggle-for-wiggle
+        "spline_smoothing": 1.0,
     }
     # the phantom has no 4-chamber anatomy for valve/conduction geometry
     settings["geometric_segmentation_settings"]["run_geometric_algorithms"] = False
