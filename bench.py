@@ -571,4 +571,26 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import sys
+    import traceback
+
+    try:
+        main()
+    except Exception:  # noqa: BLE001 — classify, then re-exec or re-raise
+        # Tunnelled TPU backends flap: a run that dies mid-pipeline with a
+        # transient backend error (RESOURCE_EXHAUSTED from a dropped remote
+        # session, DEADLINE_EXCEEDED, UNAVAILABLE) usually succeeds from a
+        # fresh process once the tunnel recovers.  Re-exec ONCE — a clean
+        # process re-initialises the backend and re-enters the health wait.
+        msg = traceback.format_exc()
+        transient = any(k in msg for k in
+                        ("RESOURCE_EXHAUSTED", "DEADLINE_EXCEEDED",
+                         "UNAVAILABLE", "ABORTED", "INTERNAL"))
+        if transient and not os.environ.get("PLATIPY_TPU_BENCH_RETRY"):
+            print(msg, file=sys.stderr)
+            print("transient backend error; re-executing bench once",
+                  file=sys.stderr)
+            os.environ["PLATIPY_TPU_BENCH_RETRY"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
