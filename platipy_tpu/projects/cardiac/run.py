@@ -742,6 +742,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     else:
         logger.info("IAR: No reference structure, skipping iterative atlas removal.")
 
+    if timer:
+        timer.lap("iar")
+
     # --- step 5: vessel splining -------------------------------------------------
     vessel_spline_settings = settings["vessel_spline_settings"]
     segmented_vessel_dict = {}
@@ -751,7 +754,14 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         )
 
     if timer:
-        timer.lap("iar_and_vessels")
+        timer.lap("vessel_splining")
+    if os.environ.get("PLATIPY_TPU_DEBUG_ATLAS_SET") == "1":
+        # diagnostic hook: expose the post-DIR atlas set (propagated
+        # structures, weight maps) so accuracy probes can dissect the
+        # splining inputs without re-running registration
+        import sys
+
+        sys.modules[__name__].LAST_ATLAS_SET = atlas_set
 
     # --- step 6: fusion ------------------------------------------------------------
     vote_type = settings["label_fusion_settings"]["vote_type"]
