@@ -535,6 +535,8 @@ def main():
     _ = run_case(cases[1][0], settings)
     stage_s = {k: round(v, 2) for k, v in
                getattr(card_run, "LAST_STAGE_TIMES", {}).items()}
+    stage_detail = {k: round(v, 2) for k, v in
+                    getattr(card_run, "LAST_STAGE_DETAIL", {}).items()}
     from platipy_tpu.registration import linear as _lin
 
     linear_sub = {k: round(v, 2) for k, v in
@@ -558,6 +560,7 @@ def main():
         "full_grid_s": round(full_grid_s, 2),
         "full_grid_min_dsc": full_dsc,
         "stage_s": stage_s,
+        "stage_detail_s": stage_detail,
         "linear_substage_s": linear_sub,
         "hbm_stream_gbps": round(hbm, 1),
         "hbm_stream_vs_roofline": round(hbm / V5E_HBM_GBPS, 3),

@@ -508,6 +508,15 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     logger.info("Calculated crop box: %s %s", crop_box_index, crop_box_size)
     if timer:
         timer.lap("load_and_crop", sync=img_crop)
+    # sub-stage attribution timer (profiled runs only): its laps SYNC, which
+    # serializes the async pipeline — that is exactly why stage profiling is
+    # a separate bench run, never the timed one
+    dtimer = None
+    if timer:
+        from platipy_tpu.utils.profiling import StageTimer as _ST
+
+        dtimer = _ST()
+        dtimer.lap("_align")  # align the lap origin with the stage boundary
 
     # --- step 2: linear registration (batched over atlases) ---------------------
     # The reference loops per atlas (run.py:674-745); here the registrations,
@@ -542,11 +551,16 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         _, batched_tfms = linear_registration_batched(
             img_crop, [o["CT Image"] for o in originals], **reg_kwargs
         )
+    if dtimer:
+        dtimer.lap("linear_reg",
+                   sync=jax.tree_util.tree_leaves(batched_tfms[-1])[0])
 
     ct_warps = apply_transforms_batched(
         batched_tfms, [o["CT Image"] for o in originals], img_crop,
         interpolator=INTERP_LINEAR, default_value=-1000,
     )
+    if dtimer:
+        dtimer.lap("linear_warp_ct", sync=ct_warps[-1])
     struct_warps = {
         struct: apply_transforms_batched(
             batched_tfms, [o[struct] for o in originals], img_crop,
@@ -554,6 +568,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         )
         for struct in atlas_structure_list
     }
+    if dtimer:
+        dtimer.lap("linear_warp_structs",
+                   sync=struct_warps[atlas_structure_list[-1]][-1])
     if guide_structure:
         reg_mask_warps = apply_transforms_batched(
             batched_tfms, atlas_reg_images, img_crop,
@@ -619,6 +636,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     if timer:
         # sync on a step-2 product so async registration/warp work is
         # attributed here, not to the next synced lap
+        if dtimer:
+            dtimer.lap("linear_store",
+                       sync=atlas_set[atlas_id_list[-1]]["RIR"]["CT Image"])
         timer.lap("linear_registration",
                   sync=atlas_set[atlas_id_list[-1]]["RIR"]["CT Image"])
 
@@ -670,6 +690,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     else:
         ct_stack = _stack("RIR", "CT Image")
         struct_stacks = {s: _stack("RIR", s) for s in atlas_structure_list}
+    if dtimer:
+        dtimer.lap("demons_restack",
+                   sync=struct_stacks[atlas_structure_list[-1]])
 
     # --- step 3b: intensity demons (batched) ------------------------------------
     deformable_registration_settings = settings["deformable_registration_settings"]
@@ -712,6 +735,8 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         # ~1.9x modelled; sub-0.01 mm field deltas measured) — f32 default
         field_dtype=deformable_registration_settings.get("field_dtype"),
     )
+    if dtimer:
+        dtimer.lap("demons_core", sync=dvf_stack)
 
     dir_images = batched_warp_by_dvf(ct_stack, dvf_stack, spacing,
                                      interp=INTERP_LINEAR, default_value=-1000.0)
@@ -728,6 +753,8 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         atlas_set[atlas_id][label] = None
 
     if timer:
+        if dtimer:
+            dtimer.lap("demons_warp_structs", sync=dir_images)
         timer.lap("demons_stages", sync=dir_images)
 
     # --- step 4: iterative atlas removal ----------------------------------------
@@ -980,6 +1007,10 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         import sys
 
         sys.modules[__name__].LAST_STAGE_TIMES = dict(timer.times)
+        if dtimer:
+            sys.modules[__name__].LAST_STAGE_DETAIL = {
+                k: v for k, v in dtimer.times.items() if not k.startswith("_")
+            }
 
     logger.info("Done!")
     return results, results_prob
