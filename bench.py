@@ -523,9 +523,9 @@ def main():
     img_full, masks_full = build_full_fov_case(ct_f, masks_f)
     _ = run_case(img_full, settings)  # its own buckets/programs compile once
     results_full, full_grid_s = run_case(img_full, settings)
-    full_dsc = min(
-        surface_metrics(masks_full[s], results_full[s])["dsc"] for s in STRUCTURES
-    )
+    full_per_structure = {s: surface_metrics(masks_full[s], results_full[s])
+                          for s in STRUCTURES}
+    full_dsc = min(v["dsc"] for v in full_per_structure.values())
 
     # stage breakdown: ONE extra profiled run (stage sync points serialize
     # the pipeline, so this is kept out of the headline timing)
@@ -559,6 +559,7 @@ def main():
         "per_structure": per_structure,
         "full_grid_s": round(full_grid_s, 2),
         "full_grid_min_dsc": full_dsc,
+        "full_grid_per_structure": full_per_structure,
         "stage_s": stage_s,
         "stage_detail_s": stage_detail,
         "linear_substage_s": linear_sub,
