@@ -262,10 +262,12 @@ def surface_metrics(gt, auto):
     )
 
     # an empty prediction (or ground truth) has no surface: report the failure
-    # as DSC 0 / infinite distances instead of crashing the whole benchmark
-    # (ITK's HausdorffDistanceImageFilter likewise errors on empty inputs)
+    # as DSC 0 / null distances instead of crashing the whole benchmark
+    # (ITK's HausdorffDistanceImageFilter likewise errors on empty inputs).
+    # null, not inf: json.dumps would emit the non-standard `Infinity` token
+    # and strict parsers (jq, JSON.parse) reject the whole bench line
     if int(np.asarray(auto.array).sum()) == 0 or int(np.asarray(gt.array).sum()) == 0:
-        return {"dsc": 0.0, "hd95_mm": float("inf"), "masd_mm": float("inf")}
+        return {"dsc": 0.0, "hd95_mm": None, "masd_mm": None}
 
     sm = compute_surface_metrics(gt, auto)
     return {
@@ -588,7 +590,13 @@ if __name__ == "__main__":
         # fresh process once the tunnel recovers.  Re-exec ONCE — a clean
         # process re-initialises the backend and re-enters the health wait.
         msg = traceback.format_exc()
-        transient = any(k in msg for k in
+        # match grpc-style status prefixes ("UNAVAILABLE: ..."), not bare
+        # tokens anywhere in the traceback — a deterministic HBM OOM whose
+        # message merely CONTAINS "RESOURCE_EXHAUSTED" mid-sentence would
+        # otherwise trigger a pointless duplicate run.  A true OOM status
+        # ("RESOURCE_EXHAUSTED:") on a tunnelled backend usually IS a dropped
+        # remote session, so it stays in the transient set.
+        transient = any(f"{k}:" in msg for k in
                         ("RESOURCE_EXHAUSTED", "DEADLINE_EXCEEDED",
                          "UNAVAILABLE", "ABORTED", "INTERNAL"))
         if transient and not os.environ.get("PLATIPY_TPU_BENCH_RETRY"):
@@ -596,5 +604,7 @@ if __name__ == "__main__":
             print("transient backend error; re-executing bench once",
                   file=sys.stderr)
             os.environ["PLATIPY_TPU_BENCH_RETRY"] = "1"
+            sys.stdout.flush()
+            sys.stderr.flush()
             os.execv(sys.executable, [sys.executable] + sys.argv)
         raise

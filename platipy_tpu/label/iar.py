@@ -19,7 +19,6 @@ from scipy.stats import norm as scipy_norm
 from platipy_tpu.label.fusion import combine_labels, process_probability_image
 from platipy_tpu.label.projection import (
     evaluate_distance_on_surface,
-    evaluate_distance_to_reference,
     regrid_spherical_data,
 )
 
@@ -104,8 +103,6 @@ def run_iar(
     g_val_list = []
     logger.info("  Calculating surface distance maps: ")
 
-    from platipy_tpu import native
-
     if project_on_sphere:
         # consensus reference (identical per test atlas — computed ONCE)
         reference_volume = process_probability_image(probability_label, threshold=0.999)
@@ -125,50 +122,57 @@ def run_iar(
             g_val_list.append(g_vals)
     else:
         reference_volume = process_probability_image(probability_label, threshold=0.95)
-        if native.available():
-            # one bulk device pull for every test atlas; contour + fill +
-            # largest-component + EDT then run natively in host memory — the
-            # per-atlas formulation paid several full-volume device round
-            # trips per atlas per IAR iteration.  The maps are cached across
-            # recursion rounds (they depend only on the atlas's own mask).
-            import jax.numpy as jnp
+        # Each atlas's distance sample is "distance from every consensus-
+        # surface voxel to the atlas's own contour" (the reference computes a
+        # full Maurer EDT volume per atlas per round and samples it,
+        # reference iar.py:131-156) — a nearest-point query, run as ONE
+        # device program over every atlas (core/distance.py).  The contour
+        # point sets depend only on each atlas's own mask, so recursion
+        # rounds reuse them (``_dm_cache``); only the consensus surface is
+        # re-extracted.
+        import jax.numpy as jnp
 
-            ref_surface = _contour_np(np.asarray(reference_volume.array) > 0)
-            spacing = reference_volume.spacing
-            if _dm_cache is None:
-                _dm_cache = {}
-            missing = [i for i in remaining_id_list if i not in _dm_cache]
-            if missing:
-                stack = jnp.stack([
-                    atlas_set[i][label][reference_structure].array.astype(jnp.float32)
-                    for i in missing
-                ])
-                maxes = jnp.max(stack, axis=(1, 2, 3))
-                thresh = jnp.where(maxes > 0, 0.1 * maxes, 0.1)
-                binary_stack = np.asarray(
-                    (stack >= thresh[:, None, None, None]).astype(jnp.uint8)
-                )  # the one volume pull
-                from platipy_tpu.label.fusion import fill_and_largest_component_np
+        from platipy_tpu.core.distance import min_distance_to_point_sets
 
-                for k, test_id in enumerate(missing):
+        spacing = np.asarray(reference_volume.spacing, np.float64)
+        ref_surface = _contour_np(np.asarray(reference_volume.array) > 0)
+        # C-order voxel coords, strided like the reference's resample_factor
+        ref_idx = np.argwhere(ref_surface)[::resample_factor]  # [M, 3] (z,y,x)
+        ref_pts = ref_idx[:, ::-1].astype(np.float32) * spacing[None, :]
+
+        if _dm_cache is None:
+            _dm_cache = {}
+        missing = [i for i in remaining_id_list if i not in _dm_cache]
+        if missing:
+            stack = jnp.stack([
+                atlas_set[i][label][reference_structure].array.astype(jnp.float32)
+                for i in missing
+            ])
+            maxes = jnp.max(stack, axis=(1, 2, 3))
+            thresh = jnp.where(maxes > 0, 0.1 * maxes, 0.1)
+            binary_stack = np.asarray(
+                (stack >= thresh[:, None, None, None]).astype(jnp.uint8)
+            )  # the one volume pull
+            from platipy_tpu import native
+            from platipy_tpu.label.fusion import fill_and_largest_component_np
+
+            for k, test_id in enumerate(missing):
+                if native.available():
                     test_np = fill_and_largest_component_np(binary_stack[k])
-                    test_contour = _contour_np(test_np > 0)
-                    _dm_cache[test_id] = np.sqrt(native.edt_sq_3d(
-                        test_contour.astype(np.uint8), spacing
-                    ))
-            for test_id in remaining_id_list:
-                g_val_list.append(
-                    _dm_cache[test_id][ref_surface][::resample_factor]
-                )
-        else:
-            for test_id in remaining_id_list:
-                test_volume = process_probability_image(
-                    atlas_set[test_id][label][reference_structure], 0.1
-                )
-                values = evaluate_distance_to_reference(
-                    reference_volume, test_volume, resample_factor=resample_factor
-                )
-                g_val_list.append(values)
+                else:
+                    test_np = np.asarray(
+                        process_probability_image(
+                            atlas_set[test_id][label][reference_structure], 0.1
+                        ).array
+                    )
+                test_contour = _contour_np(test_np > 0)
+                pts = np.argwhere(test_contour)[:, ::-1] * spacing[None, :]
+                _dm_cache[test_id] = pts.astype(np.float32)
+
+        dists = min_distance_to_point_sets(
+            ref_pts, [_dm_cache[i] for i in remaining_id_list]
+        )
+        g_val_list = [dists[k] for k in range(len(remaining_id_list))]
 
     q_results = {}
 
@@ -209,11 +213,33 @@ def run_iar(
         z_density, bin_edges = np.histogram(z_score_vals, bins=bins, density=True)
         bin_centers = (bin_edges[1:] + bin_edges[:-1]) / 2.0
 
+        # moment-based p0 + bounds: the reference's all-ones start
+        # (scipy default) diverges on thin-tailed densities, spraying
+        # overflow/OptimizeWarning (reference iar.py:215-225 only catches
+        # hard failures); the model and the sampled-stats fallback are
+        # unchanged
+        import warnings
+
+        from scipy.optimize import OptimizeWarning
+
+        mass = max(float(np.trapezoid(z_density, bin_centers)), 1e-9)
+        m0 = float(np.trapezoid(z_density * bin_centers, bin_centers) / mass)
+        s0 = float(np.sqrt(max(
+            np.trapezoid(z_density * (bin_centers - m0) ** 2, bin_centers) / mass,
+            1e-4,
+        )))
         try:
-            popt, _ = curve_fit(f=gaussian_curve, xdata=bin_centers, ydata=z_density)
+            with warnings.catch_warnings():
+                warnings.simplefilter("error", OptimizeWarning)
+                warnings.simplefilter("error", RuntimeWarning)
+                popt, _ = curve_fit(
+                    f=gaussian_curve, xdata=bin_centers, ydata=z_density,
+                    p0=(mass, m0, s0),
+                    bounds=((0.0, -15.0, 1e-3), (np.inf, 15.0, 30.0)),
+                )
             z_ideal = gaussian_curve(bin_centers, *popt)
             z_diff = np.abs(z_density - z_ideal)
-        except (RuntimeError, ValueError):
+        except (RuntimeError, ValueError, Warning):
             z_ideal = gaussian_curve(bin_centers, a=1, m=z_density.mean(), s=z_density.std())
             z_diff = np.abs(z_density - z_ideal)
 

@@ -38,6 +38,7 @@ __all__ = [
     "shard_over_atlases",
     "batched_multiscale_demons",
     "batched_warp_by_dvf",
+    "batched_warp_stacks_by_dvf",
     "batched_weight_maps",
     "level_grids",
 ]
@@ -449,6 +450,34 @@ def batched_warp_by_dvf(
     spacing = tuple(float(s) for s in spacing_xyz)
     return _cached_warp_by_dvf(spacing, int(interp), float(default_value))(
         stack, dvf_stack
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_warp_stacks_by_dvf(spacing, interp, default_value):
+    @jax.jit
+    def run(stacks, dvfs):
+        warp_one = lambda a, f: _warp_arr(  # noqa: E731
+            a, f, spacing, interp=interp, default_value=default_value
+        )
+        return jax.vmap(lambda grp: jax.vmap(warp_one)(grp, dvfs))(stacks)
+
+    return run
+
+
+def batched_warp_stacks_by_dvf(
+    stacks: jnp.ndarray,
+    dvf_stack: jnp.ndarray,
+    spacing_xyz,
+    interp=INTERP_LINEAR,
+    default_value: float = 0.0,
+) -> jnp.ndarray:
+    """Warp an [S, N, z, y, x] stack-of-stacks by per-atlas DVFs (shared
+    across the leading S axis) in ONE program — the all-structures flavour of
+    :func:`batched_warp_by_dvf` (a per-structure loop pays S dispatches)."""
+    spacing = tuple(float(s) for s in spacing_xyz)
+    return _cached_warp_stacks_by_dvf(spacing, int(interp), float(default_value))(
+        stacks, dvf_stack
     )
 
 

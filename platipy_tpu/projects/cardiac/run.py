@@ -519,11 +519,12 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         dtimer.lap("_align")  # align the lap origin with the stage boundary
 
     # --- step 2: linear registration (batched over atlases) ---------------------
-    # The reference loops per atlas (run.py:674-745); here the registrations,
-    # every structure/CT warp, and the guide-mask expansions all run as
-    # batched dispatches — the serial form paid N registrations plus several
-    # host round trips per atlas (the expansion pulled+pushed a full volume
-    # each time)
+    # The reference loops per atlas (run.py:674-745); here ONE fused program
+    # registers every atlas (and already returns the registered volumes on the
+    # target grid — the serial form re-warped them in a second dispatch), and
+    # every remaining structure/CT/guide-mask warp runs as ONE batched
+    # dispatch through the STACKED transform pytree (per-atlas pytree slicing
+    # + re-stacking paid ~40 small device programs per pipeline call)
     from platipy_tpu.generation.mask import _extend_sup_arr
     from platipy_tpu.registration.linear import apply_transforms_batched
 
@@ -532,6 +533,7 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
                 linear_registration_settings["reg_method"])
 
     originals = [atlas_set[i]["Original"] for i in atlas_id_list]
+    n_atlases = len(atlas_id_list)
     reg_kwargs = {k: v for k, v in linear_registration_settings.items()
                   if k != "verbose"}
     if guide_structure:
@@ -544,39 +546,28 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         # the PAD FILL for mixed-shape atlases and (0-(-1000))^2 pad terms
         # would dominate the metric — use background 0 for the registration
         reg_kwargs["default_value"] = 0
-        _, batched_tfms = linear_registration_batched(
-            target_reg_structure, atlas_reg_images, **reg_kwargs
+        # the fused program's final warp IS the linearly-registered reg mask
+        reg_mask_rir, batched_tfms, stacked_tfm = linear_registration_batched(
+            target_reg_structure, atlas_reg_images, as_stack=True,
+            return_stacked_transform=True, **reg_kwargs
         )
     else:
-        _, batched_tfms = linear_registration_batched(
-            img_crop, [o["CT Image"] for o in originals], **reg_kwargs
+        # ...and here it IS the linearly-registered CT stack (same interp and
+        # default value the dedicated CT warp used)
+        ct_rir, batched_tfms, stacked_tfm = linear_registration_batched(
+            img_crop, [o["CT Image"] for o in originals], as_stack=True,
+            return_stacked_transform=True, **reg_kwargs
         )
     if dtimer:
         dtimer.lap("linear_reg",
-                   sync=jax.tree_util.tree_leaves(batched_tfms[-1])[0])
+                   sync=jax.tree_util.tree_leaves(stacked_tfm)[0])
 
-    ct_warps = apply_transforms_batched(
-        batched_tfms, [o["CT Image"] for o in originals], img_crop,
-        interpolator=INTERP_LINEAR, default_value=-1000,
-    )
-    if dtimer:
-        dtimer.lap("linear_warp_ct", sync=ct_warps[-1])
-    struct_warps = {
-        struct: apply_transforms_batched(
-            batched_tfms, [o[struct] for o in originals], img_crop,
-            interpolator=INTERP_NEAREST, default_value=0,
-        )
-        for struct in atlas_structure_list
-    }
-    if dtimer:
-        dtimer.lap("linear_warp_structs",
-                   sync=struct_warps[atlas_structure_list[-1]][-1])
+    # every nearest-neighbour warp (all structures x all atlases, plus the
+    # expanded guide masks) in ONE dispatch, structure-major
+    nn_inputs = [o[struct] for struct in atlas_structure_list for o in originals]
+    n_nn_groups = len(atlas_structure_list)
     if guide_structure:
-        reg_mask_warps = apply_transforms_batched(
-            batched_tfms, atlas_reg_images, img_crop,
-            interpolator=INTERP_LINEAR, default_value=0,
-        )
-        # superior guide-mask extension entirely on device, then one batched warp
+        # superior guide-mask extension entirely on device, then the batched warp
         expanded_images = []
         for o in originals:
             g = o[guide_structure_name]
@@ -587,34 +578,48 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
                     _extend_sup_arr(g.array.astype(jnp.float32), n_ext, n_est)
                 )
             )
-        expanded_warps = apply_transforms_batched(
-            batched_tfms, expanded_images, img_crop,
+        nn_inputs = nn_inputs + expanded_images
+        n_nn_groups += 1
+    if nn_inputs:
+        nn_flat = apply_transforms_batched(
+            stacked_tfm, nn_inputs, img_crop,
             interpolator=INTERP_NEAREST, default_value=0,
+            as_stack=True, tile=n_nn_groups,
         )
+        nn_groups = nn_flat.reshape(
+            (n_nn_groups, n_atlases) + tuple(img_crop.spatial_shape)
+        )
+    else:  # no structures and no guide masks to propagate
+        nn_flat = nn_groups = jnp.zeros(
+            (0, n_atlases) + tuple(img_crop.spatial_shape), jnp.float32
+        )
+    struct_stacks_rir = {
+        s: nn_groups[i] for i, s in enumerate(atlas_structure_list)
+    }
+    if guide_structure:
+        expanded_rir = nn_groups[-1]
+        ct_rir = apply_transforms_batched(
+            stacked_tfm, [o["CT Image"] for o in originals], img_crop,
+            interpolator=INTERP_LINEAR, default_value=-1000, as_stack=True,
+        )
+    if dtimer:
+        dtimer.lap("linear_warps", sync=nn_flat)
 
     for k, atlas_id in enumerate(atlas_id_list):
-        atlas_set[atlas_id]["RIR"] = {
-            "Transform": batched_tfms[k],
-            "CT Image": ct_warps[k].astype(jnp.float32),
-        }
-        if guide_structure:
-            atlas_set[atlas_id]["RIR"]["Reg Mask"] = reg_mask_warps[k]
-            atlas_set[atlas_id]["RIR"][guide_structure_name + "EXPANDED"] = (
-                expanded_warps[k]
-            )
-        for struct in atlas_structure_list:
-            atlas_set[atlas_id]["RIR"][struct] = struct_warps[struct][k]
+        # per-atlas RIR volumes are never read individually (steps 3a/3b
+        # consume the stacks directly); keep the reference-parity Transform
+        atlas_set[atlas_id]["RIR"] = {"Transform": batched_tfms[k]}
         atlas_set[atlas_id]["Original"] = None
 
-    # release the originals and warp lists before the memory-peak demons
-    # stages — as function-scoped locals they would pin a second full copy of
-    # every atlas volume that atlas_set[...]["Original"] = None just dropped
-    del originals, ct_warps, struct_warps
+    # release the originals before the memory-peak demons stages — as
+    # function-scoped locals they would pin a second full copy of every atlas
+    # volume that atlas_set[...]["Original"] = None just dropped
+    del originals, nn_inputs, nn_flat, nn_groups
     if guide_structure:
-        del atlas_reg_images, expanded_images, reg_mask_warps, expanded_warps
+        del atlas_reg_images, expanded_images
 
     spacing = img_crop.spacing
-    from platipy_tpu.parallel.atlas import sharding_enabled
+    from platipy_tpu.parallel.atlas import batched_warp_stacks_by_dvf, sharding_enabled
 
     mesh = atlas_mesh() if (len(jax.devices()) > 1 and sharding_enabled()) else None
 
@@ -627,28 +632,22 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             return shard_over_atlases(stack, mesh)
         return stack
 
-    def _stack(label, key):
-        return _maybe_shard(
-            jnp.stack([atlas_set[i][label][key].array.astype(jnp.float32)
-                       for i in atlas_id_list])
-        )
-
     if timer:
         # sync on a step-2 product so async registration/warp work is
-        # attributed here, not to the next synced lap
+        # attributed here, not to the next synced lap (guarded: an empty
+        # structure list must not fail only under profiling)
+        sync_on = (struct_stacks_rir[atlas_structure_list[-1]]
+                   if atlas_structure_list else ct_rir)
         if dtimer:
-            dtimer.lap("linear_store",
-                       sync=atlas_set[atlas_id_list[-1]]["RIR"]["CT Image"])
-        timer.lap("linear_registration",
-                  sync=atlas_set[atlas_id_list[-1]]["RIR"]["CT Image"])
+            dtimer.lap("linear_store", sync=sync_on)
+        timer.lap("linear_registration", sync=sync_on)
 
     # --- step 3a: structure-guided demons (batched) -----------------------------
-    label = "RIR"
     if guide_structure:
         sgr = settings["structure_guided_registration_settings"]
         logger.info("Running structure-guided deformable registration (batched)")
 
-        reg_mask_stack = _stack("RIR", "Reg Mask")
+        reg_mask_stack = _maybe_shard(reg_mask_rir)
         dvf_struct = batched_multiscale_demons(
             target_reg_structure.array.astype(jnp.float32),
             reg_mask_stack,
@@ -661,38 +660,28 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             field_dtype=sgr.get("field_dtype"),
         )
 
-        ct_stack = _stack("RIR", "CT Image")
-        ct_stack = batched_warp_by_dvf(ct_stack, dvf_struct, spacing,
+        ct_stack = batched_warp_by_dvf(_maybe_shard(ct_rir), dvf_struct, spacing,
                                        interp=INTERP_LINEAR, default_value=-1000.0)
-        expanded_stack = _stack("RIR", guide_structure_name + "EXPANDED")
-        expanded_stack = batched_warp_by_dvf(expanded_stack, dvf_struct, spacing,
-                                             interp=INTERP_NEAREST, default_value=0.0)
-        reg_mask_warp = batched_warp_by_dvf(reg_mask_stack, dvf_struct, spacing,
-                                            interp=INTERP_LINEAR, default_value=0.0)
-        struct_stacks = {}
-        for s in atlas_structure_list:
-            struct_stacks[s] = batched_warp_by_dvf(
-                _stack("RIR", s), dvf_struct, spacing,
-                interp=INTERP_NEAREST, default_value=0.0,
-            )
-        for k, atlas_id in enumerate(atlas_id_list):
-            atlas_set[atlas_id]["DIR_STRUCT"] = {
-                "Reg Mask": img_crop.with_array(reg_mask_warp[k]),
-                "CT Image": img_crop.with_array(ct_stack[k]),
-                guide_structure_name + "EXPANDED": img_crop.with_array(expanded_stack[k]),
-            }
-            for s in atlas_structure_list:
-                atlas_set[atlas_id]["DIR_STRUCT"][s] = img_crop.with_array(
-                    struct_stacks[s][k]
-                )
-            atlas_set[atlas_id]["RIR"] = None
-        label = "DIR_STRUCT"
+        # all structures + the expanded guide masks through the struct DVFs in
+        # ONE dispatch ([S+1, N, z, y, x], nearest, default 0)
+        nn_stack = batched_warp_stacks_by_dvf(
+            jnp.stack([_maybe_shard(struct_stacks_rir[s])
+                       for s in atlas_structure_list]
+                      + [_maybe_shard(expanded_rir)]),
+            dvf_struct, spacing, interp=INTERP_NEAREST, default_value=0.0,
+        )
+        struct_stacks = {s: nn_stack[i] for i, s in enumerate(atlas_structure_list)}
+        expanded_stack = nn_stack[-1]
+        del reg_mask_rir, ct_rir, struct_stacks_rir, expanded_rir, nn_stack
     else:
-        ct_stack = _stack("RIR", "CT Image")
-        struct_stacks = {s: _stack("RIR", s) for s in atlas_structure_list}
+        ct_stack = _maybe_shard(ct_rir)
+        struct_stacks = {s: _maybe_shard(struct_stacks_rir[s])
+                         for s in atlas_structure_list}
+        del ct_rir, struct_stacks_rir
     if dtimer:
         dtimer.lap("demons_restack",
-                   sync=struct_stacks[atlas_structure_list[-1]])
+                   sync=(struct_stacks[atlas_structure_list[-1]]
+                         if atlas_structure_list else ct_stack))
 
     # --- step 3b: intensity demons (batched) ------------------------------------
     deformable_registration_settings = settings["deformable_registration_settings"]
@@ -740,22 +729,37 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
 
     dir_images = batched_warp_by_dvf(ct_stack, dvf_stack, spacing,
                                      interp=INTERP_LINEAR, default_value=-1000.0)
-    dir_structs = {
-        s: batched_warp_by_dvf(struct_stacks[s], dvf_stack, spacing,
-                               interp=INTERP_NEAREST, default_value=0.0)
-        for s in atlas_structure_list
-    }
+    # every structure through the refined DVFs in ONE dispatch
+    dir_structs = {}
+    if atlas_structure_list:
+        dir_struct_stack = batched_warp_stacks_by_dvf(
+            jnp.stack([struct_stacks[s] for s in atlas_structure_list]),
+            dvf_stack, spacing, interp=INTERP_NEAREST, default_value=0.0,
+        )
+        dir_structs = {s: dir_struct_stack[i]
+                       for i, s in enumerate(atlas_structure_list)}
 
     for k, atlas_id in enumerate(atlas_id_list):
         atlas_set[atlas_id]["DIR"] = {"CT Image": img_crop.with_array(dir_images[k])}
         for s in atlas_structure_list:
             atlas_set[atlas_id]["DIR"][s] = img_crop.with_array(dir_structs[s][k])
-        atlas_set[atlas_id][label] = None
 
     if timer:
         if dtimer:
             dtimer.lap("demons_warp_structs", sync=dir_images)
         timer.lap("demons_stages", sync=dir_images)
+
+    if os.environ.get("PLATIPY_TPU_DEBUG_ATLAS_SET") == "1":
+        # diagnostic hook (pre-IAR): the FULL post-DIR atlas set plus the crop
+        # grid/box, so accuracy probes can replay IAR / vessel splining /
+        # fusion offline without re-running registration
+        import sys
+
+        sys.modules[__name__].LAST_ATLAS_SET_PRE_IAR = {
+            i: dict(atlas_set[i]) for i in atlas_id_list
+        }
+        sys.modules[__name__].LAST_IMG_CROP = img_crop
+        sys.modules[__name__].LAST_CROP_BOX = (crop_box_size, crop_box_index)
 
     # --- step 4: iterative atlas removal ----------------------------------------
     iar_settings = settings["iar_settings"]

@@ -291,14 +291,15 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         )
 
         reg_movings = [atlas_set[i]["Original"]["CT Image"] for i in atlas_id_list]
-        moving_stack, batched_tfms = linear_registration_batched(
-            img_crop, reg_movings, as_stack=True,
+        moving_stack, _, stacked_tfm = linear_registration_batched(
+            img_crop, reg_movings, as_stack=True, return_stacked_transform=True,
             **{k: v for k, v in linear_registration_settings.items() if k != "verbose"},
         )
         # ALL structure warps (S structures x N atlases) in ONE batched
         # dispatch — NN, default 0, as the reference's per-atlas sitk.Resample
         # loop at run.py:291-299; per-structure eager calls paid a dispatch
-        # round trip each over a tunnelled device link
+        # round trip each over a tunnelled device link.  The STACKED transform
+        # pytree skips the per-atlas slice + re-stack churn entirely.
         n_atlases = len(atlas_id_list)
         struct_imgs = [
             atlas_set[i]["Original"][s]
@@ -306,9 +307,9 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             for i in atlas_id_list
         ]
         warped_flat = apply_transforms_batched(
-            list(batched_tfms) * len(atlas_structure_list), struct_imgs,
+            stacked_tfm, struct_imgs,
             img_crop, interpolator=INTERP_NEAREST, default_value=0,
-            as_stack=True,
+            as_stack=True, tile=len(atlas_structure_list),
         )
         warped_all = warped_flat.reshape(
             (len(atlas_structure_list), n_atlases) + img_crop.spatial_shape

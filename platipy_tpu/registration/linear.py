@@ -506,8 +506,13 @@ def linear_registration_batched(
     verbose: bool = False,
     convergence_window: int = 0,
     as_stack: bool = False,
+    return_stacked_transform: bool = False,
 ):
     """Register N moving images to one fixed image as ONE batched program.
+
+    ``return_stacked_transform=True`` appends a third return value: ONE
+    transform pytree with a leading batch axis (feed it straight to
+    ``apply_transforms_batched`` — no per-atlas slices or re-stacks).
 
     ``as_stack=True`` returns ``(registered_stack, transforms)`` with the
     registered volumes as ONE [N, z, y, x] float32 array instead of a list of
@@ -568,13 +573,19 @@ def linear_registration_batched(
             )
             for m in moving_images
         ]
+        serial_combined = [r[1] for r in results]
+        extra = ()
+        if return_stacked_transform:
+            extra = (jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *serial_combined
+            ),)
         if as_stack:
             # registered outputs all live on the fixed grid -> stackable
             return (
                 jnp.stack([r[0].array.astype(jnp.float32) for r in results]),
-                [r[1] for r in results],
-            )
-        return [r[0] for r in results], [r[1] for r in results]
+                serial_combined,
+            ) + extra
+        return ([r[0] for r in results], serial_combined) + extra
 
     fixed32 = fixed_image.astype(jnp.float32)
     moving_dtype = ref0.array.dtype
@@ -714,9 +725,12 @@ def linear_registration_batched(
         jax.tree_util.tree_map(lambda leaf: leaf[k], opt_stack) for k in range(n)
     ]
     combined = [CompositeTransform([initials[k], opt_list[k]]) for k in range(n)]
+    extra = ()
+    if return_stacked_transform:
+        extra = (CompositeTransform([initial_stack, opt_stack]),)
 
     if as_stack:
-        return registered_stack, combined
+        return (registered_stack, combined) + extra
 
     registered = []
     for k in range(n):
@@ -729,7 +743,7 @@ def linear_registration_batched(
             Image(arr, fixed32.origin, fixed32.spacing, fixed32.direction)
         )
 
-    return registered, combined
+    return (registered, combined) + extra
 
 
 def apply_transforms_batched(
@@ -739,10 +753,19 @@ def apply_transforms_batched(
     interpolator=INTERP_NEAREST,
     default_value: float = 0.0,
     as_stack: bool = False,
+    tile: int = 1,
 ):
     """Warp N same-grid images through N same-structure transforms in ONE
     batched dispatch (the serial ``apply_transform`` loop pays one remote
     dispatch per call; reference multiatlas run.py:283-299 loops sitk.Resample).
+
+    ``transforms`` is either a list of N per-image transforms, or ONE
+    transform pytree whose leaves carry a leading batch axis of size N (the
+    ``return_stacked_transform`` output of :func:`linear_registration_batched`
+    — skips the N per-atlas pytree slices AND the re-stack).  ``tile`` > 1
+    applies the same N transforms to ``tile * N`` images grouped
+    group-major (image k uses transform ``k % N``) — one dispatch for every
+    structure of every atlas.
 
     Returns a list of Images on the reference grid, cast back to the moving
     dtype (rounded for integer masks) — or, with ``as_stack=True``, the raw
@@ -775,11 +798,20 @@ def apply_transforms_batched(
 
     interp_code = interpolator if isinstance(interpolator, int) else interp_name(interpolator)
 
-    out = _apply_batched_full(shapes, ref.spatial_shape, int(interp_code),
-                              float(default_value))(
-        tuple(m.array for m in moving_images), tuple(transforms),
-        ref_i2p, mov_p2i,
-    )
+    stacked = isinstance(transforms, Transform)
+    if not stacked and tile != 1:
+        raise ValueError("tile > 1 requires a stacked transform pytree")
+    if stacked:
+        out = _apply_batched_full_stacked(
+            shapes, ref.spatial_shape, int(interp_code), float(default_value),
+            int(tile),
+        )(transforms, tuple(m.array for m in moving_images), ref_i2p, mov_p2i)
+    else:
+        out = _apply_batched_full(shapes, ref.spatial_shape, int(interp_code),
+                                  float(default_value))(
+            tuple(m.array for m in moving_images), tuple(transforms),
+            ref_i2p, mov_p2i,
+        )
     if as_stack:
         return out
     images = []
@@ -828,6 +860,38 @@ def _apply_batched_full(moving_shapes, ref_shape, interp_code, default_value):
         tfm_stack = jax.tree_util.tree_map(lambda *l: jnp.stack(l), *transforms)
         return _apply_batched_jit(
             tfm_stack, stack, ref_i2p, mov_p2i,
+            shape_zyx=ref_shape, interp_code=interp_code,
+            default_value=default_value,
+        )
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _apply_batched_full_stacked(moving_shapes, ref_shape, interp_code,
+                                default_value, tile):
+    """ONE program: pad each image to the common shape, stack, tile the
+    already-stacked transform pytree ``tile`` times along its batch axis, and
+    run the batched warp (the stacked-transform flavour of
+    ``_apply_batched_full`` — no per-atlas pytree slices or re-stacks)."""
+    pad_shape = tuple(int(v) for v in np.max(np.array(moving_shapes), axis=0))
+
+    def fn(tfm_stacked, moving_arrs, ref_i2p, mov_p2i):
+        padded = []
+        for m in moving_arrs:
+            m = m.astype(jnp.float32)
+            pads = [(0, t - s) for t, s in zip(pad_shape, m.shape)]
+            if any(p[1] for p in pads):
+                m = jnp.pad(m, pads, constant_values=jnp.float32(default_value))
+            padded.append(m)
+        stack = jnp.stack(padded)
+        tfm = tfm_stacked
+        if tile > 1:
+            tfm = jax.tree_util.tree_map(
+                lambda l: jnp.concatenate([l] * tile, axis=0), tfm
+            )
+        return _apply_batched_jit(
+            tfm, stack, ref_i2p, mov_p2i,
             shape_zyx=ref_shape, interp_code=interp_code,
             default_value=default_value,
         )

@@ -162,6 +162,9 @@ def spline_centreline(
     per-slice COM estimates carry registration noise that an interpolating
     spline reproduces wiggle-for-wiggle, while a small residual budget
     (~0.5-2 mm² per point) recovers the smooth centreline real vessels have.
+    With fewer than 4 distinct points a cubic smoothing spline is
+    underdetermined, so the smoothing budget is IGNORED and the function
+    falls back to the interpolating spline (logged at debug level).
     """
     pts = np.asarray(points, dtype=np.float64)
     if pts.shape[0] < 2:
@@ -176,11 +179,17 @@ def spline_centreline(
     if pts.shape[0] < 2:
         return pts
     n = samples_per_segment * pts.shape[0]
-    if smoothing > 0 and pts.shape[0] > 3:
-        from scipy.interpolate import splev, splprep
+    if smoothing > 0:
+        if pts.shape[0] > 3:
+            from scipy.interpolate import splev, splprep
 
-        tck, _ = splprep(pts.T, u=u, s=smoothing * pts.shape[0], k=3)
-        return np.array(splev(np.linspace(0, 1, n), tck)).T
+            tck, _ = splprep(pts.T, u=u, s=smoothing * pts.shape[0], k=3)
+            return np.array(splev(np.linspace(0, 1, n), tck)).T
+        logger.debug(
+            "spline_centreline: smoothing=%s requested but only %d distinct "
+            "points — falling back to the interpolating spline", smoothing,
+            pts.shape[0],
+        )
     from scipy.interpolate import CubicSpline
 
     cs = CubicSpline(u, pts, axis=0, bc_type="natural")

@@ -238,3 +238,30 @@ def test_jax_platforms_cpu_redirect_after_tunnel_seeded_import():
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.startswith("ok")
+
+
+def test_min_distance_to_point_sets_matches_bruteforce():
+    """Oracle: the tiled device nearest-point query (IAR's surface sampling)
+    equals an O(M*K) numpy brute force, including padding buckets, mixed set
+    sizes and the empty-set convention."""
+    import numpy as np
+
+    from platipy_tpu.core.distance import min_distance_to_point_sets
+
+    rng = np.random.RandomState(3)
+    query = rng.rand(137, 3).astype(np.float32) * 200.0
+    sets = [
+        rng.rand(11, 3).astype(np.float32) * 200.0,
+        rng.rand(503, 3).astype(np.float32) * 200.0,
+        np.zeros((0, 3), np.float32),
+    ]
+    out = min_distance_to_point_sets(query, sets, m_chunk=64, k_tile=128)
+    assert out.shape == (3, 137)
+    for i, pts in enumerate(sets):
+        if pts.shape[0] == 0:
+            assert np.all(np.isinf(out[i]))
+            continue
+        d = np.sqrt(
+            ((query[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        ).min(axis=1)
+        np.testing.assert_allclose(out[i], d, rtol=1e-4, atol=1e-3)
