@@ -121,7 +121,6 @@ def run_iar(
             _, _, g_vals = regrid_spherical_data(theta, phi, values, resolution=resolution)
             g_val_list.append(g_vals)
     else:
-        reference_volume = process_probability_image(probability_label, threshold=0.95)
         # Each atlas's distance sample is "distance from every consensus-
         # surface voxel to the atlas's own contour" (the reference computes a
         # full Maurer EDT volume per atlas per round and samples it,
@@ -129,13 +128,30 @@ def run_iar(
         # device program over every atlas (core/distance.py).  The contour
         # point sets depend only on each atlas's own mask, so recursion
         # rounds reuse them (``_dm_cache``); only the consensus surface is
-        # re-extracted.
+        # re-extracted — threshold on device, ONE bit-packed pull, host
+        # fill/largest/contour, and no device push (only the host-side
+        # surface voxels are consumed).
         import jax.numpy as jnp
 
+        from platipy_tpu import native as _native
+        from platipy_tpu.label.fusion import _threshold_pack_jit
+
+        spacing = np.asarray(probability_label.spacing, np.float64)
+        if _native.available():
+            from platipy_tpu.label.fusion import fill_and_largest_component_np
+
+            parr = probability_label.array.astype(jnp.float32)[None]
+            bits = np.asarray(_threshold_pack_jit(parr, jnp.asarray([0.95])))
+            ref_np = fill_and_largest_component_np(
+                np.unpackbits(bits, count=parr.size).reshape(parr.shape)[0]
+            )
+        else:
+            ref_np = np.asarray(
+                process_probability_image(probability_label, threshold=0.95).array
+            )
         from platipy_tpu.core.distance import min_distance_to_point_sets
 
-        spacing = np.asarray(reference_volume.spacing, np.float64)
-        ref_surface = _contour_np(np.asarray(reference_volume.array) > 0)
+        ref_surface = _contour_np(ref_np > 0)
         # C-order voxel coords, strided like the reference's resample_factor
         ref_idx = np.argwhere(ref_surface)[::resample_factor]  # [M, 3] (z,y,x)
         ref_pts = ref_idx[:, ::-1].astype(np.float32) * spacing[None, :]
@@ -156,16 +172,26 @@ def run_iar(
             from platipy_tpu import native
             from platipy_tpu.label.fusion import fill_and_largest_component_np
 
-            for k, test_id in enumerate(missing):
-                if native.available():
-                    test_np = fill_and_largest_component_np(binary_stack[k])
-                else:
-                    test_np = np.asarray(
+            if native.available():
+                # parallel host fill/largest (ctypes releases the GIL) — the
+                # serial loop costs ~0.2 s per atlas of pure host time
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(8, len(missing))) as pool:
+                    processed = list(
+                        pool.map(fill_and_largest_component_np, binary_stack)
+                    )
+            else:
+                processed = [
+                    np.asarray(
                         process_probability_image(
-                            atlas_set[test_id][label][reference_structure], 0.1
+                            atlas_set[i][label][reference_structure], 0.1
                         ).array
                     )
-                test_contour = _contour_np(test_np > 0)
+                    for i in missing
+                ]
+            for k, test_id in enumerate(missing):
+                test_contour = _contour_np(processed[k] > 0)
                 pts = np.argwhere(test_contour)[:, ::-1] * spacing[None, :]
                 _dm_cache[test_id] = pts.astype(np.float32)
 
@@ -232,10 +258,12 @@ def run_iar(
             with warnings.catch_warnings():
                 warnings.simplefilter("error", OptimizeWarning)
                 warnings.simplefilter("error", RuntimeWarning)
+                # lm, not trf-with-bounds: the moment p0 is what prevents the
+                # reference's divergence (scipy default all-ones start), and
+                # lm is ~20x faster on this tiny 3-parameter fit
                 popt, _ = curve_fit(
                     f=gaussian_curve, xdata=bin_centers, ydata=z_density,
-                    p0=(mass, m0, s0),
-                    bounds=((0.0, -15.0, 1e-3), (np.inf, 15.0, 30.0)),
+                    p0=(mass, m0, s0), method="lm",
                 )
             z_ideal = gaussian_curve(bin_centers, *popt)
             z_diff = np.abs(z_density - z_ideal)
@@ -290,4 +318,12 @@ def run_iar(
         )
 
     logger.info("  End point reached. Keeping:\n   %s", keep_id_list)
+    # diagnostics for per-case cost attribution: IAR's recursion depth is
+    # data-dependent (each round re-evaluates every surviving atlas), so the
+    # round count explains most of the pipeline's warm per-case variance
+    import sys
+
+    sys.modules[__name__].LAST_RUN_STATS = {
+        "rounds": iteration + 1, "kept": len(keep_id_list),
+    }
     return atlas_set

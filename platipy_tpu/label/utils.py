@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from typing import Dict, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -129,19 +130,42 @@ def prime_decode_image(prime_encoded_image: Image) -> List[Image]:
 
 
 def binary_encode_structure_list(structure_list: List[Image]) -> Image:
-    """Bit-field multi-label encoding, 32 structures max (reference :219-254)."""
+    """Bit-field multi-label encoding, 32 structures max (reference :219-254).
+
+    Up to 31 structures the encode is ONE device program (distinct powers of
+    two OR'd on 0/1 masks == a weighted sum) — the host formulation pulled
+    every volume over the device link, which on a full-FOV grid cost tens of
+    seconds per call.  The reference's bit layout starts at bit 1
+    (utils.py:244), so the 32nd structure lands on bit 32 — that one case
+    keeps the host uint64 path (TPU programs run with 32-bit integers).
+    """
     if len(structure_list) > 32:
         raise ValueError("You can only encode a maximum of 32 structures with this method!")
     ref = structure_list[0]
+    if len(structure_list) <= 31:
+        return ref.with_array(
+            _binary_encode_jit(
+                jnp.stack([jnp.asarray(s.array) for s in structure_list])
+            )
+        )
     encoded = np.zeros(ref.spatial_shape, dtype=np.uint64)
     for power, s_img in enumerate(structure_list):
         mask = np.asarray(s_img.array).astype(bool)
         encoded = np.bitwise_or(encoded, mask * np.uint64(2 ** (power + 1)))
-    # the reference's bit layout starts at bit 1 (utils.py:244), so the 32nd
-    # structure lands on bit 32 — casting to uint32 would silently drop it;
-    # keep the uint32 dtype for <=31 structures and widen only when needed
-    out_dtype = np.uint32 if len(structure_list) <= 31 else np.uint64
-    return ref.with_array(jnp.asarray(encoded.astype(out_dtype)))
+    return ref.with_array(jnp.asarray(encoded))
+
+
+@jax.jit
+def _binary_encode_jit(stack):
+    weights = jnp.left_shift(
+        jnp.ones((stack.shape[0],), jnp.uint32),
+        jnp.arange(1, stack.shape[0] + 1, dtype=jnp.uint32),
+    )
+    bits = (stack > 0).astype(jnp.uint32)
+    return jnp.sum(
+        bits * weights[(...,) + (None,) * (stack.ndim - 1)], axis=0,
+        dtype=jnp.uint32,
+    )
 
 
 def binary_decode_image(binary_encoded_img: Image) -> List[Image]:

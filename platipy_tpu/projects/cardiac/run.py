@@ -762,6 +762,10 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         sys.modules[__name__].LAST_CROP_BOX = (crop_box_size, crop_box_index)
 
     # --- step 4: iterative atlas removal ----------------------------------------
+    # the FULL registered set survives IAR pruning (run_iar returns a subset
+    # view; the per-atlas dicts are shared, not copied) so vessel splining
+    # can optionally use every registered atlas (see step 5)
+    atlas_set_all = dict(atlas_set)
     iar_settings = settings["iar_settings"]
     if iar_settings["reference_structure"]:
         for atlas_id in atlas_id_list:
@@ -777,11 +781,18 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         timer.lap("iar")
 
     # --- step 5: vessel splining -------------------------------------------------
-    vessel_spline_settings = settings["vessel_spline_settings"]
+    vessel_spline_settings = dict(settings["vessel_spline_settings"])
+    # EXTENSION (default False = reference parity, which splines the
+    # IAR-pruned set): estimate vessel COM statistics from EVERY registered
+    # atlas — per-slice centroid statistics benefit from the larger sample,
+    # and the intensity weighting of com_source="fused_probability" already
+    # suppresses poorly registered atlases voxel-by-voxel
+    vessel_use_all = vessel_spline_settings.pop("use_all_registered_atlases", False)
     segmented_vessel_dict = {}
     if len(vessel_spline_settings["vessel_name_list"]) > 0:
         segmented_vessel_dict = vessel_spline_generation(
-            img_crop, atlas_set, **vessel_spline_settings
+            img_crop, atlas_set_all if vessel_use_all else atlas_set,
+            **vessel_spline_settings
         )
 
     if timer:
@@ -806,9 +817,15 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
 
     combined_label_dict = combine_labels(atlas_set, atlas_structure_list)
 
-    # --- step 7: paste into original space ---------------------------------------
+    # --- step 7: binary segmentations (CROP space) -------------------------------
+    # EVERYTHING through step 9 stays on the crop grid; the paste into the
+    # original space happens ONCE at the end.  The reference pastes here and
+    # post-processes full-grid images (run.py:908-1140) — on a 512x512x192
+    # input that costs tens of seconds of full-grid traffic (measured r4:
+    # fusion_and_paste 43.8 s + postprocessing 15.9 s, dominated by per-atlas
+    # full-grid vessel pastes, host-side bit-encoding and full-grid CC pulls)
+    # for bitwise-identical results: every op below is local to the crop box.
     logger.info("Generating binary segmentations.")
-    template_img_binary = img.with_array(jnp.zeros(img.spatial_shape, jnp.uint8))
 
     vote_structures = settings["label_fusion_settings"]["optimal_threshold"].keys()
     vote_structures = [i for i in vote_structures if i in atlas_structure_list]
@@ -819,27 +836,14 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     from platipy_tpu.label.fusion import process_probability_stack
     from platipy_tpu.utils.crop import paste_stack
 
-    binary_structs = {}
-    prob_full_stack = None
     if vote_structures:
         proc_stack = process_probability_stack(
             jnp.stack([combined_label_dict[s].array for s in vote_structures]),
             [settings["label_fusion_settings"]["optimal_threshold"][s]
              for s in vote_structures],
         )
-        if not return_as_cropped:
-            bin_full_stack = paste_stack(
-                proc_stack, img.spatial_shape, crop_box_index, dtype=jnp.uint8
-            )
-        for k, s in enumerate(vote_structures):
-            binary_structs[s] = img_crop.with_array(proc_stack[k])
-
-    for k_struct, structure_name in enumerate(vote_structures):
-        probability_map = combined_label_dict[structure_name]
-        binary_struct = binary_structs[structure_name]
-
-        if return_as_cropped:
-            results[structure_name] = binary_struct
+        for k, structure_name in enumerate(vote_structures):
+            results[structure_name] = img_crop.with_array(proc_stack[k])
             if settings["return_proba_as_contours"]:
                 atlas_contours = [
                     process_probability_image(atlas_set[a]["DIR"][structure_name], 0.5)
@@ -847,73 +851,21 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
                 ]
                 results_prob[structure_name] = binary_encode_structure_list(atlas_contours)
             else:
-                results_prob[structure_name] = probability_map
-            if (not settings["return_atlas_guide_structure"]) and (
-                guide_structure is not None
-            ):
-                results[guide_structure_name] = guide_structure
-                results_prob[guide_structure_name] = guide_structure
-        else:
-            results[structure_name] = img.with_array(bin_full_stack[k_struct])
-            if settings["return_proba_as_contours"]:
-                atlas_contours = [
-                    process_probability_image(atlas_set[a]["DIR"][structure_name], 0.5)
-                    for a in atlas_id_list
-                ]
-                probability_img = binary_encode_structure_list(atlas_contours)
-                template_prob = img.with_array(jnp.zeros(img.spatial_shape, jnp.uint32))
-                results_prob[structure_name] = paste(
-                    template_prob, probability_img, probability_img.size,
-                    (0, 0, 0), crop_box_index,
-                )
-            else:
-                if prob_full_stack is None:
-                    prob_full_stack = paste_stack(
-                        jnp.stack([
-                            combined_label_dict[s].array.astype(jnp.float32)
-                            for s in vote_structures
-                        ]),
-                        img.spatial_shape, crop_box_index, dtype=jnp.float32,
-                    )
-                results_prob[structure_name] = img.with_array(
-                    prob_full_stack[k_struct]
-                )
+                results_prob[structure_name] = combined_label_dict[structure_name]
 
-            if (not settings["return_atlas_guide_structure"]) and (
-                guide_structure is not None
-            ):
-                new_guide_structure = paste(
-                    template_img_binary, guide_structure, guide_structure.size,
-                    (0, 0, 0), crop_box_index,
-                )
-                results[guide_structure_name] = new_guide_structure
-                results_prob[guide_structure_name] = new_guide_structure
+    if vote_structures and (not settings["return_atlas_guide_structure"]) and (
+        guide_structure is not None
+    ):
+        results[guide_structure_name] = guide_structure
+        results_prob[guide_structure_name] = guide_structure
 
     for structure_name in vessel_spline_settings["vessel_name_list"]:
         if structure_name not in segmented_vessel_dict:
             continue
-        binary_struct = segmented_vessel_dict[structure_name]
-        if return_as_cropped:
-            results[structure_name] = binary_struct
-            vessel_list = [
-                atlas_set[a]["DIR"][structure_name] for a in atlas_id_list
-            ]
-        else:
-            results[structure_name] = paste(
-                template_img_binary, binary_struct, binary_struct.size,
-                (0, 0, 0), crop_box_index,
-            )
-            vessel_list = []
-            for a in atlas_id_list:
-                vessel_list.append(
-                    paste(
-                        template_img_binary,
-                        atlas_set[a]["DIR"][structure_name].astype(jnp.uint8),
-                        atlas_set[a]["DIR"][structure_name].size,
-                        (0, 0, 0), crop_box_index,
-                    )
-                )
-        results_prob[structure_name] = binary_encode_structure_list(vessel_list)
+        results[structure_name] = segmented_vessel_dict[structure_name]
+        results_prob[structure_name] = binary_encode_structure_list(
+            [atlas_set[a]["DIR"][structure_name] for a in atlas_id_list]
+        )
 
     if timer:
         timer.lap("fusion_and_paste")
@@ -1001,8 +953,55 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             for s in input_overlap:
                 results[s] = output_overlap[s]
 
+    # --- step 10: ONE paste of everything into the original space ---------------
     if return_as_cropped:
         results["CROP_IMAGE"] = img_crop
+    else:
+        binary_names = list(results.keys())
+        if binary_names:
+            full_stack = paste_stack(
+                jnp.stack([results[n].array for n in binary_names]),
+                img.spatial_shape, crop_box_index, dtype=jnp.uint8,
+            )
+            results = {n: img.with_array(full_stack[k])
+                       for k, n in enumerate(binary_names)}
+        # probability outputs: group by dtype so each group is one paste
+        prob_f32 = [n for n, v in results_prob.items()
+                    if jnp.issubdtype(v.array.dtype, jnp.floating)]
+        prob_enc = [n for n, v in results_prob.items()
+                    if v.array.dtype == jnp.uint32]
+        # 32-structure encodings are uint64 (bit layout starts at bit 1, so
+        # structure 32 occupies bit 32) — a uint32 device paste would drop
+        # that bit; this rare shape pastes on host at full width
+        prob_u64 = []
+        for n, v in list(results_prob.items()):
+            if v.array.dtype == jnp.uint64:
+                full = np.zeros(img.spatial_shape, np.uint64)
+                ix, iy, iz = (int(c) for c in crop_box_index)
+                az, ay, ax = v.array.shape
+                full[iz:iz + az, iy:iy + ay, ix:ix + ax] = np.asarray(v.array)
+                results_prob[n] = img.with_array(full)
+                prob_u64.append(n)
+        if prob_f32:
+            f32_stack = paste_stack(
+                jnp.stack([results_prob[n].array.astype(jnp.float32)
+                           for n in prob_f32]),
+                img.spatial_shape, crop_box_index, dtype=jnp.float32,
+            )
+            for k, n in enumerate(prob_f32):
+                results_prob[n] = img.with_array(f32_stack[k])
+        if prob_enc:
+            enc_stack = paste_stack(
+                jnp.stack([results_prob[n].array.astype(jnp.uint32)
+                           for n in prob_enc]),
+                img.spatial_shape, crop_box_index, dtype=jnp.uint32,
+            )
+            for k, n in enumerate(prob_enc):
+                results_prob[n] = img.with_array(enc_stack[k])
+        # binary prob entries (the guide structure mirrors its binary result)
+        for n in list(results_prob.keys()):
+            if n not in prob_f32 and n not in prob_enc and n not in prob_u64:
+                results_prob[n] = results[n] if n in results else results_prob[n]
 
     if timer:
         timer.lap("geometric_and_postprocessing")

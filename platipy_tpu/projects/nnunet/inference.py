@@ -66,8 +66,17 @@ def sliding_window_inference(
     importance map (nnU-Net semantics).  Each tile is one jitted forward pass;
     identical tile shapes reuse the compiled program.
     """
+    orig_shape = volume.shape
+    # volumes smaller than the tile are PADDED up to it, never the tile
+    # clamped down: a clamped tile can be non-divisible through the network's
+    # stride pyramid (decoder skip-concat shape error on e.g. a 43-voxel axis
+    # through the Task400 16/32/32 stride product).  nnU-Net pads the input
+    # the same way (pad_nd_image) and crops the prediction back.
+    pad = [max(0, t - s) for t, s in zip(tile_shape, orig_shape)]
+    if any(pad):
+        volume = jnp.pad(volume, [(0, p) for p in pad],
+                         constant_values=float(jnp.min(volume)))
     vol_shape = volume.shape
-    tile_shape = tuple(min(t, s) for t, s in zip(tile_shape, vol_shape))
     step = [max(1, int(t * (1 - overlap))) for t in tile_shape]
 
     starts = []
@@ -90,7 +99,10 @@ def sliding_window_inference(
                 probs = tile_forward(params, volume, z0, y0, x0)
                 acc, wacc = accumulate(acc, wacc, probs, z0, y0, x0)
 
-    return acc / jnp.maximum(wacc[..., None], 1e-6)
+    out = acc / jnp.maximum(wacc[..., None], 1e-6)
+    if any(pad):
+        out = out[: orig_shape[0], : orig_shape[1], : orig_shape[2]]
+    return out
 
 
 @functools.lru_cache(maxsize=16)

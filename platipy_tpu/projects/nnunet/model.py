@@ -104,5 +104,14 @@ class UNet3D(nn.Module):
         return logits
 
 
-def default_unet(num_classes: int = 2, features=(32, 64, 128, 256)) -> UNet3D:
-    return UNet3D(num_classes=num_classes, features=tuple(features))
+def default_unet(num_classes: int = 2, features=(32, 64, 128, 256),
+                 strides=None) -> UNet3D:
+    """UNet3D with the nnU-Net default stride rule when ``strides`` is not
+    pinned explicitly: no pooling at the first stage, isotropic 2x after —
+    one stride per feature stage (a fixed 4-entry default would silently
+    TRUNCATE deeper registry architectures via zip)."""
+    features = tuple(features)
+    if strides is None:
+        strides = ((1, 1, 1),) + ((2, 2, 2),) * (len(features) - 1)
+    return UNet3D(num_classes=num_classes, features=features,
+                  strides=tuple(tuple(s) for s in strides))

@@ -91,6 +91,7 @@ NNUNET_SETTINGS_DEFAULTS = {
     "params": None,        # in-memory parameter pytree
     "model_path": None,    # orbax checkpoint directory
     "features": (32, 64, 128, 256),
+    "strides": None,   # None = registry entry, else nnU-Net default rule
     "num_classes": 2,
     "target_spacing": (1.5, 1.5, 2.0),
     "tile_shape": (32, 128, 128),
@@ -197,7 +198,9 @@ def run_segmentation(img: Image, settings=NNUNET_SETTINGS_DEFAULTS) -> Dict[str,
     tile_shape = tuple(settings.get("tile_shape") or registry.get("tile_shape", (32, 128, 128)))
 
     params = _resolve_params(settings)
-    model = default_unet(num_classes=num_classes, features=tuple(settings["features"]))
+    strides = settings.get("strides") or registry.get("strides")
+    model = default_unet(num_classes=num_classes,
+                         features=tuple(settings["features"]), strides=strides)
 
     labels = predict_image(
         model.apply, params, img, num_classes,

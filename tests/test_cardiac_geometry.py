@@ -237,6 +237,108 @@ def test_spline_smoothing_recovers_noisy_centreline():
     np.testing.assert_allclose(spline_centreline(noisy, smoothing=0.0), interp)
 
 
+def test_com_from_probability_exact_centroid():
+    """Per-slice probability-weighted COMs: an analytic asymmetric mass
+    distribution has a closed-form centroid; thresholding drops sub-threshold
+    voxels and min_mass drops empty slices."""
+    from platipy_tpu.utils.vessel import com_from_probability
+
+    arr = np.zeros((4, 16, 16), np.float32)
+    # slice 1: two voxels, masses 0.6 @ (y=4,x=6) and 0.3 @ (y=8,x=10)
+    arr[1, 4, 6] = 0.6
+    arr[1, 8, 10] = 0.3
+    # slice 2: one voxel below threshold only -> dropped by min_mass
+    arr[2, 5, 5] = 0.2
+    img = from_array(arr, spacing=(2.0, 1.0, 3.0), origin=(10.0, 20.0, 30.0))
+    pts = com_from_probability(img, scan_direction="z",
+                               prob_threshold=0.25, min_mass=0.5)
+    assert len(pts) == 1
+    cx = (0.6 * 6 + 0.3 * 10) / 0.9
+    cy = (0.6 * 4 + 0.3 * 8) / 0.9
+    np.testing.assert_allclose(pts[0], [10.0 + 2.0 * cx, 20.0 + 1.0 * cy,
+                                        30.0 + 3.0 * 1], atol=1e-5)
+
+
+def test_fused_probability_downweights_misregistered_atlas():
+    """The intensity-weighted fusion suppresses an atlas whose CT disagrees
+    with the target: the fused probability's slice COM stays near the two
+    agreeing tubes, not the dragged mean of all three."""
+    from platipy_tpu.utils.vessel import (
+        com_from_probability,
+        fused_vessel_probability,
+    )
+
+    ny = nx = 48
+    yy, xx = np.mgrid[:ny, :nx].astype(np.float32)
+
+    def case(cx, intensity_shift=0.0):
+        ct = np.zeros((8, ny, nx), np.float32)
+        mask = np.zeros((8, ny, nx), np.uint8)
+        for z in range(8):
+            d2 = (yy - 24) ** 2 + (xx - cx) ** 2
+            ct[z] = -1000 + 1200 / (1 + np.exp((np.sqrt(d2) - 5) / 0.8))
+            ct[z] += intensity_shift
+            mask[z] = d2 <= 25
+        return (from_array(ct, spacing=(1.0, 1.0, 2.0)),
+                from_array(mask, spacing=(1.0, 1.0, 2.0)))
+
+    target_ct, _ = case(24.0)
+    atlas_set = {}
+    for i, cx in enumerate([24.5, 23.5, 34.0]):  # third is 10 voxels off
+        ct_i, m_i = case(cx)
+        atlas_set[str(i)] = {"DIR": {"CT Image": ct_i, "V": m_i}}
+
+    prob = fused_vessel_probability(target_ct, atlas_set, "V")
+    pts = com_from_probability(prob, scan_direction="z",
+                               prob_threshold=0.3, min_mass=2.0)
+    assert len(pts) == 8
+    xs = np.array([p[0] for p in pts])
+    # unweighted mean of the three tubes would sit at ~27.3; the weighted
+    # fusion must stay within a voxel of the agreeing pair (24.0)
+    assert np.all(np.abs(xs - 24.0) < 1.0), xs
+
+
+def test_vessel_spline_generation_fused_probability_path():
+    """com_source="fused_probability" through the public generation API:
+    recovers the consensus tube of two agreeing atlases despite a third
+    mis-registered one."""
+    from platipy_tpu.label.comparison import compute_metric_dsc
+    from platipy_tpu.utils.vessel import vessel_spline_generation
+
+    ny = nx = 48
+    yy, xx = np.mgrid[:ny, :nx].astype(np.float32)
+
+    def case(shift):
+        ct = np.zeros((24, ny, nx), np.float32)
+        mask = np.zeros((24, ny, nx), np.uint8)
+        for z in range(24):
+            cy, cx = 24 + 4 * np.sin(z / 8.0), 24 + shift
+            d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+            ct[z] = -1000 + 1200 / (1 + np.exp((np.sqrt(d2) - 4) / 0.8))
+            mask[z] = d2 <= 16
+        return (from_array(ct, spacing=(1.0, 1.0, 2.0)),
+                from_array(mask, spacing=(1.0, 1.0, 2.0)))
+
+    target_ct, target_mask = case(0.0)
+    atlas_set = {}
+    for i, shift in enumerate([0.5, -0.5, 8.0]):
+        ct_i, m_i = case(shift)
+        atlas_set[str(i)] = {"DIR": {"CT Image": ct_i, "VESSEL": m_i}}
+
+    out = vessel_spline_generation(
+        target_ct, atlas_set, ["VESSEL"],
+        vessel_radius_mm_dict={"VESSEL": 4},
+        stop_condition_type_dict={"VESSEL": "count"},
+        stop_condition_value_dict={"VESSEL": 2},
+        scan_direction_dict={"VESSEL": "z"},
+        com_source="fused_probability",
+        prob_threshold=0.4,
+        spline_smoothing=0.1,
+    )
+    dsc = float(compute_metric_dsc(target_mask, out["VESSEL"]))
+    assert dsc > 0.85, dsc
+
+
 def test_vessel_spline_unsatisfiable_stop_condition_returns_empty():
     """A stop count >= the number of contributing atlases (e.g. after IAR
     pruned the set) must yield an EMPTY delineation with a warning — not a

@@ -231,3 +231,51 @@ def test_pipeline_settings_plumb_demons_field_dtype(monkeypatch):
     target_img, _ = _pseudo_ct((12, 24, 24), 8)
     ma_run.run_segmentation(target_img, settings)
     assert seen.get("field_dtype") == "bfloat16"
+
+def test_atlas_stage_strong_scaling_identical(eight_cpu_devices):
+    """Strong-scaling smoke over the atlas mesh: the SAME 8-lane demons +
+    warp + fusion stage under 1/2/4/8-device meshes.  Atlas lanes are
+    chip-local through registration, so per-lane DVFs agree to f32 ulp
+    across mesh sizes (the partitioner re-fuses per layout, so bit-exactness
+    is NOT guaranteed — measured max delta ~1e-6 mm); the fused probability
+    (a cross-lane reduction whose order the partitioner may reassociate)
+    agrees to f32 noise.  This is the correctness leg of the scaling model
+    in docs/parallelism.md."""
+    from platipy_tpu.label.fusion import weighted_voting_batched
+    from platipy_tpu.parallel.atlas import (
+        atlas_mesh,
+        batched_multiscale_demons,
+        batched_warp_by_dvf,
+        shard_over_atlases,
+    )
+
+    rng = np.random.RandomState(0)
+    shape = (16, 24, 24)
+    spacing = (2.0, 2.0, 2.5)
+    zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]].astype(np.float32)
+    d = np.sqrt((xx - 12.0) ** 2 + (yy - 12.0) ** 2 + ((zz - 8.0) * 1.25) ** 2)
+    fixed = jnp.asarray(-1000 + 1040 / (1 + np.exp((d - 8.0) / 1.5)))
+    movings = []
+    for _ in range(8):
+        sh = rng.randint(-2, 3, 3)
+        dj = np.sqrt((xx - 12.0 - sh[2]) ** 2 + (yy - 12.0 - sh[1]) ** 2
+                     + ((zz - 8.0 - sh[0]) * 1.25) ** 2)
+        movings.append(-1000 + 1040 / (1 + np.exp((dj - 8.0) / 1.5)))
+    moving_stack = jnp.asarray(np.stack(movings))
+
+    dvfs, fused = [], []
+    for k in (1, 2, 4, 8):
+        mv = shard_over_atlases(moving_stack, atlas_mesh(k))
+        dvf = batched_multiscale_demons(
+            fixed, mv, spacing_xyz=spacing,
+            resolution_staging=[8, 4], iteration_staging=[4, 4],
+            smoothing_sigmas=[0, 0],
+        )
+        warped = batched_warp_by_dvf(mv, dvf, spacing, default_value=-1000.0)
+        prob = weighted_voting_batched(jnp.ones_like(warped), warped)
+        dvfs.append(np.asarray(dvf))
+        fused.append(np.asarray(prob))
+
+    for k_idx in range(1, 4):
+        np.testing.assert_allclose(dvfs[k_idx], dvfs[0], atol=1e-4)
+        np.testing.assert_allclose(fused[k_idx], fused[0], atol=1e-3)

@@ -73,6 +73,22 @@ def test_sliding_window_inference(tiny_model):
     np.testing.assert_allclose(np.asarray(probs.sum(axis=-1)), 1.0, atol=1e-4)
 
 
+def test_sliding_window_pads_volume_smaller_than_tile(tiny_model):
+    """A volume smaller than the tile on some axes must be PADDED up to the
+    tile (nnU-Net pad_nd_image semantics) and the prediction cropped back —
+    clamping the tile down instead feeds stride-indivisible shapes into the
+    network (regression: decoder skip-concat shape error on a 43-voxel axis
+    through the Task400 stride pyramid)."""
+    params = tiny_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 32, 1)))
+    vol = jnp.asarray(np.random.RandomState(2).rand(12, 27, 43), jnp.float32)
+    probs = sliding_window_inference(
+        tiny_model.apply, params, vol, num_classes=2, tile_shape=(16, 32, 32),
+        overlap=0.5,
+    )
+    assert probs.shape == (12, 27, 43, 2)
+    np.testing.assert_allclose(np.asarray(probs.sum(axis=-1)), 1.0, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_run_segmentation_contract(tiny_model):
     """Train briefly so the net segments spheres, then check the Struct_i output."""

@@ -50,6 +50,59 @@ def centreline_rmse(pred_mask_img, gt_full, crop_index_xyz, full_shape, spacing)
     return float(np.mean(errs)) if errs else float("nan")
 
 
+def refine_centreline_intensity(img_crop, pts_mm, radius_mm, spacing,
+                                search_mm=4.0):
+    """Matched-filter refinement prototype: slide a soft disk template over
+    the target CT slice around each predicted COM, take the NCC peak with
+    quadratic sub-voxel interpolation.  Host numpy — evaluation only."""
+    ct = np.asarray(img_crop.array).astype(np.float64)
+    ox, oy, oz = (float(v) for v in img_crop.origin)
+    sx, sy, sz = spacing
+    ry = int(np.ceil((radius_mm + 2.0) / sy))
+    rx = int(np.ceil((radius_mm + 2.0) / sx))
+    ys, xs = np.mgrid[-ry:ry + 1, -rx:rx + 1]
+    d = np.sqrt((ys * sy) ** 2 + (xs * sx) ** 2)
+    tmpl = 1.0 / (1.0 + np.exp((d - radius_mm) / 0.5))
+    tmpl -= tmpl.mean()
+    tn = np.linalg.norm(tmpl) + 1e-9
+    nyo = int(np.ceil(search_mm / sy))
+    nxo = int(np.ceil(search_mm / sx))
+
+    def subpix(c, i):
+        if 0 < i < c.shape[0] - 1 and np.all(np.isfinite(c[i - 1:i + 2])):
+            den = c[i - 1] - 2 * c[i] + c[i + 1]
+            if den != 0:
+                return i + 0.5 * (c[i - 1] - c[i + 1]) / den
+        return float(i)
+
+    out = []
+    for (px, py, pz) in np.asarray(pts_mm, np.float64):
+        z = int(round((pz - oz) / sz))
+        if z < 0 or z >= ct.shape[0]:
+            continue
+        cyi = int(round((py - oy) / sy))
+        cxi = int(round((px - ox) / sx))
+        corr = np.full((2 * nyo + 1, 2 * nxo + 1), -np.inf)
+        for dy in range(-nyo, nyo + 1):
+            for dx in range(-nxo, nxo + 1):
+                y0 = cyi + dy - ry
+                x0 = cxi + dx - rx
+                win = ct[z, y0:y0 + 2 * ry + 1, x0:x0 + 2 * rx + 1]
+                if win.shape != tmpl.shape:
+                    continue
+                w = win - win.mean()
+                corr[dy + nyo, dx + nxo] = (w * tmpl).sum() / (
+                    np.linalg.norm(w) * tn + 1e-9)
+        if not np.isfinite(corr).any():
+            out.append((px, py, pz))
+            continue
+        iy, ix = np.unravel_index(np.nanargmax(corr), corr.shape)
+        fy = subpix(corr[:, ix], iy) - nyo
+        fx = subpix(corr[iy, :], ix) - nxo
+        out.append((ox + (cxi + fx) * sx, oy + (cyi + fy) * sy, pz))
+    return np.asarray(out)
+
+
 def main():
     import jax
 
@@ -133,18 +186,39 @@ def main():
         all_ids = list(pre_iar.keys())
         run_variant("pruned median s=1.0 (bench)", pruned_ids,
                     com_combine="median", spline_smoothing=1.0)
-        run_variant("all10 median s=1.0", all_ids,
-                    com_combine="median", spline_smoothing=1.0)
-        run_variant("all10 mean s=1.0", all_ids,
-                    com_combine="mean", spline_smoothing=1.0)
         run_variant("all10 median s=0.0", all_ids,
                     com_combine="median", spline_smoothing=0.0)
-        run_variant("all10 median s=2.0", all_ids,
-                    com_combine="median", spline_smoothing=2.0)
-        run_variant("all10 median s=4.0", all_ids,
-                    com_combine="median", spline_smoothing=4.0)
-        run_variant("pruned mean s=1.0", pruned_ids,
-                    com_combine="mean", spline_smoothing=1.0)
+        run_variant("all10 median s=0.1", all_ids,
+                    com_combine="median", spline_smoothing=0.1)
+        run_variant("all10 median s=0.25", all_ids,
+                    com_combine="median", spline_smoothing=0.25)
+        run_variant("pruned median s=0.1", pruned_ids,
+                    com_combine="median", spline_smoothing=0.1)
+
+        # --- intensity matched-filter refinement prototype ----------------
+        from platipy_tpu.utils.vessel import (
+            com_from_image_list,
+            spline_centreline,
+            tube_mask_from_points,
+        )
+
+        image_list = [pre_iar[i]["DIR"]["VESSEL"] for i in all_ids]
+        pts0 = com_from_image_list(
+            image_list, condition_type="count", condition_value=2,
+            scan_direction="z", combine="median",
+        )
+        for n_iter in (1, 2):
+            pts = np.asarray(pts0, np.float64)
+            for _ in range(n_iter):
+                pts = refine_centreline_intensity(
+                    img_crop, pts, radius_mm=5.0, spacing=spacing)
+            for s_sm in (0.0, 0.1):
+                ctl = spline_centreline(pts, smoothing=s_sm)
+                v = tube_mask_from_points(ctl, 5.0, image_list[0])
+                dsc = tube_dsc(v, gt_v, crop_index, bench.SHAPE)
+                cerr = centreline_rmse(v, gt_v, crop_index, bench.SHAPE, spacing)
+                print(f"[vessel] refine x{n_iter} s={s_sm:<4} "
+                      f"               dsc={dsc:.4f} com_err={cerr:.3f}mm")
 
         # oracle: spline through the TRUE centreline COMs (registration-free
         # ceiling of the tube rasterisation + spline machinery)
