@@ -571,6 +571,8 @@ def main():
 
     linear_sub = {k: round(v, 2) for k, v in
                   getattr(_lin, "LAST_LINEAR_SUBSTAGES", {}).items()}
+    iar_sub = {k: round(v, 2) for k, v in
+               getattr(_iar, "LAST_SUBSTAGES", {}).items()}
     # full-grid attribution (VERDICT r3 item 1): the clinical-scale case has
     # its own cost structure (auto-crop quick registrations, full-grid
     # paste-back) invisible in the crop-grid breakdown
@@ -601,6 +603,7 @@ def main():
         "stage_s": stage_s,
         "stage_detail_s": stage_detail,
         "linear_substage_s": linear_sub,
+        "iar_substage_s": iar_sub,
         "hbm_stream_gbps": round(hbm, 1),
         "hbm_stream_vs_roofline": round(hbm / V5E_HBM_GBPS, 3),
         # demons hot loop vs the MEASURED stream rate: the sequential-pass

@@ -72,6 +72,23 @@ def run_iar(
     the atlas's own mask — not on the consensus reference — so recursion
     rounds reuse them and only re-sample at the new reference surface.
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _prof = _os.environ.get("PLATIPY_TPU_PROFILE") == "1"
+    if _prof and iteration == 0:
+        _sys.modules[__name__].LAST_SUBSTAGES = {}
+    _t0 = _time.time()
+
+    def _lap(name):
+        nonlocal _t0
+        if _prof:
+            t = _time.time()
+            sub = _sys.modules[__name__].LAST_SUBSTAGES
+            sub[name] = sub.get(name, 0.0) + (t - _t0)
+            _t0 = t
+
     if iteration == 0:
         logger.info("Iterative atlas removal: ")
         logger.info("  Beginning process")
@@ -81,6 +98,7 @@ def run_iar(
     probability_label = combine_labels(atlas_set, reference_structure, label=label)[
         reference_structure
     ]
+    _lap("combine")
 
     # smallest-first so the coarse settings are reachable (the reference
     # tests `< 12` before `< 7` [iar.py:96-110], leaving its small-set branch
@@ -155,6 +173,7 @@ def run_iar(
         # C-order voxel coords, strided like the reference's resample_factor
         ref_idx = np.argwhere(ref_surface)[::resample_factor]  # [M, 3] (z,y,x)
         ref_pts = ref_idx[:, ::-1].astype(np.float32) * spacing[None, :]
+        _lap("consensus_surface")
 
         if _dm_cache is None:
             _dm_cache = {}
@@ -194,11 +213,13 @@ def run_iar(
                 test_contour = _contour_np(processed[k] > 0)
                 pts = np.argwhere(test_contour)[:, ::-1] * spacing[None, :]
                 _dm_cache[test_id] = pts.astype(np.float32)
+        _lap("atlas_contours")
 
         dists = min_distance_to_point_sets(
             ref_pts, [_dm_cache[i] for i in remaining_id_list]
         )
         g_val_list = [dists[k] for k in range(len(remaining_id_list))]
+        _lap("distance_program")
 
     q_results = {}
 
@@ -273,6 +294,7 @@ def run_iar(
 
         q_value = np.trapezoid(z_diff * np.abs(bin_centers) ** 2, bin_centers)
         q_results[test_id] = np.float64(q_value)
+    _lap("stats_and_fits")
 
     result_list = [r for r in q_results.values() if ~np.isnan(r) and np.isfinite(r)]
     best_results = np.sort(result_list)[: max([min_best_atlases, len(result_list) - 3])]

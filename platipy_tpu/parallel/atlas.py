@@ -40,7 +40,10 @@ __all__ = [
     "batched_warp_by_dvf",
     "batched_warp_stacks_by_dvf",
     "batched_weight_maps",
+    "extract_packed_bit",
     "level_grids",
+    "pack_binary_masks",
+    "unpack_binary_masks",
 ]
 
 
@@ -479,6 +482,67 @@ def batched_warp_stacks_by_dvf(
     return _cached_warp_stacks_by_dvf(spacing, int(interp), float(default_value))(
         stacks, dvf_stack
     )
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_bit_packer(shape, n_bits):
+    @jax.jit
+    def pack(arrs):
+        acc = jnp.zeros(shape, jnp.float32)
+        for i in range(n_bits):
+            acc = acc + (arrs[i] > 0).astype(jnp.float32) * np.float32(2.0**i)
+        return acc
+
+    return pack
+
+
+def pack_binary_masks(arrays) -> jnp.ndarray:
+    """Pack up to 24 same-grid binary masks into ONE f32 volume of integer
+    bit patterns (bit i = mask i), as one device program.
+
+    Nearest-neighbour resampling selects whole source voxels, so warping the
+    packed volume is BITWISE-IDENTICAL to warping each mask separately while
+    moving 1/n_bits of the gather traffic — the structure-propagation warps
+    (linear + both demons stages) dominate the non-registration cost of the
+    cardiac pipeline otherwise.  f32 holds integers exactly below 2**24.
+    """
+    arrays = list(arrays)
+    if not (0 < len(arrays) <= 24):
+        raise ValueError(f"pack_binary_masks packs 1..24 masks, got {len(arrays)}")
+    return _cached_bit_packer(tuple(arrays[0].shape), len(arrays))(tuple(arrays))
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_bit_unpacker(n_bits):
+    @jax.jit
+    def unpack(packed):
+        # 0.5**i and floor/mod are exact on power-of-two-scaled f32 integers
+        return jnp.stack([
+            jnp.mod(jnp.floor(packed * np.float32(0.5**i)), 2.0)
+            for i in range(n_bits)
+        ])
+
+    return unpack
+
+
+def unpack_binary_masks(packed: jnp.ndarray, n_bits: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_binary_masks`: [...]-shaped packed volume ->
+    [n_bits, ...] f32 0/1 stack, one device program."""
+    return _cached_bit_unpacker(int(n_bits))(packed)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_bit_extractor(bit):
+    @jax.jit
+    def extract(packed):
+        return jnp.mod(jnp.floor(packed * np.float32(0.5**bit)), 2.0)
+
+    return extract
+
+
+def extract_packed_bit(packed: jnp.ndarray, bit: int) -> jnp.ndarray:
+    """One mask out of a :func:`pack_binary_masks` volume (f32 0/1)."""
+    return _cached_bit_extractor(int(bit))(packed)
 
 
 def batched_weight_maps(

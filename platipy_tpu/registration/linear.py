@@ -721,8 +721,14 @@ def linear_registration_batched(
 
         sys.modules[__name__].LAST_LINEAR_SUBSTAGES = dict(timer.times)
 
+    # per-atlas transforms with HOST leaves: slicing the stacked pytree on
+    # device costs n_atlases x n_leaves tiny dispatches (~0.5 s per pipeline
+    # call over a tunnelled backend); one small device_get then numpy slicing
+    # is free, and the per-atlas transforms are parity bookkeeping consumed
+    # (if at all) by later jit programs that re-upload the tiny leaves anyway
+    opt_host = jax.device_get(opt_stack)
     opt_list = [
-        jax.tree_util.tree_map(lambda leaf: leaf[k], opt_stack) for k in range(n)
+        jax.tree_util.tree_map(lambda leaf: leaf[k], opt_host) for k in range(n)
     ]
     combined = [CompositeTransform([initials[k], opt_list[k]]) for k in range(n)]
     extra = ()
