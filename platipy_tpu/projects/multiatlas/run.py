@@ -277,11 +277,22 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         timer.lap("auto_crop", sync=img_crop)
 
     # --- steps 2-3 with optional checkpoint/resume --------------------------
+    from platipy_tpu.parallel.atlas import pack_binary_masks, unpack_binary_masks
+
+    n_structs = len(atlas_structure_list)
     if ckpt.has("rir"):
         logger.info("Resumed rigid/affine-registered atlas stacks from checkpoint.")
         rir = ckpt.load("rir")
         moving_stack = jnp.asarray(rir["moving_stack"])
-        struct_stacks = {s: jnp.asarray(rir[f"struct__{s}"]) for s in atlas_structure_list}
+        if "packed_structs" in rir:
+            packed_structs = jnp.asarray(rir["packed_structs"])
+        else:
+            # older checkpoints carry per-structure stacks: re-pack on device
+            packed_structs = sum(
+                (jnp.asarray(rir[f"struct__{s}"]) > 0).astype(jnp.float32)
+                * np.float32(2.0**k)
+                for k, s in enumerate(atlas_structure_list)
+            )
     else:
         # --- step 2: linear registration per atlas (reference :255-300) ----------
         linear_registration_settings = settings["linear_registration_settings"]
@@ -295,35 +306,32 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             img_crop, reg_movings, as_stack=True, return_stacked_transform=True,
             **{k: v for k, v in linear_registration_settings.items() if k != "verbose"},
         )
-        # ALL structure warps (S structures x N atlases) in ONE batched
-        # dispatch — NN, default 0, as the reference's per-atlas sitk.Resample
-        # loop at run.py:291-299; per-structure eager calls paid a dispatch
-        # round trip each over a tunnelled device link.  The STACKED transform
-        # pytree skips the per-atlas slice + re-stack churn entirely.
-        n_atlases = len(atlas_id_list)
-        struct_imgs = [
-            atlas_set[i]["Original"][s]
-            for s in atlas_structure_list
+        # ALL structure warps as ONE bit-packed volume per atlas — NN
+        # sampling selects whole source voxels, so warping the packed volume
+        # is bitwise-identical to the reference's per-structure sitk.Resample
+        # loop (run.py:291-299) at ~1/S the gather traffic, and the demons
+        # warp below moves the same single packed stack
+        pack_inputs = [
+            atlas_set[i]["Original"]["CT Image"].with_array(
+                pack_binary_masks(
+                    [atlas_set[i]["Original"][s].array
+                     for s in atlas_structure_list]
+                )
+            )
             for i in atlas_id_list
         ]
-        warped_flat = apply_transforms_batched(
-            stacked_tfm, struct_imgs,
-            img_crop, interpolator=INTERP_NEAREST, default_value=0,
-            as_stack=True, tile=len(atlas_structure_list),
+        packed_structs = apply_transforms_batched(
+            stacked_tfm, pack_inputs, img_crop,
+            interpolator=INTERP_NEAREST, default_value=0, as_stack=True,
         )
-        warped_all = warped_flat.reshape(
-            (len(atlas_structure_list), n_atlases) + img_crop.spatial_shape
-        )
-        struct_stacks = {
-            s: warped_all[k] for k, s in enumerate(atlas_structure_list)
-        }
+        del pack_inputs
         for atlas_id in atlas_id_list:
             atlas_set[atlas_id]["Original"] = None
 
         if ckpt.enabled:
             ckpt.save("rir", arrays={
                 "moving_stack": np.asarray(moving_stack),
-                **{f"struct__{s}": np.asarray(v) for s, v in struct_stacks.items()},
+                "packed_structs": np.asarray(packed_structs),
             })
 
     if timer:
@@ -345,10 +353,9 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         mesh = atlas_mesh()
         moving_stack, n_valid = pad_atlas_axis(moving_stack, n_dev)
         moving_stack = shard_over_atlases(moving_stack, mesh)
-        struct_stacks = {
-            k: shard_over_atlases(pad_atlas_axis(v, n_dev)[0], mesh)
-            for k, v in struct_stacks.items()
-        }
+        packed_structs = shard_over_atlases(
+            pad_atlas_axis(packed_structs, n_dev)[0], mesh
+        )
 
     smoothing_sigmas = deformable_settings.get("smoothing_sigmas")
     if not smoothing_sigmas:
@@ -387,13 +394,12 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         moving_stack, dvf_stack, img_crop.spacing,
         interp=INTERP_LINEAR, default_value=-1000.0,
     )
-    dir_structs = {
-        s: batched_warp_by_dvf(
-            struct_stacks[s], dvf_stack, img_crop.spacing,
-            interp=INTERP_NEAREST, default_value=0.0,
-        )
-        for s in atlas_structure_list
-    }
+    # all structures through the DVFs as ONE packed dispatch + ONE unpack
+    packed_dir = batched_warp_by_dvf(
+        packed_structs, dvf_stack, img_crop.spacing,
+        interp=INTERP_NEAREST, default_value=0.0,
+    )
+    struct_stack_all = unpack_binary_masks(packed_dir, n_structs)
 
     # (the reference stores per-atlas "DIR" images back into atlas_set here,
     # run.py:306-347 — this pipeline keeps the stacks; per-atlas device
@@ -422,7 +428,6 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         tuple(float(v) for v in _filters.discrete_gaussian_kernel1d(_var_vox[a], 0.01, 32))
         for a in (2, 1, 0)
     )
-    struct_stack_all = jnp.stack([dir_structs[s] for s in atlas_structure_list])
     prob_stack = _fuse_structures_stack(weight_stack, struct_stack_all,
                                         fusion_kernel_key)
     combined_label_dict = {
