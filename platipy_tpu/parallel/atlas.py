@@ -485,18 +485,20 @@ def batched_warp_stacks_by_dvf(
 
 
 @functools.lru_cache(maxsize=256)
-def _cached_bit_packer(shape, n_bits):
+def _cached_bit_packer(shape, n_bits, append_validity):
     @jax.jit
     def pack(arrs):
         acc = jnp.zeros(shape, jnp.float32)
         for i in range(n_bits):
             acc = acc + (arrs[i] > 0).astype(jnp.float32) * np.float32(2.0**i)
+        if append_validity:
+            acc = acc + np.float32(2.0**n_bits)
         return acc
 
     return pack
 
 
-def pack_binary_masks(arrays) -> jnp.ndarray:
+def pack_binary_masks(arrays, append_validity: bool = False) -> jnp.ndarray:
     """Pack up to 24 same-grid binary masks into ONE f32 volume of integer
     bit patterns (bit i = mask i), as one device program.
 
@@ -505,11 +507,18 @@ def pack_binary_masks(arrays) -> jnp.ndarray:
     moving 1/n_bits of the gather traffic — the structure-propagation warps
     (linear + both demons stages) dominate the non-registration cost of the
     cardiac pipeline otherwise.  f32 holds integers exactly below 2**24.
+
+    ``append_validity=True`` adds an everywhere-1 highest bit: after any warp
+    with default 0 the extracted bit IS the in-bounds (validity) mask of that
+    warp — free out-of-bounds detection for downstream gating.
     """
     arrays = list(arrays)
-    if not (0 < len(arrays) <= 24):
-        raise ValueError(f"pack_binary_masks packs 1..24 masks, got {len(arrays)}")
-    return _cached_bit_packer(tuple(arrays[0].shape), len(arrays))(tuple(arrays))
+    n_eff = len(arrays) + (1 if append_validity else 0)
+    if not arrays or n_eff > 24:
+        raise ValueError(f"pack_binary_masks packs 1..24 masks, got {n_eff}")
+    return _cached_bit_packer(
+        tuple(arrays[0].shape), len(arrays), bool(append_validity)
+    )(tuple(arrays))
 
 
 @functools.lru_cache(maxsize=64)

@@ -288,11 +288,13 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             packed_structs = jnp.asarray(rir["packed_structs"])
         else:
             # older checkpoints carry per-structure stacks: re-pack on device
+            # (their OOB information is lost, so the validity bit is set
+            # everywhere — demons gating degrades to the ungated behaviour)
             packed_structs = sum(
                 (jnp.asarray(rir[f"struct__{s}"]) > 0).astype(jnp.float32)
                 * np.float32(2.0**k)
                 for k, s in enumerate(atlas_structure_list)
-            )
+            ) + np.float32(2.0**n_structs)
     else:
         # --- step 2: linear registration per atlas (reference :255-300) ----------
         linear_registration_settings = settings["linear_registration_settings"]
@@ -311,11 +313,14 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         # is bitwise-identical to the reference's per-structure sitk.Resample
         # loop (run.py:291-299) at ~1/S the gather traffic, and the demons
         # warp below moves the same single packed stack
+        # the everywhere-1 highest bit NN-warps to the linear transform's
+        # in-bounds mask — free OOB detection for the demons gating below
         pack_inputs = [
             atlas_set[i]["Original"]["CT Image"].with_array(
                 pack_binary_masks(
                     [atlas_set[i]["Original"][s].array
-                     for s in atlas_structure_list]
+                     for s in atlas_structure_list],
+                    append_validity=True,
                 )
             )
             for i in atlas_id_list
@@ -375,9 +380,19 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
                 [dvf_stack, jnp.repeat(dvf_stack[-1:], extra, axis=0)]
             )
     else:
+        demons_moving = moving_stack
+        if deformable_settings.get("oob_inherit_fixed"):
+            # TPU extension (see cardiac run.py): out-of-bounds regions of
+            # the linearly-registered atlas inherit the FIXED image's
+            # intensity, silencing the crop-face boundary forces that
+            # otherwise destabilise the field on full-FOV targets
+            from platipy_tpu.parallel.atlas import extract_packed_bit
+
+            valid = extract_packed_bit(packed_structs, n_structs)
+            demons_moving = jnp.where(valid > 0, moving_stack, target_arr[None])
         dvf_stack = batched_multiscale_demons(
             target_arr,
-            moving_stack,
+            demons_moving,
             spacing_xyz=img_crop.spacing,
             resolution_staging=deformable_settings["resolution_staging"],
             iteration_staging=deformable_settings["iteration_staging"],

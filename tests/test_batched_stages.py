@@ -8,12 +8,14 @@ replaces.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from platipy_tpu.core.components import (
     keep_largest_component,
     keep_largest_component_stack,
 )
 from platipy_tpu.core.image import from_array
+from platipy_tpu.core.interp import INTERP_NEAREST
 from platipy_tpu.core.morphology import binary_closing, binary_closing_batched
 from platipy_tpu.label.fusion import (
     process_probability_image,
@@ -112,3 +114,48 @@ def test_label_to_roi_empty_mask():
     size, index = label_to_roi(from_array(empty))
     assert tuple(index) == (0, 0, 0)
     assert tuple(size) == (8, 8, 6)  # (x, y, z) full extent fallback
+
+
+def test_packed_mask_warp_bitwise_matches_per_mask():
+    """pack -> NN warp -> unpack is BITWISE-identical to warping each mask
+    separately (the invariant the cardiac/multiatlas packed structure
+    propagation relies on), for both the DVF multipass warp and the
+    affine-transform gather warp."""
+    from platipy_tpu.parallel.atlas import (
+        batched_warp_by_dvf,
+        extract_packed_bit,
+        pack_binary_masks,
+        unpack_binary_masks,
+    )
+
+    rng = np.random.RandomState(3)
+    n_bits = 6
+    masks = [(rng.rand(8, 12, 12) > 0.55).astype(np.float32)
+             for _ in range(n_bits)]
+    packed = pack_binary_masks([jnp.asarray(m) for m in masks])
+    # integer bit patterns survive the pack/unpack round trip exactly
+    rt = np.asarray(unpack_binary_masks(packed, n_bits))
+    for i, m in enumerate(masks):
+        np.testing.assert_array_equal(rt[i], m)
+        np.testing.assert_array_equal(
+            np.asarray(extract_packed_bit(packed, i)), m)
+
+    dvf = jnp.asarray(rng.randn(2, 8, 12, 12, 3).astype(np.float32) * 2.5)
+    stack2 = jnp.stack([packed, packed])
+    warped = batched_warp_by_dvf(stack2, dvf, (1.0, 1.5, 2.0),
+                                 interp=INTERP_NEAREST, default_value=0.0)
+    unpacked = np.asarray(unpack_binary_masks(warped, n_bits))
+    for i, m in enumerate(masks):
+        per = batched_warp_by_dvf(
+            jnp.stack([jnp.asarray(m)] * 2), dvf, (1.0, 1.5, 2.0),
+            interp=INTERP_NEAREST, default_value=0.0)
+        np.testing.assert_array_equal(unpacked[i], np.asarray(per))
+
+
+def test_pack_binary_masks_validates_count():
+    from platipy_tpu.parallel.atlas import pack_binary_masks
+
+    with pytest.raises(ValueError):
+        pack_binary_masks([])
+    with pytest.raises(ValueError):
+        pack_binary_masks([jnp.zeros((2, 2, 2))] * 25)
