@@ -138,6 +138,9 @@ def run_iar(
             )
             _, _, g_vals = regrid_spherical_data(theta, phi, values, resolution=resolution)
             g_val_list.append(g_vals)
+        # lap the sphere branch too, so the stats loop's lap measures only
+        # itself (otherwise all sphere-projection time lands in stats_and_fits)
+        _lap("sphere_surfaces")
     else:
         # Each atlas's distance sample is "distance from every consensus-
         # surface voxel to the atlas's own contour" (the reference computes a

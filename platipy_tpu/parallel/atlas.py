@@ -516,6 +516,14 @@ def pack_binary_masks(arrays, append_validity: bool = False) -> jnp.ndarray:
     n_eff = len(arrays) + (1 if append_validity else 0)
     if not arrays or n_eff > 24:
         raise ValueError(f"pack_binary_masks packs 1..24 masks, got {n_eff}")
+    bad = [tuple(a.shape) for a in arrays if tuple(a.shape) != tuple(arrays[0].shape)]
+    if bad:
+        # a broadcast-compatible mismatch (e.g. a (y,x) mask among (z,y,x)
+        # masks) would pack garbage silently instead of erroring
+        raise ValueError(
+            f"pack_binary_masks needs same-shape masks: got {tuple(arrays[0].shape)} "
+            f"and {bad[0]}"
+        )
     return _cached_bit_packer(
         tuple(arrays[0].shape), len(arrays), bool(append_validity)
     )(tuple(arrays))

@@ -588,31 +588,51 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         # everywhere-1 highest bit: its NN warp IS the in-bounds mask of the
         # linear transform, consumed by the intensity demons' OOB gating
         n_bit_groups += 1
+    # structure lists beyond one f32 volume's 24 exact bits chunk into
+    # multiple packed volumes (the reference cardiac set is 16+1 = one
+    # group; each extra group re-runs the same compiled warp program)
+    _GROUP_BITS = 24
+    n_pack_groups = max(1, -(-n_bit_groups // _GROUP_BITS))
+    guide_bit_group = (n_bit_groups - 1) // _GROUP_BITS
+    guide_bit_local = (n_bit_groups - 1) % _GROUP_BITS
+
     if len(atlas_structure_list) or guide_structure:
-        pack_inputs = []
-        for k, o in enumerate(originals):
-            arrs = [o[s].array for s in atlas_structure_list]
-            if guide_structure:
-                arrs.append(expanded_images[k])
-            pack_inputs.append(o["CT Image"].with_array(
-                pack_binary_masks(arrs, append_validity=not guide_structure)
+        packed_rir = []
+        for g in range(n_pack_groups):
+            bits = range(g * _GROUP_BITS, min((g + 1) * _GROUP_BITS, n_bit_groups))
+            pack_inputs = []
+            for k, o in enumerate(originals):
+                arrs, validity = [], False
+                for b in bits:
+                    if b < len(atlas_structure_list):
+                        arrs.append(o[atlas_structure_list[b]].array)
+                    elif guide_structure:
+                        arrs.append(expanded_images[k])
+                    else:
+                        validity = True  # appended as all-ones by the packer
+                if arrs:
+                    packed = pack_binary_masks(arrs, append_validity=validity)
+                else:
+                    # validity-only group: the packed volume IS the ones plane
+                    packed = jnp.ones(tuple(o["CT Image"].spatial_shape),
+                                      jnp.float32)
+                pack_inputs.append(o["CT Image"].with_array(packed))
+            packed_rir.append(apply_transforms_batched(
+                stacked_tfm, pack_inputs, img_crop,
+                interpolator=INTERP_NEAREST, default_value=0, as_stack=True,
             ))
-        packed_rir = apply_transforms_batched(
-            stacked_tfm, pack_inputs, img_crop,
-            interpolator=INTERP_NEAREST, default_value=0, as_stack=True,
-        )
-        del pack_inputs
+            del pack_inputs
     else:  # no structures and no guide masks to propagate
-        packed_rir = jnp.zeros(
+        packed_rir = [jnp.zeros(
             (n_atlases,) + tuple(img_crop.spatial_shape), jnp.float32
-        )
+        )]
     if guide_structure:
         ct_rir = apply_transforms_batched(
             stacked_tfm, [o["CT Image"] for o in originals], img_crop,
             interpolator=INTERP_LINEAR, default_value=-1000, as_stack=True,
         )
     if dtimer:
-        dtimer.lap("linear_warps", sync=packed_rir)
+        dtimer.lap("linear_warps", sync=packed_rir[-1])
 
     for k, atlas_id in enumerate(atlas_id_list):
         # per-atlas RIR volumes are never read individually (steps 3a/3b
@@ -644,7 +664,7 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     if timer:
         # sync on a step-2 product so async registration/warp work is
         # attributed here, not to the next synced lap
-        sync_on = packed_rir if atlas_structure_list else ct_rir
+        sync_on = packed_rir[-1] if atlas_structure_list else ct_rir
         if dtimer:
             dtimer.lap("linear_store", sync=sync_on)
         timer.lap("linear_registration", sync=sync_on)
@@ -670,17 +690,22 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         ct_stack = batched_warp_by_dvf(_maybe_shard(ct_rir), dvf_struct, spacing,
                                        interp=INTERP_LINEAR, default_value=-1000.0)
         # the packed structure volume (all structures + the expanded guide
-        # masks) through the struct DVFs in ONE [N, z, y, x] dispatch
-        packed_stack = batched_warp_by_dvf(
-            _maybe_shard(packed_rir), dvf_struct, spacing,
-            interp=INTERP_NEAREST, default_value=0.0,
-        )
+        # masks) through the struct DVFs in ONE [N, z, y, x] dispatch per group
+        packed_stack = [
+            batched_warp_by_dvf(
+                _maybe_shard(p), dvf_struct, spacing,
+                interp=INTERP_NEAREST, default_value=0.0,
+            )
+            for p in packed_rir
+        ]
         # only the guide bit is needed before the final unpack (HU gating)
-        expanded_stack = extract_packed_bit(packed_stack, n_bit_groups - 1)
+        expanded_stack = extract_packed_bit(
+            packed_stack[guide_bit_group], guide_bit_local
+        )
         del reg_mask_rir, ct_rir, packed_rir
     else:
         ct_stack = _maybe_shard(ct_rir)
-        packed_stack = _maybe_shard(packed_rir)
+        packed_stack = [_maybe_shard(p) for p in packed_rir]
         del ct_rir, packed_rir
     if dtimer:
         dtimer.lap("demons_restack", sync=ct_stack)
@@ -722,7 +747,9 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             # voxels on a torso-slab-extended crop vs 0.5-0.8 on the tight
             # crop.  The in-bounds mask is the packed stack's validity bit
             # (free: an everywhere-1 plane NN-warped with default 0).
-            valid = extract_packed_bit(packed_stack, n_bit_groups - 1)
+            valid = extract_packed_bit(
+                packed_stack[guide_bit_group], guide_bit_local
+            )
             demons_moving = jnp.where(valid > 0, ct_stack, target_arr[None])
 
     dvf_stack = batched_multiscale_demons(
@@ -745,19 +772,24 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     dir_images = batched_warp_by_dvf(ct_stack, dvf_stack, spacing,
                                      interp=INTERP_LINEAR, default_value=-1000.0)
     # every structure through the refined DVFs as ONE packed [N, z, y, x]
-    # dispatch, then ONE unpack to the [S, N, z, y, x] stack
+    # dispatch per group, then ONE unpack per group to the [S, N, z, y, x] stack
     dir_structs = {}
     if atlas_structure_list:
         from platipy_tpu.parallel.atlas import unpack_binary_masks
 
-        packed_dir = batched_warp_by_dvf(
-            packed_stack, dvf_stack, spacing,
-            interp=INTERP_NEAREST, default_value=0.0,
-        )
-        # unpacking only the structure bits drops the guide bit (if any)
-        dir_struct_stack = unpack_binary_masks(
-            packed_dir, len(atlas_structure_list)
-        )
+        unpacked_groups = []
+        for g, p in enumerate(packed_stack):
+            packed_dir = batched_warp_by_dvf(
+                p, dvf_stack, spacing,
+                interp=INTERP_NEAREST, default_value=0.0,
+            )
+            n_bits_g = min((g + 1) * _GROUP_BITS, n_bit_groups) - g * _GROUP_BITS
+            unpacked_groups.append(unpack_binary_masks(packed_dir, n_bits_g))
+        # concatenating the groups and slicing to S drops the guide bit (if any)
+        dir_struct_stack = (
+            unpacked_groups[0] if len(unpacked_groups) == 1
+            else jnp.concatenate(unpacked_groups, axis=0)
+        )[: len(atlas_structure_list)]
         dir_structs = {s: dir_struct_stack[i]
                        for i, s in enumerate(atlas_structure_list)}
 

@@ -280,9 +280,23 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
     from platipy_tpu.parallel.atlas import pack_binary_masks, unpack_binary_masks
 
     n_structs = len(atlas_structure_list)
+    rir = None
     if ckpt.has("rir"):
-        logger.info("Resumed rigid/affine-registered atlas stacks from checkpoint.")
         rir = ckpt.load("rir")
+        # the packed volume is anonymous bit patterns: resuming under a
+        # changed/reordered structure list would silently decode bits to the
+        # wrong structures (and the validity bit as an extra structure's
+        # near-full-volume mask) — validate and re-register on mismatch
+        ckpt_structs = rir.get("__meta__", {}).get("structures")
+        if "packed_structs" in rir and ckpt_structs != list(atlas_structure_list):
+            logger.warning(
+                "rir checkpoint was written for structures %s but this run uses "
+                "%s; ignoring the checkpoint and re-running registration",
+                ckpt_structs, list(atlas_structure_list),
+            )
+            rir = None
+    if rir is not None:
+        logger.info("Resumed rigid/affine-registered atlas stacks from checkpoint.")
         moving_stack = jnp.asarray(rir["moving_stack"])
         if "packed_structs" in rir:
             packed_structs = jnp.asarray(rir["packed_structs"])
@@ -337,7 +351,7 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             ckpt.save("rir", arrays={
                 "moving_stack": np.asarray(moving_stack),
                 "packed_structs": np.asarray(packed_structs),
-            })
+            }, meta={"structures": list(atlas_structure_list)})
 
     if timer:
         timer.lap("linear_registration", sync=moving_stack)

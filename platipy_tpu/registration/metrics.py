@@ -98,8 +98,82 @@ def mattes_mi(fixed, moving, weight=None, bins: int = 50):
     return -mi
 
 
-def joint_hist_mi(fixed, moving, weight=None, bins: int = 20):
-    return mattes_mi(fixed, moving, weight, bins)
+def joint_hist_mi(fixed, moving, weight=None, bins: int = 20,
+                  variance_for_smoothing: float = 1.5):
+    """Negative joint-histogram mutual information, ITK
+    ``JointHistogramMutualInformationImageToImageMetricv4`` semantics
+    (selected at reference linear.py:146-148 with the SimpleITK defaults
+    ``numberOfHistogramBins=20``, ``varianceForJointPDFSmoothing=1.5``).
+
+    Distinct from :func:`mattes_mi`: ITK's joint-histogram metric bins each
+    sample into the joint histogram directly (no cubic B-spline Parzen
+    window) with a 2-bin padding margin on each intensity axis, then smooths
+    the joint PDF with a discrete Gaussian of the given variance (bin units)
+    before computing MI.  Here the hard binning is relaxed to a linear
+    (tent) kernel — the minimal differentiable binning, so the metric keeps
+    an exact gradient through the resampler; the Gaussian PDF smoothing is
+    ITK's, which dominates the window shape at variance 1.5.
+    """
+    if weight is None:
+        weight = jnp.ones_like(fixed)
+    w = weight.reshape(-1)
+    f = fixed.reshape(-1)
+    m = moving.reshape(-1)
+
+    # ITK padding: bin size (max-min)/(bins - 2*padding - 1), samples land in
+    # [padding, bins-1-padding] so the Gaussian smoothing never clips mass
+    padding = 2
+
+    def normalise(x):
+        lo = jnp.min(jnp.where(w > 0, x, jnp.inf))
+        hi = jnp.max(jnp.where(w > 0, x, -jnp.inf))
+        return (x - lo) / jnp.maximum(hi - lo, _EPS) * (
+            bins - 1 - 2 * padding
+        ) + padding
+
+    fu = normalise(f)
+    mu = normalise(m)
+    centers = jnp.arange(bins, dtype=fixed.dtype)
+
+    def tent(t):
+        return jnp.maximum(1.0 - jnp.abs(t), 0.0)
+
+    wf = tent(fu[:, None] - centers[None, :]) * w[:, None]
+    wm = tent(mu[:, None] - centers[None, :])
+    joint = wf.T @ wm  # [bins, bins]
+
+    # discrete Gaussian smoothing of the joint PDF (both axes), ITK's
+    # DiscreteGaussianImageFilter with zero-flux Neumann (edge) boundaries
+    if variance_for_smoothing > 0:
+        from platipy_tpu.core.filters import discrete_gaussian_kernel1d
+
+        k = jnp.asarray(
+            discrete_gaussian_kernel1d(float(variance_for_smoothing), 0.01, bins),
+            joint.dtype,
+        )
+        r = (k.shape[0] - 1) // 2
+        pad = jnp.pad(joint, ((r, r), (0, 0)), mode="edge")
+        joint = jnp.sum(
+            jnp.stack([pad[i:i + bins] for i in range(k.shape[0])]) *
+            k[:, None, None], axis=0,
+        )
+        pad = jnp.pad(joint, ((0, 0), (r, r)), mode="edge")
+        joint = jnp.sum(
+            jnp.stack([pad[:, i:i + bins] for i in range(k.shape[0])]) *
+            k[:, None, None], axis=0,
+        )
+
+    joint = joint / jnp.maximum(jnp.sum(joint), _EPS)
+    pf = jnp.sum(joint, axis=1, keepdims=True)
+    pm = jnp.sum(joint, axis=0, keepdims=True)
+    mi = jnp.sum(
+        jnp.where(
+            joint > _EPS,
+            joint * (jnp.log(joint + _EPS) - jnp.log(pf + _EPS) - jnp.log(pm + _EPS)),
+            0.0,
+        )
+    )
+    return -mi
 
 
 _METRICS = {

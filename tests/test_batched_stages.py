@@ -151,6 +151,32 @@ def test_packed_mask_warp_bitwise_matches_per_mask():
             interp=INTERP_NEAREST, default_value=0.0)
         np.testing.assert_array_equal(unpacked[i], np.asarray(per))
 
+    # the linear-warp path: packed -> affine NN gather warp -> unpack must
+    # also equal the per-mask warps (the pipelines' apply_transforms_batched
+    # leg of the packed invariant)
+    from platipy_tpu.core.transform import Euler3DTransform
+    from platipy_tpu.registration.linear import apply_transforms_batched
+
+    ref = from_array(np.zeros((8, 12, 12), np.float32), spacing=(1.0, 1.5, 2.0))
+    tfms = [  # same pytree structure (the batched path stacks the leaves)
+        Euler3DTransform(angles=np.zeros(3, np.float32),
+                         translation=np.array([1.7, -0.8, 2.2], np.float32)),
+        Euler3DTransform(angles=np.array([0.1, -0.05, 0.2], np.float32),
+                         translation=np.array([-1.0, 0.5, 0.0], np.float32)),
+    ]
+    packed_imgs = [ref.with_array(packed)] * 2
+    warped_lin = apply_transforms_batched(
+        tfms, packed_imgs, ref, interpolator=INTERP_NEAREST,
+        default_value=0.0, as_stack=True,
+    )
+    unpacked_lin = np.asarray(unpack_binary_masks(warped_lin, n_bits))
+    for i, m in enumerate(masks):
+        per = apply_transforms_batched(
+            tfms, [ref.with_array(jnp.asarray(m))] * 2, ref,
+            interpolator=INTERP_NEAREST, default_value=0.0, as_stack=True,
+        )
+        np.testing.assert_array_equal(unpacked_lin[i], np.asarray(per))
+
 
 def test_pack_binary_masks_validates_count():
     from platipy_tpu.parallel.atlas import pack_binary_masks
@@ -159,3 +185,12 @@ def test_pack_binary_masks_validates_count():
         pack_binary_masks([])
     with pytest.raises(ValueError):
         pack_binary_masks([jnp.zeros((2, 2, 2))] * 25)
+
+
+def test_pack_binary_masks_validates_shapes():
+    from platipy_tpu.parallel.atlas import pack_binary_masks
+
+    # a broadcast-compatible mismatch ((y,x) among (z,y,x)) must error, not
+    # silently pack garbage
+    with pytest.raises(ValueError, match="same-shape"):
+        pack_binary_masks([jnp.zeros((2, 4, 4)), jnp.zeros((4, 4))])

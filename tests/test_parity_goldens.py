@@ -268,6 +268,82 @@ def test_mattes_mi_closed_form_on_correlated_gaussians():
     assert abs(est1 - est2) < 5e-3, (est1, est2)
 
 
+def test_joint_hist_mi_is_distinct_and_sane():
+    """joint_hist_mi implements ITK's JointHistogramMutualInformation
+    semantics (reference linear.py:146-148; SimpleITK defaults bins=20,
+    varianceForJointPDFSmoothing=1.5): tent-binned joint histogram with
+    2-bin padding + Gaussian PDF smoothing.  Checked against the
+    bivariate-Gaussian closed form MI = -0.5 ln(1 - rho^2): the heavy ITK
+    smoothing biases the estimate low (information inequality), but the
+    metric stays strictly monotone in dependence and affine-invariant —
+    and is NOT the Mattes estimator."""
+    import jax.numpy as jnp
+
+    from platipy_tpu.registration.metrics import joint_hist_mi, mattes_mi
+
+    rng = np.random.RandomState(3)
+    n = 200_000
+    z1 = rng.randn(n).astype(np.float32)
+    z2 = rng.randn(n).astype(np.float32)
+
+    estimates = {}
+    for rho, floor in ((0.3, 0.012), (0.6, 0.055), (0.9, 0.13)):
+        f = z1
+        m = rho * z1 + np.sqrt(1 - rho * rho) * z2
+        analytic = -0.5 * np.log(1 - rho * rho)
+        est = -float(joint_hist_mi(jnp.asarray(f), jnp.asarray(m)))
+        estimates[rho] = est
+        # smoothing can only LOSE information...
+        assert est < analytic + 1e-3, (rho, est, analytic)
+        # ...but must retain a usable signal (measured 0.019/0.080/0.187
+        # nats vs analytic 0.047/0.223/0.830 — the variance-1.5 PDF
+        # smoothing at 20 bins is a strong low-pass, exactly as in ITK)
+        assert est > floor, (rho, est, analytic)
+        # and must NOT be the Mattes estimator at the same bin count
+        mt = -float(mattes_mi(jnp.asarray(f), jnp.asarray(m), bins=20))
+        assert abs(est - mt) > 0.01, (rho, est, mt)
+
+    assert estimates[0.3] < estimates[0.6] < estimates[0.9]
+
+    # invariance under affine intensity remapping
+    f = z1
+    m = 0.9 * z1 + np.sqrt(1 - 0.81) * z2
+    est1 = -float(joint_hist_mi(jnp.asarray(f), jnp.asarray(m)))
+    est2 = -float(
+        joint_hist_mi(jnp.asarray(2.5 * f + 100), jnp.asarray(-3.0 * m + 7))
+    )
+    assert abs(est1 - est2) < 5e-3, (est1, est2)
+
+
+def test_registration_converges_under_joint_hist_mi():
+    """A translation registration recovers a known shift under the
+    joint-histogram MI metric across a NONLINEAR intensity remap (where
+    mean-squares has no valid optimum) — the multi-modality use case the
+    reference selects this metric for (linear.py:146-148)."""
+    from scipy.ndimage import gaussian_filter
+
+    from platipy_tpu.core.image import from_array
+    from platipy_tpu.registration.linear import linear_registration
+
+    rng = np.random.RandomState(0)
+    base = gaussian_filter(rng.rand(32, 48, 48).astype(np.float32), 3) * 1000
+    fixed = from_array(base, spacing=(1.5, 1.5, 2.0))
+    # moving = base shifted (+4 y, -3 x) voxels, then monotone-nonlinearly
+    # remapped — the truth pull-back translation is (x,y,z) = (-4.5, 6, 0) mm
+    shifted = np.roll(base, shift=(0, 4, -3), axis=(0, 1, 2))
+    moving_arr = (np.sqrt(shifted - shifted.min() + 1.0) * 50).astype(np.float32)
+    moving = from_array(moving_arr, spacing=(1.5, 1.5, 2.0))
+
+    _, tfm = linear_registration(
+        fixed, moving, reg_method="translation", metric="joint_hist_mi",
+        optimiser="gradient_descent_line_search", shrink_factors=[4, 2],
+        smooth_sigmas=[0, 0], sampling_rate=1.0, number_of_iterations=40,
+    )
+    t = np.asarray(tfm.transforms[-1].translation)
+    # np.roll wraps at the faces, which perturbs the optimum by ~half a voxel
+    np.testing.assert_allclose(t, [-4.5, 6.0, 0.0], atol=2.0)
+
+
 def test_displacement_field_composition_order_oracle():
     """The multiscale driver's composition (reference deformable.py:151-154)
     pulls the per-level increment through the running transform BEFORE
