@@ -535,8 +535,9 @@ def main():
     settings = make_settings(atlas_set)
 
     # held-out cases: independently deformed targets on the full grid
+    # (1 cold + 5 warm — VERDICT r4 item 5 asked for N=5 per-case spread)
     cases = []
-    for _ in range(4):
+    for _ in range(6):
         ct_t, masks_t = deform_case(ct0, fields0, rng,
                                     shift_vox=rng.randint(-3, 4, size=3))
         cases.append(to_images(ct_t, masks_t))
@@ -550,15 +551,22 @@ def main():
     # pre-warm the bounded crop-bucket lattice (VERDICT r2 item 5): run each
     # case once UNTIMED so any fresh shape bucket compiles (and lands in the
     # persistent cache) before timing — the deployed-service regime, where
-    # the lattice is compiled at service start, not billed to a patient case
-    for img_w, _ in cases[1:]:
-        run_case(img_w, settings)
-
-    # steady state: three distinct warm cases back-to-back
+    # the lattice is compiled at service start, not billed to a patient case.
+    # Record each pre-warm run's IAR outcome: the timed re-run of the SAME
+    # case must reproduce it exactly (same-case determinism check — the
+    # r4 warm_iar_stats spread was across DIFFERENT cases, i.e. ordinary
+    # data dependence, not run-to-run nondeterminism)
     from platipy_tpu.label import iar as _iar
 
+    prewarm_iar_stats = []
+    for img_w, _ in cases[1:]:
+        run_case(img_w, settings)
+        prewarm_iar_stats.append(getattr(_iar, "LAST_RUN_STATS", {}))
+
+    # steady state: five distinct warm cases back-to-back
     warm_times = []
     warm_iar_stats = []
+    per_case_min_dsc = []
     min_dsc = min(v["dsc"] for v in per_structure.values())
     for img_w, masks_w in cases[1:]:
         results_w, dt = run_case(img_w, settings)
@@ -567,10 +575,14 @@ def main():
         # surviving atlas each round) — record it per case so the warm
         # spread is attributable
         warm_iar_stats.append(getattr(_iar, "LAST_RUN_STATS", {}))
+        case_dsc = 1.0
         for s in STRUCTURES:
             m = surface_metrics(masks_w[s], results_w[s])
             min_dsc = min(min_dsc, m["dsc"])
+            case_dsc = min(case_dsc, m["dsc"])
+        per_case_min_dsc.append(case_dsc)
     warm_s = float(np.median(warm_times))
+    iar_deterministic = prewarm_iar_stats == warm_iar_stats
 
     # clinical-scale case (VERDICT r2 item 4): full-FOV 512x512x192 target
     # through auto-crop -> pipeline -> paste-back at original scale
@@ -617,6 +629,10 @@ def main():
         "vs_baseline": round(warm_s / baseline_s, 4),
         "cold_s": round(cold_s, 2),
         "warm_runs_s": [round(t, 2) for t in warm_times],
+        "per_case_min_dsc": per_case_min_dsc,
+        # True iff re-running each warm case reproduces its pre-warm run's
+        # IAR outcome exactly (same-case run-to-run determinism)
+        "iar_deterministic": iar_deterministic,
         "warm_iar_stats": warm_iar_stats,
         "throughput_cases_per_hour": round(3600.0 / warm_s, 1),
         "dsc": min_dsc,

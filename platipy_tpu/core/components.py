@@ -13,6 +13,7 @@ host round-trip.  Statistics are pure reductions (segment_sum / moments).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -26,6 +27,7 @@ __all__ = [
     "relabel_components",
     "keep_largest_component",
     "keep_largest_component_stack",
+    "fill_and_largest_component_stack_device",
     "connected_threshold",
     "label_shape_statistics",
     "get_union_mask",
@@ -191,6 +193,156 @@ def keep_largest_component_stack(stack, connectivity: int = 26) -> jnp.ndarray:
     with ThreadPoolExecutor(max_workers=min(8, stack_np.shape[0])) as pool:
         list(pool.map(one, range(stack_np.shape[0])))
     return jnp.asarray(out)  # one push
+
+
+# ---------------------------------------------------------------------------
+# fully on-device fill-holes + keep-largest (batched, jit/vmap-safe)
+#
+# The host path (native BFS fill + union-find CC) costs ~0.3 s per volume of
+# single-core host time — ~3 s for a 10-atlas IAR round on this image's
+# 1-core host.  Here both are propagation fixpoints computed with SEGMENTED
+# SCANS: within each contiguous run of a 1-D line, a log-depth associative
+# scan spreads the run minimum (labels) or maximum (reachability) in one
+# pass, so one round = 3 axes x 2 directions instead of O(run-length)
+# neighbour dilations.  A 26-neighbourhood min between rounds carries labels
+# across diagonal connections.  Convergence is in O(geodesic turn count):
+# 2-6 rounds for anatomical masks (vs ~100+ single-voxel dilations).
+# ---------------------------------------------------------------------------
+
+def _shift_along(arr, axis: int, offset: int, fill):
+    """Shift ``arr`` so out[i] = arr[i - offset] along ``axis`` (fill at the
+    vacated face)."""
+    n = arr.shape[axis]
+    if offset > 0:
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(0, n - offset)
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (offset, 0)
+    else:
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(-offset, n)
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (0, -offset)
+    return jnp.pad(arr[tuple(sl)], pad, constant_values=fill)
+
+
+def _segmented_run_reduce(v, mask, axis: int, kind: str):
+    """Spread each contiguous ``mask`` run's min (kind="min") or max
+    (kind="or") of ``v`` to every voxel of the run, along ``axis``."""
+    if kind == "min":
+        neutral = jnp.asarray(jnp.iinfo(v.dtype).max, v.dtype)
+        red = jnp.minimum
+    else:
+        neutral = jnp.asarray(0, v.dtype)
+        red = jnp.maximum
+    v = jnp.where(mask, v, neutral)
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, red(av, bv)), af | bf
+
+    out = None
+    for reverse in (False, True):
+        prev_in = _shift_along(mask, axis, -1 if reverse else 1, False)
+        flags = (~prev_in) | (~mask)
+        res, _ = jax.lax.associative_scan(
+            combine, (v, flags), axis=axis, reverse=reverse
+        )
+        out = res if out is None else red(out, res)
+    return jnp.where(mask, out, neutral)
+
+
+def _neighbor_min26(lab, mask, neutral):
+    padded = jnp.pad(lab, [(0, 0), (1, 1), (1, 1), (1, 1)],
+                     constant_values=neutral)
+    out = lab
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                if dz == 1 and dy == 1 and dx == 1:
+                    continue
+                out = jnp.minimum(out, jax.lax.dynamic_slice(
+                    padded, (0, dz, dy, dx), lab.shape))
+    return jnp.where(mask, out, neutral)
+
+
+def _fill_holes_stack_jit(mask, max_rounds: int):
+    """Background reachability from the border, batched [N,z,y,x] bool
+    (6-connectivity, matching the native fill) -> filled mask."""
+    bg = ~mask
+    border = jnp.zeros(mask.shape, bool)
+    for axis in (1, 2, 3):
+        sl = [slice(None)] * 4
+        sl[axis] = slice(0, 1)
+        border = border.at[tuple(sl)].set(True)
+        sl[axis] = slice(-1, None)
+        border = border.at[tuple(sl)].set(True)
+    reached = (border & bg).astype(jnp.int32)
+
+    def body(state):
+        r, _, it = state
+        new = r
+        for axis in (1, 2, 3):
+            new = _segmented_run_reduce(new, bg, axis, "or")
+        return new, jnp.any(new != r), it + 1
+
+    reached, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_rounds), body,
+        (reached, jnp.array(True), 0),
+    )
+    return mask | (bg & ~(reached > 0))
+
+
+def _largest_component_stack_jit(mask, max_rounds: int):
+    """Keep the largest 26-connected component of each mask in [N,z,y,x]."""
+    n = mask.shape[0]
+    vol = mask.shape[1] * mask.shape[2] * mask.shape[3]
+    neutral = jnp.asarray(vol, jnp.int32)
+    iota = jnp.arange(vol, dtype=jnp.int32).reshape(mask.shape[1:])[None]
+    lab = jnp.where(mask, jnp.broadcast_to(iota, mask.shape), neutral)
+
+    def body(state):
+        l, _, it = state
+        new = _neighbor_min26(l, mask, neutral)
+        for axis in (1, 2, 3):
+            new = _segmented_run_reduce(new, mask, axis, "min")
+        return new, jnp.any(new != l), it + 1
+
+    lab, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_rounds), body,
+        (lab, jnp.array(True), 0),
+    )
+
+    # modal label per atlas WITHOUT a big scatter (TPU scatter-adds with
+    # millions of colliding indices are slow): sort, then run lengths from
+    # run-start positions via cummax
+    flat = lab.reshape(n, -1)
+
+    def modal(l):
+        s = jnp.sort(l)
+        idx = jnp.arange(l.shape[0], dtype=jnp.int32)
+        is_start = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+        run_start = jax.lax.cummax(jnp.where(is_start, idx, -1))
+        is_end = jnp.concatenate([s[1:] != s[:-1], jnp.array([True])])
+        run_len = idx - run_start + 1
+        cand = jnp.where(is_end & (s < vol), run_len, -1)
+        return s[jnp.argmax(cand)]
+
+    best = jax.vmap(modal)(flat)
+    return mask & (lab == best[:, None, None, None].astype(lab.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def fill_and_largest_component_stack_device(stack, max_rounds: int = 256):
+    """Batched fill-holes (6-connected background) + keep-largest
+    (26-connected) of a [N,z,y,x] binary stack, entirely on device — the
+    device-side analogue of ``label.fusion.fill_and_largest_component_np``
+    (the post-threshold tail of ``process_probability_image``,
+    reference fusion.py:295-328).  Returns uint8."""
+    m = jnp.asarray(stack) > 0
+    filled = _fill_holes_stack_jit(m, max_rounds)
+    return _largest_component_stack_jit(filled, max_rounds).astype(jnp.uint8)
 
 
 def connected_threshold(image, seeds, lower: float, upper: float, connectivity: int = 6,

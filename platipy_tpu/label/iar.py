@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import logging
 
+import jax as _jax
 import numpy as np
 from scipy import ndimage
 from scipy.optimize import curve_fit
@@ -34,7 +35,8 @@ def median_absolute_deviation(data, axis=None):
 
 def _contour_np(mask: np.ndarray) -> np.ndarray:
     """Inner-boundary voxels, ITK BinaryContour semantics (face neighbours,
-    background-padded) — numpy mirror of morphology._label_contour_jit."""
+    background-padded) — numpy mirror of morphology._label_contour_jit
+    (kept as the oracle for tests of the device contour path)."""
     padded = np.pad(mask, 1, constant_values=False)
     interior = mask.copy()
     for off in ((0, 1, 1), (2, 1, 1), (1, 0, 1), (1, 2, 1), (1, 1, 0), (1, 1, 2)):
@@ -44,6 +46,27 @@ def _contour_np(mask: np.ndarray) -> np.ndarray:
     return mask & ~interior
 
 
+@_jax.jit
+def _contours_packed_jit(prob_stack, rel_thresholds):
+    """threshold (relative to each lane's max, process_probability_image
+    semantics) -> fill holes -> keep largest component -> inner contour
+    -> bit-pack, ONE device program over all atlases."""
+    import jax.numpy as jnp
+
+    from platipy_tpu.core.components import (
+        fill_and_largest_component_stack_device,
+    )
+    from platipy_tpu.core.morphology import _label_contour_jit
+
+    v = prob_stack.astype(jnp.float32)
+    maxes = jnp.max(v, axis=(1, 2, 3))
+    t = jnp.where(maxes > 0, rel_thresholds * maxes, rel_thresholds)
+    binary = v >= t[:, None, None, None]
+    proc = fill_and_largest_component_stack_device(binary)
+    cont = _jax.vmap(
+        lambda m: _label_contour_jit(m, fully_connected=False)
+    )(proc > 0)
+    return jnp.packbits(cont.reshape(-1))
 
 
 
@@ -149,30 +172,21 @@ def run_iar(
         # device program over every atlas (core/distance.py).  The contour
         # point sets depend only on each atlas's own mask, so recursion
         # rounds reuse them (``_dm_cache``); only the consensus surface is
-        # re-extracted — threshold on device, ONE bit-packed pull, host
-        # fill/largest/contour, and no device push (only the host-side
-        # surface voxels are consumed).
+        # re-extracted.  The whole threshold -> fill-holes -> largest-
+        # component -> contour chain runs ON DEVICE in one batched program
+        # (this image's 1-core host paid ~0.25 s per volume in the native
+        # BFS/union-find path); only bit-packed contours cross to the host,
+        # where argwhere builds the point sets.
         import jax.numpy as jnp
 
-        from platipy_tpu import native as _native
-        from platipy_tpu.label.fusion import _threshold_pack_jit
-
         spacing = np.asarray(probability_label.spacing, np.float64)
-        if _native.available():
-            from platipy_tpu.label.fusion import fill_and_largest_component_np
-
-            parr = probability_label.array.astype(jnp.float32)[None]
-            bits = np.asarray(_threshold_pack_jit(parr, jnp.asarray([0.95])))
-            ref_np = fill_and_largest_component_np(
-                np.unpackbits(bits, count=parr.size).reshape(parr.shape)[0]
-            )
-        else:
-            ref_np = np.asarray(
-                process_probability_image(probability_label, threshold=0.95).array
-            )
+        parr = probability_label.array
+        bits = np.asarray(_contours_packed_jit(
+            jnp.asarray(parr)[None], jnp.asarray([0.95], jnp.float32)
+        ))
+        ref_surface = np.unpackbits(bits, count=parr.size).reshape(parr.shape)
         from platipy_tpu.core.distance import min_distance_to_point_sets
 
-        ref_surface = _contour_np(ref_np > 0)
         # C-order voxel coords, strided like the reference's resample_factor
         ref_idx = np.argwhere(ref_surface)[::resample_factor]  # [M, 3] (z,y,x)
         ref_pts = ref_idx[:, ::-1].astype(np.float32) * spacing[None, :]
@@ -186,35 +200,12 @@ def run_iar(
                 atlas_set[i][label][reference_structure].array.astype(jnp.float32)
                 for i in missing
             ])
-            maxes = jnp.max(stack, axis=(1, 2, 3))
-            thresh = jnp.where(maxes > 0, 0.1 * maxes, 0.1)
-            binary_stack = np.asarray(
-                (stack >= thresh[:, None, None, None]).astype(jnp.uint8)
-            )  # the one volume pull
-            from platipy_tpu import native
-            from platipy_tpu.label.fusion import fill_and_largest_component_np
-
-            if native.available():
-                # parallel host fill/largest (ctypes releases the GIL) — the
-                # serial loop costs ~0.2 s per atlas of pure host time
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=min(8, len(missing))) as pool:
-                    processed = list(
-                        pool.map(fill_and_largest_component_np, binary_stack)
-                    )
-            else:
-                processed = [
-                    np.asarray(
-                        process_probability_image(
-                            atlas_set[i][label][reference_structure], 0.1
-                        ).array
-                    )
-                    for i in missing
-                ]
+            bits = np.asarray(_contours_packed_jit(
+                stack, jnp.full((len(missing),), 0.1, jnp.float32)
+            ))  # the one (bit-packed) pull
+            contours = np.unpackbits(bits, count=stack.size).reshape(stack.shape)
             for k, test_id in enumerate(missing):
-                test_contour = _contour_np(processed[k] > 0)
-                pts = np.argwhere(test_contour)[:, ::-1] * spacing[None, :]
+                pts = np.argwhere(contours[k])[:, ::-1] * spacing[None, :]
                 _dm_cache[test_id] = pts.astype(np.float32)
         _lap("atlas_contours")
 

@@ -265,3 +265,67 @@ def test_min_distance_to_point_sets_matches_bruteforce():
             ((query[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
         ).min(axis=1)
         np.testing.assert_allclose(out[i], d, rtol=1e-4, atol=1e-3)
+
+
+def test_device_contours_packed_matches_host_oracles():
+    """IAR's single-program threshold -> fill -> largest -> contour chain
+    (label/iar.py::_contours_packed_jit) must reproduce the host oracles
+    (fusion.fill_and_largest_component_np + iar._contour_np) bitwise,
+    including hole-fill and island-drop cases."""
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
+
+    from platipy_tpu.label.fusion import fill_and_largest_component_np
+    from platipy_tpu.label.iar import _contour_np, _contours_packed_jit
+
+    rng = np.random.RandomState(5)
+    cases = []
+    for i in range(3):
+        f = gaussian_filter(rng.rand(24, 36, 36).astype(np.float32), 4)
+        cases.append((f > np.percentile(f, 82)).astype(np.float32))
+    hole = np.zeros((24, 36, 36), np.float32)
+    hole[6:18, 8:28, 8:28] = 1
+    hole[10:13, 14:18, 14:18] = 0   # interior hole -> filled
+    hole[1:3, 1:3, 1:3] = 1         # island -> dropped
+    cases.append(hole)
+    cases.append(np.zeros((24, 36, 36), np.float32))  # empty lane
+
+    stack = jnp.asarray(np.stack(cases))
+    bits = np.asarray(
+        _contours_packed_jit(stack, jnp.full((len(cases),), 0.1, jnp.float32))
+    )
+    contours = np.unpackbits(bits, count=stack.size).reshape(stack.shape)
+    for k, c in enumerate(cases):
+        ref = _contour_np(fill_and_largest_component_np(
+            (c >= (0.1 * c.max() if c.max() > 0 else 0.1)).astype(np.uint8)
+        ) > 0)
+        np.testing.assert_array_equal(contours[k].astype(bool), ref,
+                                      err_msg=f"case {k}")
+
+
+def test_fill_and_largest_device_matches_native():
+    """Batched device fill+largest (core/components.py) vs the native host
+    union-find path on multi-component masks with holes."""
+    from scipy.ndimage import gaussian_filter
+
+    from platipy_tpu.core.components import (
+        fill_and_largest_component_stack_device,
+    )
+    from platipy_tpu.label.fusion import fill_and_largest_component_np
+
+    rng = np.random.RandomState(11)
+    cases = [
+        (gaussian_filter(rng.rand(20, 30, 30).astype(np.float32), 3)
+         > 0.52).astype(np.uint8)
+        for _ in range(4)
+    ]
+    # thin snake: exercises many propagation rounds
+    snake = np.zeros((20, 30, 30), np.uint8)
+    for k in range(0, 30, 6):
+        snake[10, 2:28, k] = 1
+        snake[10, 27 if (k // 6) % 2 == 0 else 2, k:min(k + 6, 30)] = 1
+    cases.append(snake)
+    out = np.asarray(fill_and_largest_component_stack_device(np.stack(cases)))
+    for k, m in enumerate(cases):
+        np.testing.assert_array_equal(out[k], fill_and_largest_component_np(m),
+                                      err_msg=f"case {k}")
