@@ -505,6 +505,40 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         )
         img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
 
+        # TPU extension (default off = reference parity): sample the affine
+        # metric only on the tight box where the quick-registered atlases
+        # actually carry data.  On full-FOV targets the crop box's margin is
+        # mostly target-only anatomy mapping out of every atlas; a
+        # valid-point-excluded mean metric then REWARDS scale distortions
+        # that swap hard in-bounds points for easy margin points (measured
+        # r5: per-atlas affine scale factors 0.80-1.14 on the full-grid
+        # bench, ~2-8 mm of mid-volume structure displacement).  Transforms
+        # are physical-space, so registering on the tight grid and warping
+        # onto the full crop grid compose exactly.
+        linear_target = None
+        if settings["linear_registration_settings"].get(
+            "metric_box", "crop"
+        ) == "atlas_extent":
+            # small margin keeps gradient room at the anatomy edge; the
+            # POINT is dropping the crop's 20-40 mm dilution margins
+            reg_size, reg_index = label_to_roi(combined_image,
+                                               expansion_mm=[10, 10, 10])
+            reg_size, reg_index = pad_roi_to_multiple(
+                reg_size, reg_index, img.size, 32
+            )
+            reg_size, reg_index = snap_roi_to_seen_bucket(
+                reg_size, reg_index, img.size, max_overhead=1.2
+            )
+            # guard: quick-reg extents of air-dominated atlases can collapse
+            # to the structures alone (combine_for_crop keeps voxels above
+            # air) — a degenerate sliver is a worse metric domain than the
+            # crop, so require a substantial box before engaging
+            substantial = all(
+                r >= 0.5 * c for r, c in zip(reg_size, crop_box_size)
+            )
+            if substantial and tuple(reg_size) != tuple(crop_box_size):
+                linear_target = crop_to_roi(img, reg_size, reg_index)
+
     logger.info("Calculated crop box: %s %s", crop_box_index, crop_box_size)
     if timer:
         timer.lap("load_and_crop", sync=img_crop)
@@ -535,7 +569,7 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     originals = [atlas_set[i]["Original"] for i in atlas_id_list]
     n_atlases = len(atlas_id_list)
     reg_kwargs = {k: v for k, v in linear_registration_settings.items()
-                  if k != "verbose"}
+                  if k not in ("verbose", "metric_box")}
     if guide_structure:
         from platipy_tpu.registration.utils import convert_masks_to_reg_structures
 
@@ -554,10 +588,29 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     else:
         # ...and here it IS the linearly-registered CT stack (same interp and
         # default value the dedicated CT warp used)
-        ct_rir, batched_tfms, stacked_tfm = linear_registration_batched(
-            img_crop, [o["CT Image"] for o in originals], as_stack=True,
-            return_stacked_transform=True, **reg_kwargs
-        )
+        if linear_target is not None:
+            # tight-metric-box extension: optimise on the atlas-data box,
+            # then warp onto the pipeline crop grid (transforms compose in
+            # physical space, so the grids interchange exactly)
+            _, batched_tfms, stacked_tfm = linear_registration_batched(
+                linear_target, [o["CT Image"] for o in originals],
+                as_stack=True, return_stacked_transform=True, **reg_kwargs
+            )
+            dv = reg_kwargs.get("default_value")
+            if dv is None:  # the serial path's CT auto-detect (linear.py)
+                dv = -1000 if float(
+                    np.asarray(originals[0]["CT Image"].array).min()
+                ) <= -1000 else 0
+            ct_rir = apply_transforms_batched(
+                stacked_tfm, [o["CT Image"] for o in originals], img_crop,
+                interpolator=reg_kwargs.get("final_interp", INTERP_LINEAR),
+                default_value=dv, as_stack=True,
+            )
+        else:
+            ct_rir, batched_tfms, stacked_tfm = linear_registration_batched(
+                img_crop, [o["CT Image"] for o in originals], as_stack=True,
+                return_stacked_transform=True, **reg_kwargs
+            )
     if dtimer:
         dtimer.lap("linear_reg",
                    sync=jax.tree_util.tree_leaves(stacked_tfm)[0])

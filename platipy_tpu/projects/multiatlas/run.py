@@ -238,11 +238,16 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
 
     ckpt = StageCheckpoint(settings.get("checkpoint_directory"))
 
+    reg_box = None  # (size, index) of the tight linear-metric box, if any
     if ckpt.has("cropbox"):
         meta = ckpt.meta("cropbox")
         crop_box_size = [int(v) for v in meta["size"]]
         crop_box_index = [int(v) for v in meta["index"]]
         logger.info("Resumed crop box from checkpoint.")
+        if ckpt.has("regbox"):
+            meta = ckpt.meta("regbox")
+            reg_box = ([int(v) for v in meta["size"]],
+                       [int(v) for v in meta["index"]])
     else:
         logger.info("Running initial similarity transform to crop image volume")
         crop_ids = atlas_id_list[: min(8, len(atlas_id_list))]
@@ -271,6 +276,33 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         )
         ckpt.save("cropbox", meta={"size": list(crop_box_size),
                                    "index": list(crop_box_index)})
+
+        # TPU extension (default off = reference parity; see the cardiac
+        # pipeline for rationale/measurements): sample the affine metric
+        # only on the tight box where the quick-registered atlases carry
+        # data — the crop's 20-40 mm margins are target-only anatomy whose
+        # valid-point-excluded mean metric rewards scale distortions on
+        # full-FOV targets
+        if settings["linear_registration_settings"].get(
+            "metric_box", "crop"
+        ) == "atlas_extent":
+            reg_size, reg_index = label_to_roi(combined_image,
+                                               expansion_mm=[10, 10, 10])
+            reg_size, reg_index = pad_roi_to_multiple(
+                reg_size, reg_index, img.size, 32
+            )
+            reg_size, reg_index = snap_roi_to_seen_bucket(
+                reg_size, reg_index, img.size, max_overhead=1.2
+            )
+            substantial = all(
+                r >= 0.5 * c for r, c in zip(reg_size, crop_box_size)
+            )
+            if substantial and tuple(reg_size) != tuple(crop_box_size):
+                reg_box = (reg_size, reg_index)
+                ckpt.save("regbox", meta={"size": list(reg_size),
+                                          "index": list(reg_index)})
+    linear_target = (crop_to_roi(img, reg_box[0], reg_box[1])
+                     if reg_box is not None else None)
     img_crop = crop_to_roi(img, crop_box_size, crop_box_index)
     logger.info("Calculated crop box: %s %s", crop_box_index, crop_box_size)
     if timer:
@@ -318,10 +350,32 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         )
 
         reg_movings = [atlas_set[i]["Original"]["CT Image"] for i in atlas_id_list]
-        moving_stack, _, stacked_tfm = linear_registration_batched(
-            img_crop, reg_movings, as_stack=True, return_stacked_transform=True,
-            **{k: v for k, v in linear_registration_settings.items() if k != "verbose"},
-        )
+        lin_kwargs = {k: v for k, v in linear_registration_settings.items()
+                      if k not in ("verbose", "metric_box")}
+        if linear_target is not None:
+            # tight-metric-box extension: optimise on the atlas-data box,
+            # warp onto the pipeline crop grid (physical-space transforms
+            # compose exactly across the grids)
+            _, _, stacked_tfm = linear_registration_batched(
+                linear_target, reg_movings, as_stack=True,
+                return_stacked_transform=True, **lin_kwargs,
+            )
+            dv = lin_kwargs.get("default_value")
+            if dv is None:
+                # the serial path's CT auto-detect (linear.py)
+                dv = -1000 if float(
+                    np.asarray(reg_movings[0].array).min()
+                ) <= -1000 else 0
+            moving_stack = apply_transforms_batched(
+                stacked_tfm, reg_movings, img_crop,
+                interpolator=lin_kwargs.get("final_interp", INTERP_LINEAR),
+                default_value=dv, as_stack=True,
+            )
+        else:
+            moving_stack, _, stacked_tfm = linear_registration_batched(
+                img_crop, reg_movings, as_stack=True,
+                return_stacked_transform=True, **lin_kwargs,
+            )
         # ALL structure warps as ONE bit-packed volume per atlas — NN
         # sampling selects whole source voxels, so warping the packed volume
         # is bitwise-identical to the reference's per-structure sitk.Resample
