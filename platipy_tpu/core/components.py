@@ -228,43 +228,41 @@ def _shift_along(arr, axis: int, offset: int, fill):
 
 def _segmented_run_reduce(v, mask, axis: int, kind: str):
     """Spread each contiguous ``mask`` run's min (kind="min") or max
-    (kind="or") of ``v`` to every voxel of the run, along ``axis``."""
+    (kind="or") of ``v`` to every voxel of the run, along ``axis``.
+
+    Forward + backward ``lax.scan`` (prefix/suffix within run): the scan
+    body is traced ONCE regardless of axis length, keeping the compiled
+    program small — an associative_scan formulation unrolls ~2 log(n)
+    slicing stages per scan and pushed the whole fill+largest program past
+    the remote compile service's patience at clinical volume shapes."""
     if kind == "min":
         neutral = jnp.asarray(jnp.iinfo(v.dtype).max, v.dtype)
         red = jnp.minimum
     else:
         neutral = jnp.asarray(0, v.dtype)
         red = jnp.maximum
-    v = jnp.where(mask, v, neutral)
+    vm = jnp.moveaxis(jnp.where(mask, v, neutral), axis, 0)
+    mm = jnp.moveaxis(mask, axis, 0)
 
-    def combine(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, red(av, bv)), af | bf
+    def step(carry, xs):
+        pv, pm = carry
+        vi, mi = xs
+        acc = jnp.where(mi & pm, red(pv, vi), jnp.where(mi, vi, neutral))
+        return (acc, mi), acc
 
-    out = None
-    for reverse in (False, True):
-        prev_in = _shift_along(mask, axis, -1 if reverse else 1, False)
-        flags = (~prev_in) | (~mask)
-        res, _ = jax.lax.associative_scan(
-            combine, (v, flags), axis=axis, reverse=reverse
-        )
-        out = res if out is None else red(out, res)
-    return jnp.where(mask, out, neutral)
+    init = (jnp.full_like(vm[0], neutral), jnp.zeros_like(mm[0]))
+    _, fwd = jax.lax.scan(step, init, (vm, mm))
+    _, bwd = jax.lax.scan(step, init, (vm, mm), reverse=True)
+    out = red(fwd, bwd)
+    return jnp.moveaxis(jnp.where(mm, out, neutral), 0, axis)
 
 
 def _neighbor_min26(lab, mask, neutral):
-    padded = jnp.pad(lab, [(0, 0), (1, 1), (1, 1), (1, 1)],
-                     constant_values=neutral)
-    out = lab
-    for dz in range(3):
-        for dy in range(3):
-            for dx in range(3):
-                if dz == 1 and dy == 1 and dx == 1:
-                    continue
-                out = jnp.minimum(out, jax.lax.dynamic_slice(
-                    padded, (0, dz, dy, dx), lab.shape))
-    return jnp.where(mask, out, neutral)
+    nb = jax.lax.reduce_window(
+        jnp.where(mask, lab, neutral), neutral, jax.lax.min,
+        (1, 3, 3, 3), (1, 1, 1, 1), "SAME",
+    )
+    return jnp.where(mask, jnp.minimum(lab, nb), neutral)
 
 
 def _fill_holes_stack_jit(mask, max_rounds: int):

@@ -61,7 +61,9 @@ def main():
     base = bench.surface_metrics(masks_full["VESSEL"], res["VESSEL"])
     print(f"pipeline ({dt:.1f}s) VESSEL baseline: {base}", flush=True)
 
-    aset = card_run.LAST_ATLAS_SET  # post-DIR, post-IAR view
+    # the pipeline splines with use_all_registered_atlases=True — evaluate
+    # variants on the same FULL registered set, not the IAR-pruned view
+    aset = card_run.LAST_ATLAS_SET_PRE_IAR
     img_crop = card_run.LAST_IMG_CROP
     cb_size, cb_index = card_run.LAST_CROP_BOX
     vss = settings["vessel_spline_settings"]
