@@ -519,10 +519,16 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         if settings["linear_registration_settings"].get(
             "metric_box", "crop"
         ) == "atlas_extent":
-            # small margin keeps gradient room at the anatomy edge; the
-            # POINT is dropping the crop's 20-40 mm dilution margins
+            # the POINT is dropping the crop's 20-40 mm dilution margins;
+            # a NEGATIVE margin shrinks the box inside the atlas extent so
+            # every sampled fixed point stays in-bounds for any plausible
+            # transform — leaving the metric's valid-point normalisation
+            # nothing to game at the box faces
+            mb_exp = settings["linear_registration_settings"].get(
+                "metric_box_expansion_mm", [10, 10, 10]
+            )
             reg_size, reg_index = label_to_roi(combined_image,
-                                               expansion_mm=[10, 10, 10])
+                                               expansion_mm=mb_exp)
             reg_size, reg_index = pad_roi_to_multiple(
                 reg_size, reg_index, img.size, 32
             )
@@ -569,7 +575,7 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
     originals = [atlas_set[i]["Original"] for i in atlas_id_list]
     n_atlases = len(atlas_id_list)
     reg_kwargs = {k: v for k, v in linear_registration_settings.items()
-                  if k not in ("verbose", "metric_box")}
+                  if k not in ("verbose", "metric_box", "metric_box_expansion_mm")}
     if guide_structure:
         from platipy_tpu.registration.utils import convert_masks_to_reg_structures
 

@@ -286,8 +286,11 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         if settings["linear_registration_settings"].get(
             "metric_box", "crop"
         ) == "atlas_extent":
+            mb_exp = settings["linear_registration_settings"].get(
+                "metric_box_expansion_mm", [10, 10, 10]
+            )
             reg_size, reg_index = label_to_roi(combined_image,
-                                               expansion_mm=[10, 10, 10])
+                                               expansion_mm=mb_exp)
             reg_size, reg_index = pad_roi_to_multiple(
                 reg_size, reg_index, img.size, 32
             )
@@ -351,7 +354,7 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
 
         reg_movings = [atlas_set[i]["Original"]["CT Image"] for i in atlas_id_list]
         lin_kwargs = {k: v for k, v in linear_registration_settings.items()
-                      if k not in ("verbose", "metric_box")}
+                      if k not in ("verbose", "metric_box", "metric_box_expansion_mm")}
         if linear_target is not None:
             # tight-metric-box extension: optimise on the atlas-data box,
             # warp onto the pipeline crop grid (physical-space transforms

@@ -370,6 +370,30 @@ def tube_mask_from_points(centreline_points, radius_mm: float, reference_image: 
     return reference_image.with_array(mask)
 
 
+def _extend_centreline(ctr: np.ndarray, lo_val: float, hi_val: float,
+                       axis_idx: int) -> np.ndarray:
+    """Linearly extend a sampled centreline along its end tangents until its
+    scan-axis coordinate reaches ``lo_val`` / ``hi_val`` (EXTENSION — used by
+    ``end_trim``: the trimmed noisy end slices still anchor the observed
+    vessel extent, which the straight extension recovers)."""
+    if ctr.shape[0] < 2:
+        return ctr
+    segs = [ctr]
+    d0 = ctr[0] - ctr[1]
+    if abs(d0[axis_idx]) > 1e-9:
+        t = (lo_val - ctr[0][axis_idx]) / d0[axis_idx]
+        if t > 0:
+            segs.insert(0, np.linspace(ctr[0] + d0 * t, ctr[0], 8,
+                                       endpoint=False))
+    d1 = ctr[-1] - ctr[-2]
+    if abs(d1[axis_idx]) > 1e-9:
+        t = (hi_val - ctr[-1][axis_idx]) / d1[axis_idx]
+        if t > 0:
+            segs.append(np.linspace(ctr[-1] + d1 * t, ctr[-1], 8,
+                                    endpoint=False)[::-1])
+    return np.concatenate(segs)
+
+
 def vessel_spline_generation(
     reference_image: Image,
     atlas_set: Dict,
@@ -384,6 +408,8 @@ def vessel_spline_generation(
     com_source: str = "binary",
     prob_threshold: float = 0.5,
     vote_params: Dict = None,
+    end_trim: int = 0,
+    clip_to_extent: bool = False,
 ) -> Dict[str, Image]:
     """Generate splined vessels from per-atlas masks (reference vessel.py:336-435).
 
@@ -400,7 +426,17 @@ def vessel_spline_generation(
     voxels contribute, ``vote_params`` tunes the local weight maps — a
     sharper sigma≈1.0 measurably beats the fusion default 2.0 for thin
     structures — and the binary path's stop condition maps to a fused-mass
-    minimum of ``stop_condition_value``)."""
+    minimum of ``stop_condition_value``).
+
+    ``end_trim`` (EXTENSION; default 0 = reference behaviour): exclude the
+    N outermost COM slices at each end from the spline FIT — end slices are
+    estimated from the fewest well-registered atlases and carry the largest
+    COM noise — while a straight extension along the fitted end tangents
+    recovers the full observed extent.  ``clip_to_extent`` (EXTENSION;
+    default False): zero the rasterised tube beyond the COM chain's extent
+    along the scan axis, removing the hemispherical end caps the
+    point-to-segment rasterisation otherwise adds past the last observed
+    slice."""
     if com_source not in ("binary", "fused_probability"):
         raise ValueError("com_source must be 'binary' or 'fused_probability'")
     splined_vessels = {}
@@ -454,12 +490,42 @@ def vessel_spline_generation(
                 vessel_name, stop_condition_type_dict[vessel_name],
                 stop_condition_value_dict[vessel_name], len(image_list),
             )
-        centreline = spline_centreline(point_array, smoothing=spline_smoothing,
-                                       weights=point_masses)
+
+        scan = scan_direction_dict[vessel_name].lower()
+        axis_idx = 2 if scan == "z" else 0  # physical (x,y,z) coordinate
+        fit_pts, fit_w = point_array, point_masses
+        lo_val = hi_val = None
+        if len(point_array):
+            lo_val = float(point_array[0][axis_idx])
+            hi_val = float(point_array[-1][axis_idx])
+        if end_trim and len(point_array) > 2 * end_trim + 4:
+            fit_pts = point_array[end_trim:-end_trim]
+            if point_masses is not None:
+                fit_w = point_masses[end_trim:-end_trim]
+        centreline = spline_centreline(fit_pts, smoothing=spline_smoothing,
+                                       weights=fit_w)
+        if end_trim and lo_val is not None and len(centreline) >= 2:
+            centreline = _extend_centreline(np.asarray(centreline),
+                                            lo_val, hi_val, axis_idx)
 
         vessel_delineation = tube_mask_from_points(
             centreline, vessel_radius_mm_dict[vessel_name], image_list[0]
         )
+        if clip_to_extent and lo_val is not None:
+            ref0 = image_list[0]
+            origin_c = float(ref0.origin[axis_idx])
+            sp_c = float(ref0.spacing[axis_idx])
+            i_lo = int(round((lo_val - origin_c) / sp_c))
+            i_hi = int(round((hi_val - origin_c) / sp_c))
+            arr = np.array(vessel_delineation.array)  # owned, writable copy
+            arr_axis = 0 if scan == "z" else 2  # [z,y,x] array axis
+            sl = [slice(None)] * 3
+            sl[arr_axis] = slice(0, max(i_lo, 0))
+            arr[tuple(sl)] = 0
+            sl[arr_axis] = slice(i_hi + 1, None)
+            arr[tuple(sl)] = 0
+            vessel_delineation = vessel_delineation.with_array(
+                jnp.asarray(arr))
         # reattach the true direction (identity-space geometry, reference :426)
         vessel_delineation = Image(
             vessel_delineation.array,

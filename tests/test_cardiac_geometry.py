@@ -407,3 +407,50 @@ def test_rotate_image_and_vector_angle():
     # the +8-voxel y offset rotates into a +/-8-voxel z offset
     assert abs(yy.mean() - 16) < 1.5
     assert abs(zz.mean() - 16) > 5.0
+
+
+def test_vessel_end_trim_and_clip_to_extent():
+    """end_trim excludes noisy end COMs from the spline fit but the straight
+    end extension recovers the observed extent; clip_to_extent removes the
+    hemispherical end caps beyond the chain extent (both EXTENSIONS,
+    default-off reference parity)."""
+    from platipy_tpu.utils.vessel import vessel_spline_generation
+
+    # straight tube along z with DISPLACED outermost end slices (the noisy
+    # end-COM regime of full-FOV multi-atlas registration)
+    arr = np.zeros((48, 64, 64), np.uint8)
+    yy, xx = np.mgrid[:64, :64]
+    for z in range(6, 42):
+        cy, cx = 32, 30
+        if z in (6, 7, 40, 41):
+            cy, cx = 38, 36  # ~8.5 px lateral error at the ends
+        arr[z][(yy - cy) ** 2 + (xx - cx) ** 2 <= 4.0**2] = 1
+    img = from_array(arr, spacing=(1.0, 1.0, 2.0))
+    atlas_set = {"0": {"DIR": {"VESSEL": img}}}
+
+    kw = dict(
+        vessel_radius_mm_dict={"VESSEL": 4},
+        stop_condition_type_dict={"VESSEL": "count"},
+        stop_condition_value_dict={"VESSEL": 0},
+        scan_direction_dict={"VESSEL": "z"},
+    )
+    base = vessel_spline_generation(img, atlas_set, ["VESSEL"], **kw)["VESSEL"]
+    fixed = vessel_spline_generation(
+        img, atlas_set, ["VESSEL"], end_trim=3, clip_to_extent=True, **kw
+    )["VESSEL"]
+
+    truth = np.zeros_like(arr)
+    for z in range(6, 42):
+        truth[z][(yy - 32) ** 2 + (xx - 30) ** 2 <= 4.0**2] = 1
+
+    def dsc(a, b):
+        a, b = np.asarray(a) > 0, np.asarray(b) > 0
+        return 2 * (a & b).sum() / max(a.sum() + b.sum(), 1)
+
+    base_arr = np.asarray(base.array)
+    fixed_arr = np.asarray(fixed.array)
+    # clip: nothing beyond the chain extent (base has end caps / end wander)
+    assert fixed_arr[:6].sum() == 0 and fixed_arr[42:].sum() == 0
+    # end handling recovers the straight tube better than the raw fit
+    assert dsc(fixed_arr, truth) > dsc(base_arr, truth) + 0.02
+    assert dsc(fixed_arr, truth) > 0.9

@@ -113,6 +113,12 @@ def main():
         "oob_tight": {"oob": True, "exp": [20, 20, 20]},
         "tightreg": {"metric_box": "atlas_extent"},
         "tightreg_oob": {"metric_box": "atlas_extent", "oob": True},
+        "shrinkreg_oob": {"metric_box": "atlas_extent", "oob": True,
+                          "mb_exp": [-10, -10, -10]},
+        "final": {"metric_box": "atlas_extent", "oob": True,
+                  "vessel_ends": True},
+        "final_shrink": {"metric_box": "atlas_extent", "oob": True,
+                         "mb_exp": [-10, -10, -10], "vessel_ends": True},
     }
     for name in which:
         v = variants[name]
@@ -126,6 +132,12 @@ def main():
             settings["auto_crop_target_image_settings"]["expansion_mm"] = v["exp"]
         if v.get("metric_box"):
             settings["linear_registration_settings"]["metric_box"] = v["metric_box"]
+        if v.get("mb_exp"):
+            settings["linear_registration_settings"][
+                "metric_box_expansion_mm"] = v["mb_exp"]
+        if v.get("vessel_ends"):
+            settings["vessel_spline_settings"]["end_trim"] = 3
+            settings["vessel_spline_settings"]["clip_to_extent"] = True
         res, dt = bench.run_case(img_full, settings)
         mets = bench.surface_metrics(masks_full["VESSEL"], res["VESSEL"])
         wh = bench.surface_metrics(masks_full["WHOLEHEART"], res["WHOLEHEART"])
