@@ -259,6 +259,19 @@ def make_settings(atlas_set):
     a["atlas_structure_list"] = list(STRUCTURES)
     a["guide_structure_name"] = None
 
+    # full-FOV robustness extensions (both measured on the clinical-scale
+    # case, r5): sample the affine metric on the tight atlas-data box — the
+    # crop margins otherwise reward scale gaming through the valid-point-
+    # excluded mean metric (per-atlas affine scales 0.80-1.14, vessel DSC
+    # 0.806) — and silence demons forces where the atlas is out of bounds
+    settings["linear_registration_settings"]["metric_box"] = "atlas_extent"
+    # shrink the box 10 mm INSIDE the atlas extent: every sampled point then
+    # stays in-bounds under any plausible transform, leaving the metric no
+    # out-of-bounds margin to game (measured r5: affine scale factors
+    # 0.80-1.14 -> 0.94-1.06, full-grid vessel DSC 0.942 -> 0.959)
+    settings["linear_registration_settings"]["metric_box_expansion_mm"] = [-10, -10, -10]
+    settings["deformable_registration_settings"]["oob_inherit_fixed"] = True
+
     settings["iar_settings"]["reference_structure"] = "WHOLEHEART"
     # local (Gaussian-weighted intensity-difference) voting: one extra
     # separable convolution per atlas and measurably better DSC than
@@ -294,6 +307,12 @@ def make_settings(atlas_set):
         # fusion; the intensity weighting already downweights bad atlases
         # voxel-by-voxel, so the larger sample wins)
         "use_all_registered_atlases": True,
+        # end handling (r5): the outermost COM slices carry the largest
+        # registration noise — exclude them from the spline fit (straight
+        # extension recovers the extent) and clip the tube's end caps to
+        # the observed extent (measured: full-grid vessel DSC 0.915 -> 0.942)
+        "end_trim": 3,
+        "clip_to_extent": True,
     }
     # the phantom has no 4-chamber anatomy for valve/conduction geometry
     settings["geometric_segmentation_settings"]["run_geometric_algorithms"] = False

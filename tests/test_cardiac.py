@@ -334,3 +334,101 @@ def test_hybrid_task400_architecture_e2e(cardiac_data):
     # 0.949), so a guided-vs-unguided comparison is unattainable by
     # construction on this phantom — the absolute floor is the honest gate
     assert dsc_sub_hybrid > 0.75
+
+
+def test_full_fov_vessel_through_auto_crop():
+    """Full-FOV regression (r5): a thin tube segmented through the
+    auto-crop -> register -> spline -> paste path of a clinical-scale grid,
+    with the full-FOV robustness extensions (tight metric box with negative
+    margin, demons OOB gating, vessel end handling).  Pins the failure mode
+    where margin dilution of the affine metric displaced the vessel
+    centreline (full-grid bench DSC 0.806 -> 0.959)."""
+    import copy
+
+    import numpy as np
+
+    from platipy_tpu.label.comparison import compute_metric_dsc
+    from platipy_tpu.utils.crop import reset_roi_buckets
+
+    rng = np.random.RandomState(4)
+    BLOCK = (40, 64, 64)   # "cardiac crop" block [z,y,x]
+    FULL = (72, 160, 160)  # full-FOV target grid
+    yy, xx = np.mgrid[:64, :64]
+
+    zz3, yy3, xx3 = np.mgrid[:BLOCK[0], :BLOCK[1], :BLOCK[2]].astype(np.float32)
+
+    def block_case(shift):
+        """Soft-tissue block with a bright heart-like ellipsoid (the
+        registration anatomy) and a thin bright tube along its full z."""
+        ct = np.full(BLOCK, 40.0, np.float32)
+        ct += rng.randn(*BLOCK).astype(np.float32) * 5  # texture
+        r = np.sqrt(((zz3 - 20 - shift) / 14) ** 2 + ((yy3 - 32 - shift) / 20) ** 2
+                    + ((xx3 - 36) / 18) ** 2)
+        ct += (r < 1.0) * 160.0  # contrasting ellipsoid
+        m = np.zeros(BLOCK, np.float32)
+        for z in range(BLOCK[0]):
+            cy = 32 + shift + 4 * np.sin(z / 9.0)
+            cx = 22 + shift
+            disk = (yy - cy) ** 2 + (xx - cx) ** 2 <= 3.2**2
+            m[z][disk] = 1
+            ct[z][disk] = 300.0
+        return ct, m
+
+    atlas_set = {}
+    for i in range(4):
+        ct, m = block_case(i - 1.5)
+        atlas_set[f"{i}"] = {
+            "CT Image": from_array(ct, spacing=(1.5, 1.5, 2.0)),
+            "VESSEL": from_array(m.astype(np.uint8), spacing=(1.5, 1.5, 2.0)),
+        }
+
+    # target: the block embedded off-centre in a larger air+torso grid
+    ct_b, m_b = block_case(0.7)
+    full_ct = np.full(FULL, -1000.0, np.float32)
+    yf, xf = np.mgrid[:FULL[1], :FULL[2]]
+    torso = ((yf - 80) ** 2 / 70.0**2 + (xf - 80) ** 2 / 75.0**2) < 1.0
+    full_ct += torso[None] * 1040.0
+    z0, y0, x0 = 16, 48, 48
+    full_ct[z0:z0 + BLOCK[0], y0:y0 + BLOCK[1], x0:x0 + BLOCK[2]] = ct_b
+    gt = np.zeros(FULL, np.uint8)
+    gt[z0:z0 + BLOCK[0], y0:y0 + BLOCK[1], x0:x0 + BLOCK[2]] = m_b > 0
+    target = from_array(full_ct, spacing=(1.5, 1.5, 2.0))
+
+    reset_roi_buckets()
+    settings = copy.deepcopy(CARDIAC_SETTINGS_DEFAULTS)
+    a = settings["atlas_settings"]
+    a["atlas_set"] = atlas_set
+    a["atlas_id_list"] = list(atlas_set)
+    a["atlas_structure_list"] = ["VESSEL"]
+    a["guide_structure_name"] = None
+    lrs = settings["linear_registration_settings"]
+    lrs.update(shrink_factors=[8, 4], smooth_sigmas=[0, 0],
+               number_of_iterations=25, metric_box="atlas_extent",
+               metric_box_expansion_mm=[-6, -6, -6])
+    settings["deformable_registration_settings"].update(
+        resolution_staging=[6, 3], iteration_staging=[10, 10],
+        smoothing_sigmas=[0, 0], oob_inherit_fixed=True)
+    settings["iar_settings"]["reference_structure"] = None
+    settings["label_fusion_settings"]["optimal_threshold"] = {}
+    settings["vessel_spline_settings"] = {
+        "vessel_name_list": ["VESSEL"],
+        "vessel_radius_mm_dict": {"VESSEL": 4.8},
+        "scan_direction_dict": {"VESSEL": "z"},
+        "stop_condition_type_dict": {"VESSEL": "count"},
+        "stop_condition_value_dict": {"VESSEL": 1},
+        "com_source": "fused_probability",
+        "prob_threshold": 0.3,
+        "vote_params": {"sigma": 1.0},
+        "spline_smoothing": 0.1,
+        "use_all_registered_atlases": True,
+        "end_trim": 2,
+        "clip_to_extent": True,
+    }
+    settings["geometric_segmentation_settings"]["run_geometric_algorithms"] = False
+    settings["postprocessing_settings"]["run_postprocessing"] = False
+
+    results, _ = run_cardiac_segmentation(target, settings=settings)
+    dsc = float(compute_metric_dsc(
+        from_array(gt, spacing=(1.5, 1.5, 2.0)), results["VESSEL"]))
+    logger.info("full-FOV vessel DSC %s", dsc)
+    assert dsc > 0.85
