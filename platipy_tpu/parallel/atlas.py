@@ -18,6 +18,7 @@ vmap/shard/jit cleanly; the Image-level pipeline wraps them.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -279,7 +280,34 @@ def batched_multiscale_demons(
     Per level one jitted program runs: regrid fields, pre-warp, N demons loops
     under vmap, composition, total-field smoothing.  Sharding the leading axis
     makes each step chip-local.
+
+    On a SINGLE device the atlas batch is processed in chunks of <=5: the
+    10-lane level program runs ~20% slower per atlas than two 5-lane runs
+    (measured r5 at the bench's fine level: 0.503 s vs 0.417 s per 30
+    iterations — the larger working set falls off the effective stream
+    rate; see docs/ROOFLINE.md).  Per-lane math is unchanged (measured <=1
+    ulp from XLA's per-shape fusion choices); chunking is skipped when
+    ``maximum_rms_error`` couples the lanes' while_loop trip count, and on
+    multi-device meshes where the leading axis is sharded.
     """
+    n_total = moving_stack.shape[0]
+    chunk = int(os.environ.get("PLATIPY_TPU_DEMONS_CHUNK", "5"))
+    if (chunk > 0 and n_total > chunk and maximum_rms_error is None
+            and len(jax.devices()) == 1):
+        k = -(-n_total // chunk)
+        sizes = [n_total // k + (1 if i < n_total % k else 0) for i in range(k)]
+        outs, o = [], 0
+        for s in sizes:
+            f = fixed_arr if fixed_arr.ndim == 3 else fixed_arr[o:o + s]
+            outs.append(batched_multiscale_demons(
+                f, moving_stack[o:o + s], spacing_xyz, resolution_staging,
+                iteration_staging, smoothing_sigmas, isotropic_resample,
+                regularisation_kernel_mm, max_step_vox, within_level_disp_vox,
+                maximum_rms_error, field_dtype,
+            ))
+            o += s
+        return jnp.concatenate(outs, axis=0)
+
     shape_zyx = moving_stack.shape[1:]
     grids = level_grids(shape_zyx, spacing_xyz, resolution_staging, isotropic_resample)
 
