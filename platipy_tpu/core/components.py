@@ -27,6 +27,7 @@ __all__ = [
     "relabel_components",
     "keep_largest_component",
     "keep_largest_component_stack",
+    "keep_largest_component_stack_device",
     "fill_and_largest_component_stack_device",
     "connected_threshold",
     "label_shape_statistics",
@@ -329,6 +330,16 @@ def _largest_component_stack_jit(mask, max_rounds: int):
 
     best = jax.vmap(modal)(flat)
     return mask & (lab == best[:, None, None, None].astype(lab.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def keep_largest_component_stack_device(stack, max_rounds: int = 256):
+    """Batched keep-largest (26-connected, NO hole fill) of a [N,z,y,x]
+    binary stack, entirely on device — the device-side analogue of
+    :func:`keep_largest_component_stack` (whose host pull + single-core CC
+    + push costs ~0.2 s per structure on this image's 1-core host)."""
+    m = jnp.asarray(stack) > 0
+    return _largest_component_stack_jit(m, max_rounds).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("max_rounds",))

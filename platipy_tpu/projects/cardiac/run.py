@@ -519,6 +519,13 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         if settings["linear_registration_settings"].get(
             "metric_box", "crop"
         ) == "atlas_extent":
+            # engage ONLY when dilution margins actually dominate: on
+            # already-tight targets (the crop box ~= the atlas extent) the
+            # tight box buys no accuracy and costs a second registration
+            # call per case (measured r5: +2 s warm with no DSC change)
+            ext_size, _ = label_to_roi(combined_image, expansion_mm=0)
+            dilution = (float(np.prod(ext_size))
+                        / max(float(np.prod(crop_box_size)), 1.0))
             # the POINT is dropping the crop's 20-40 mm dilution margins;
             # a NEGATIVE margin shrinks the box inside the atlas extent so
             # every sampled fixed point stays in-bounds for any plausible
@@ -542,7 +549,8 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             substantial = all(
                 r >= 0.5 * c for r, c in zip(reg_size, crop_box_size)
             )
-            if substantial and tuple(reg_size) != tuple(crop_box_size):
+            if (dilution < 0.8 and substantial
+                    and tuple(reg_size) != tuple(crop_box_size)):
                 linear_target = crop_to_roi(img, reg_size, reg_index)
 
     logger.info("Calculated crop box: %s %s", crop_box_index, crop_box_size)
@@ -1046,10 +1054,12 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             if s in results
         ]
         if fillhole_structs:
-            from platipy_tpu.core.components import keep_largest_component_stack
+            from platipy_tpu.core.components import (
+                keep_largest_component_stack_device,
+            )
             from platipy_tpu.core.morphology import binary_closing_batched
 
-            largest_stack = keep_largest_component_stack(
+            largest_stack = keep_largest_component_stack_device(
                 jnp.stack([results[s].array for s in fillhole_structs])
             )
             closed = binary_closing_batched(largest_stack, binaryfillhole_img)

@@ -329,3 +329,22 @@ def test_fill_and_largest_device_matches_native():
     for k, m in enumerate(cases):
         np.testing.assert_array_equal(out[k], fill_and_largest_component_np(m),
                                       err_msg=f"case {k}")
+
+
+def test_keep_largest_device_matches_host():
+    """Device keep-largest (no fill) vs the host union-find path —
+    interior holes must be PRESERVED (largest-only semantics)."""
+    from platipy_tpu.core.components import (
+        keep_largest_component_stack,
+        keep_largest_component_stack_device,
+    )
+
+    m = np.zeros((16, 20, 20), np.uint8)
+    m[4:12, 4:16, 4:16] = 1
+    m[7:9, 8:10, 8:10] = 0   # interior hole: must survive
+    m[1:3, 1:3, 1:3] = 1     # island: must drop
+    stack = np.stack([m, np.zeros_like(m)])
+    dev = np.asarray(keep_largest_component_stack_device(stack))
+    host = np.asarray(keep_largest_component_stack(stack))
+    np.testing.assert_array_equal(dev, host)
+    assert dev[0][7, 8, 8] == 0  # hole preserved
