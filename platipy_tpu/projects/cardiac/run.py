@@ -519,13 +519,15 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
         if settings["linear_registration_settings"].get(
             "metric_box", "crop"
         ) == "atlas_extent":
-            # engage ONLY when dilution margins actually dominate: on
-            # already-tight targets (the crop box ~= the atlas extent) the
-            # tight box buys no accuracy and costs a second registration
-            # call per case (measured r5: +2 s warm with no DSC change)
-            ext_size, _ = label_to_roi(combined_image, expansion_mm=0)
-            dilution = (float(np.prod(ext_size))
-                        / max(float(np.prod(crop_box_size)), 1.0))
+            # engage ONLY on genuinely full-FOV inputs (the auto-crop
+            # actually cropped): that is the regime whose tissue-filled
+            # margins feed the metric gaming.  On already-tight inputs the
+            # crop-box margins are the atlas's own air surroundings — no
+            # gaming reward exists, and the tight box costs a second
+            # registration call per case (+2 s warm, measured r5) with no
+            # DSC change
+            dilution = (max(float(np.prod(np.asarray(crop_box_size))), 1.0)
+                        / float(np.prod(np.asarray(img.size))))
             # the POINT is dropping the crop's 20-40 mm dilution margins;
             # a NEGATIVE margin shrinks the box inside the atlas extent so
             # every sampled fixed point stays in-bounds for any plausible
@@ -549,7 +551,7 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
             substantial = all(
                 r >= 0.5 * c for r, c in zip(reg_size, crop_box_size)
             )
-            if (dilution < 0.8 and substantial
+            if (dilution < 0.5 and substantial
                     and tuple(reg_size) != tuple(crop_box_size)):
                 linear_target = crop_to_roi(img, reg_size, reg_index)
 

@@ -286,12 +286,12 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         if settings["linear_registration_settings"].get(
             "metric_box", "crop"
         ) == "atlas_extent":
-            # engage only when the crop's dilution margins dominate (see
-            # the cardiac pipeline: on tight targets the second
-            # registration call costs ~2 s warm for no DSC change)
-            ext_size, _ = label_to_roi(combined_image, expansion_mm=0)
-            dilution = (float(np.prod(ext_size))
-                        / max(float(np.prod(crop_box_size)), 1.0))
+            # engage only on genuinely full-FOV inputs where the auto-crop
+            # actually cropped (see the cardiac pipeline: on tight targets
+            # the second registration call costs ~2 s warm for no DSC
+            # change; tight targets' margins are air and cannot be gamed)
+            dilution = (max(float(np.prod(np.asarray(crop_box_size))), 1.0)
+                        / float(np.prod(np.asarray(img.size))))
             mb_exp = settings["linear_registration_settings"].get(
                 "metric_box_expansion_mm", [10, 10, 10]
             )
@@ -306,7 +306,7 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             substantial = all(
                 r >= 0.5 * c for r, c in zip(reg_size, crop_box_size)
             )
-            if (dilution < 0.8 and substantial
+            if (dilution < 0.5 and substantial
                     and tuple(reg_size) != tuple(crop_box_size)):
                 reg_box = (reg_size, reg_index)
                 ckpt.save("regbox", meta={"size": list(reg_size),
