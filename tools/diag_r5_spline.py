@@ -148,9 +148,12 @@ def main():
         ctr = V.spline_centreline(pts, smoothing=smoothing, weights=w)
         if extend:
             # linear end extension along the fitted end tangents, back out
-            # to the observed probability extent (lo_z..hi_z)
-            d0 = ctr[0] - ctr[1]
-            d1 = ctr[-1] - ctr[-2]
+            # to the observed probability extent (lo_z..hi_z).  tangent_k
+            # averages the tangent over a window of spline samples (the
+            # 2-sample tangent inherits end-sample noise)
+            k = min(int(build.tangent_k), len(ctr) - 1)
+            d0 = (ctr[0] - ctr[k]) / k
+            d1 = (ctr[-1] - ctr[-1 - k]) / k
             def ext(p, d, target_z):
                 dz = target_z - p[2]
                 if abs(d[2]) < 1e-6:
@@ -176,6 +179,7 @@ def main():
         return t
 
     T3 = dict(clip=True, trim=3, extend=True)
+    grid_k = [1, 8, 16, 24, 32]
     grid = [
         ("as-pipeline", dict()),
         ("clip+trim3+ext", dict(**T3)),
@@ -210,10 +214,12 @@ def main():
                 f"mid {e[nn//3:2*nn//3].mean():.2f} last6 {e[-6:].mean():.2f} "
                 f"missTP lo/hi {miss_lo}/{miss_hi} FP lo/hi {fp_lo}/{fp_hi}")
 
-    for name, kw in grid:
-        t = build(**kw)
-        print(f"{name:28s} DSC {tube_dsc(t, gt_full, cb_index):.4f}  "
-              f"{profile(t)}", flush=True)
+    for tk in grid_k:
+        build.tangent_k = tk
+        t = build(**T3)
+        print(f"T3+tangent_k{tk:<3d}             DSC "
+              f"{tube_dsc(t, gt_full, cb_index):.4f}  {profile(t)}",
+              flush=True)
 
 
 if __name__ == "__main__":
