@@ -265,11 +265,12 @@ def make_settings(atlas_set):
     # excluded mean metric (per-atlas affine scales 0.80-1.14, vessel DSC
     # 0.806) — and silence demons forces where the atlas is out of bounds
     settings["linear_registration_settings"]["metric_box"] = "atlas_extent"
-    # shrink the box 10 mm INSIDE the atlas extent: every sampled point then
+    # shrink the box INSIDE the atlas extent: every sampled point then
     # stays in-bounds under any plausible transform, leaving the metric no
     # out-of-bounds margin to game (measured r5: affine scale factors
-    # 0.80-1.14 -> 0.94-1.06, full-grid vessel DSC 0.942 -> 0.959)
-    settings["linear_registration_settings"]["metric_box_expansion_mm"] = [-10, -10, -10]
+    # 0.80-1.14 -> ~1.0, full-grid vessel DSC 0.942 -> 0.957-0.959; the
+    # deeper margin also lifted CHAMBER 0.975 -> 0.982 on the probe case)
+    settings["linear_registration_settings"]["metric_box_expansion_mm"] = [-16, -16, -20]
     settings["deformable_registration_settings"]["oob_inherit_fixed"] = True
 
     settings["iar_settings"]["reference_structure"] = "WHOLEHEART"
