@@ -265,6 +265,7 @@ def batched_multiscale_demons(
     within_level_disp_vox: int = 4,
     maximum_rms_error=None,
     field_dtype: str = None,
+    batch_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multiscale demons of every atlas against the fixed image(s), batched.
 
@@ -291,9 +292,15 @@ def batched_multiscale_demons(
     multi-device meshes where the leading axis is sharded.
     """
     n_total = moving_stack.shape[0]
-    chunk = int(os.environ.get("PLATIPY_TPU_DEMONS_CHUNK", "5"))
-    if (chunk > 0 and n_total > chunk and maximum_rms_error is None
-            and len(jax.devices()) == 1):
+    if batch_chunk is None:
+        # auto: chunk on a single device only (a sharded leading axis must
+        # stay whole); PLATIPY_TPU_DEMONS_CHUNK=0 disables
+        chunk = int(os.environ.get("PLATIPY_TPU_DEMONS_CHUNK", "5"))
+        if len(jax.devices()) != 1:
+            chunk = 0
+    else:
+        chunk = int(batch_chunk)
+    if chunk > 0 and n_total > chunk and maximum_rms_error is None:
         k = -(-n_total // chunk)
         sizes = [n_total // k + (1 if i < n_total % k else 0) for i in range(k)]
         outs, o = [], 0
@@ -303,7 +310,7 @@ def batched_multiscale_demons(
                 f, moving_stack[o:o + s], spacing_xyz, resolution_staging,
                 iteration_staging, smoothing_sigmas, isotropic_resample,
                 regularisation_kernel_mm, max_step_vox, within_level_disp_vox,
-                maximum_rms_error, field_dtype,
+                maximum_rms_error, field_dtype, batch_chunk=0,
             ))
             o += s
         return jnp.concatenate(outs, axis=0)

@@ -194,3 +194,28 @@ def test_pack_binary_masks_validates_shapes():
     # silently pack garbage
     with pytest.raises(ValueError, match="same-shape"):
         pack_binary_masks([jnp.zeros((2, 4, 4)), jnp.zeros((4, 4))])
+
+
+def test_demons_batch_chunking_matches_full_batch():
+    """Chunked demons (batch_chunk) equals the full-batch program per lane
+    (single-device perf formulation; docs/ROOFLINE.md r5)."""
+    from platipy_tpu.parallel.atlas import batched_multiscale_demons
+
+    rng = np.random.RandomState(0)
+    fixed = jnp.asarray(rng.rand(12, 20, 20).astype(np.float32) * 100)
+    moving = jnp.asarray(rng.rand(7, 12, 20, 20).astype(np.float32) * 100)
+    kw = dict(spacing_xyz=(1.5, 1.5, 2.0), resolution_staging=[4, 2],
+              iteration_staging=[3, 3], smoothing_sigmas=[0, 0])
+    full = np.asarray(batched_multiscale_demons(fixed, moving,
+                                                batch_chunk=0, **kw))
+    chunked = np.asarray(batched_multiscale_demons(fixed, moving,
+                                                   batch_chunk=3, **kw))
+    # XLA's per-shape fusion choices shift results by ~1 ulp
+    np.testing.assert_allclose(chunked, full, atol=1e-5)
+    # per-atlas fixed images chunk along the same axis
+    fixed_n = jnp.asarray(rng.rand(7, 12, 20, 20).astype(np.float32) * 100)
+    full_n = np.asarray(batched_multiscale_demons(fixed_n, moving,
+                                                  batch_chunk=0, **kw))
+    chunked_n = np.asarray(batched_multiscale_demons(fixed_n, moving,
+                                                     batch_chunk=2, **kw))
+    np.testing.assert_allclose(chunked_n, full_n, atol=1e-5)
