@@ -454,3 +454,41 @@ def test_vessel_end_trim_and_clip_to_extent():
     # end handling recovers the straight tube better than the raw fit
     assert dsc(fixed_arr, truth) > dsc(base_arr, truth) + 0.02
     assert dsc(fixed_arr, truth) > 0.9
+
+
+def test_vessel_end_trim_and_clip_x_scan():
+    """end_trim/clip_to_extent along the x scan direction (the reference
+    scans LCORONARYARTERY along x: cardiac run.py scan_direction_dict)."""
+    from platipy_tpu.utils.vessel import vessel_spline_generation
+
+    arr = np.zeros((48, 64, 64), np.uint8)
+    zz, yy = np.mgrid[:48, :64]
+    for x in range(6, 42):
+        cz, cy = 24, 30
+        if x in (6, 7, 40, 41):
+            cz, cy = 30, 36  # displaced end slices
+        arr[:, :, x][(zz - cz) ** 2 + (yy - cy) ** 2 <= 4.0**2] = 1
+    # (x,y,z) spacing: scan axis x at 2 mm, ISOTROPIC 1 mm (z,y) cross-section
+    img = from_array(arr, spacing=(2.0, 1.0, 1.0))
+    atlas_set = {"0": {"DIR": {"VESSEL": img}}}
+
+    kw = dict(
+        vessel_radius_mm_dict={"VESSEL": 4},
+        stop_condition_type_dict={"VESSEL": "count"},
+        stop_condition_value_dict={"VESSEL": 0},
+        scan_direction_dict={"VESSEL": "x"},
+    )
+    fixed = vessel_spline_generation(
+        img, atlas_set, ["VESSEL"], end_trim=3, clip_to_extent=True, **kw
+    )["VESSEL"]
+    fixed_arr = np.asarray(fixed.array)
+    # clipped along x to the chain extent
+    assert fixed_arr[:, :, :6].sum() == 0 and fixed_arr[:, :, 42:].sum() == 0
+
+    truth = np.zeros_like(arr)
+    for x in range(6, 42):
+        truth[:, :, x][(zz - 24) ** 2 + (yy - 30) ** 2 <= 4.0**2] = 1
+
+    a, b = fixed_arr > 0, truth > 0
+    dsc = 2 * (a & b).sum() / max(a.sum() + b.sum(), 1)
+    assert dsc > 0.9
