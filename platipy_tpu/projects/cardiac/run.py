@@ -613,9 +613,10 @@ def run_cardiac_segmentation(img: Image, guide_structure: Image = None,
                 as_stack=True, return_stacked_transform=True, **reg_kwargs
             )
             dv = reg_kwargs.get("default_value")
-            if dv is None:  # the serial path's CT auto-detect (linear.py)
+            if dv is None:  # the serial path's CT auto-detect (linear.py);
+                # scalar device fetch, not a full-volume pull
                 dv = -1000 if float(
-                    np.asarray(originals[0]["CT Image"].array).min()
+                    jnp.min(jnp.asarray(originals[0]["CT Image"].array))
                 ) <= -1000 else 0
             ct_rir = apply_transforms_batched(
                 stacked_tfm, [o["CT Image"] for o in originals], img_crop,

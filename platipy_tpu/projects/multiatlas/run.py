@@ -244,7 +244,9 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
         crop_box_size = [int(v) for v in meta["size"]]
         crop_box_index = [int(v) for v in meta["index"]]
         logger.info("Resumed crop box from checkpoint.")
-        if ckpt.has("regbox"):
+        if ckpt.has("regbox") and settings["linear_registration_settings"].get(
+            "metric_box", "crop"
+        ) == "atlas_extent":
             meta = ckpt.meta("regbox")
             reg_box = ([int(v) for v in meta["size"]],
                        [int(v) for v in meta["index"]])
@@ -372,9 +374,10 @@ def run_segmentation(img: Image, settings=MUTLIATLAS_SETTINGS_DEFAULTS):
             )
             dv = lin_kwargs.get("default_value")
             if dv is None:
-                # the serial path's CT auto-detect (linear.py)
+                # the serial path's CT auto-detect (linear.py); scalar
+                # device fetch, not a full-volume pull
                 dv = -1000 if float(
-                    np.asarray(reg_movings[0].array).min()
+                    jnp.min(jnp.asarray(reg_movings[0].array))
                 ) <= -1000 else 0
             moving_stack = apply_transforms_batched(
                 stacked_tfm, reg_movings, img_crop,
